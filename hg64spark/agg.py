@@ -1,0 +1,290 @@
+"""Spark glue: distributed sketch aggregation as partial + merge.
+
+PySpark cannot register a custom Catalyst ``TypedImperativeAggregate``, so the
+partial/final aggregation contract is expressed explicitly — the same plan
+Catalyst builds for built-in aggregates, and exactly the execution model the
+reference benchmarks as `merged_load` (`/root/reference/test.c:125-157`, ~7x
+faster than its shared-memory path):
+
+    stage 1  mapInPandas     one partial sketch per (task partition x group),
+                             vectorized numpy ingest over Arrow batches —
+                             this is the map-side combine: the shuffle then
+                             carries only tiny serialized sketches, never rows
+    stage 2  groupBy(keys)   shuffle of <= (#partitions x #groups) sketch blobs
+    stage 3  applyInPandas   associative integer merge + serialize
+
+Skew note (north_rule): because stage 1 emits at most one sketch per group per
+*partition*, a conversation with a billion rows costs its partitions ingest
+time but contributes the same handful of bytes to the shuffle as any other
+group — group-key skew cannot concentrate shuffle load by construction.  Skew
+across *input partitions* (one giant file split) is handled upstream with
+:func:`repartition_salted`.
+
+Any object implementing the sketch protocol (``add_values(np.ndarray)``,
+``merge(other)``, ``serialize() -> bytes``) plugs in; every sketch in
+``hg64spark`` does.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hg64spark.hg64 import HG64
+
+_GLOBAL_KEY = "__hg64_global__"
+
+
+def _group_schema(df: DataFrame, group_cols: Sequence[str]) -> list[StructField]:
+    by_name = {f.name: f for f in df.schema.fields}
+    return [by_name[c] for c in group_cols]
+
+
+def _normalize_key(key) -> tuple:
+    if isinstance(key, tuple):
+        return key
+    return (key,)
+
+
+def sketch_partials(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    make_sketch: Callable[[], object],
+    with_metrics: bool = False,
+) -> DataFrame:
+    """Stage 1: one serialized partial sketch per (partition x group).
+
+    Nulls in ``value_col`` are dropped (SQL-aggregate convention).  With
+    ``with_metrics`` each partial row also carries per-partition lineage
+    (rows ingested, ns/row, sketch bytes) — the north_rule's metrics
+    requirement, mirroring the reference harness's per-thread timing output
+    (`/root/reference/test.c:117-121`).
+    """
+    group_cols = list(group_cols)
+    fields = _group_schema(df, group_cols) + [StructField("sketch", BinaryType(), False)]
+    if with_metrics:
+        fields += [
+            StructField("m_rows", LongType(), False),
+            StructField("m_ns_per_row", DoubleType(), False),
+            StructField("m_sketch_bytes", LongType(), False),
+        ]
+    out_schema = StructType(fields)
+    narrow = df.select(*group_cols, value_col)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[tuple, object] = {}
+        nrows = 0
+        t0 = time.perf_counter_ns()
+        for pdf in batches:
+            vals = pdf[value_col]
+            mask = vals.notna()
+            if not mask.all():
+                pdf = pdf[mask]
+                vals = pdf[value_col]
+            if len(pdf) == 0:
+                continue
+            nrows += len(pdf)
+            arr = vals.to_numpy()
+            if group_cols:
+                for key, idx in pdf.groupby(group_cols, dropna=False, sort=False).indices.items():
+                    key = _normalize_key(key)
+                    sk = sketches.get(key)
+                    if sk is None:
+                        sk = sketches[key] = make_sketch()
+                    sk.add_values(arr[idx])
+            else:
+                sk = sketches.get(())
+                if sk is None:
+                    sk = sketches[()] = make_sketch()
+                sk.add_values(arr)
+        if not sketches:
+            return
+        elapsed = time.perf_counter_ns() - t0
+        keys = list(sketches.keys())
+        blobs = [sketches[k].serialize() for k in keys]
+        data = {c: [k[i] for k in keys] for i, c in enumerate(group_cols)}
+        data["sketch"] = blobs
+        if with_metrics:
+            data["m_rows"] = [nrows] * len(keys)
+            data["m_ns_per_row"] = [elapsed / max(nrows, 1)] * len(keys)
+            data["m_sketch_bytes"] = [len(b) for b in blobs]
+        yield pd.DataFrame(data, columns=[f.name for f in fields])
+
+    return narrow.mapInPandas(build, out_schema)
+
+
+def merge_sketches(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    deserialize: Callable[[bytes], object],
+) -> DataFrame:
+    """Stages 2+3: shuffle partial sketches by group key and reduce them with
+    the associative merge (`hg64_merge` semantics, `/root/reference/hg64.c:297-305`)."""
+    group_cols = list(group_cols)
+    fields = [f for f in partials.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+    grouped = partials if group_cols else partials.withColumn(_GLOBAL_KEY, F.lit(0))
+    keys = group_cols or [_GLOBAL_KEY]
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        blobs = pdf["sketch"]
+        sk = deserialize(blobs.iloc[0])
+        for b in blobs.iloc[1:]:
+            sk.merge(deserialize(b))
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["sketch"] = [sk.serialize()]
+        return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return grouped.groupBy(*keys).applyInPandas(reduce_group, out_schema)
+
+
+def sketch_agg(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    make_sketch: Callable[[], object] = HG64,
+    deserialize: Callable[[bytes], object] = HG64.deserialize,
+) -> DataFrame:
+    """Full pipeline: (group_cols..., sketch binary), one row per group."""
+    partials = sketch_partials(df, value_col, group_cols, make_sketch)
+    return merge_sketches(partials, group_cols, deserialize)
+
+
+def hg64_agg(df: DataFrame, value_col: str, group_cols: Sequence[str] = (), sigbits: int = 5) -> DataFrame:
+    return sketch_agg(df, value_col, group_cols, lambda: HG64(sigbits), HG64.deserialize)
+
+
+def repartition_salted(df: DataFrame, cols: Sequence[str], buckets: int) -> DataFrame:
+    """Explicit skew handling: spread hot group keys over ``buckets`` salted
+    partitions before stage 1.  Because the sketch merge is exactly
+    associative+commutative, the salt needs no second unsalting stage — the
+    group-by merge in stage 2 already recombines the salted partials."""
+    salt = (F.xxhash64(*[F.col(c) for c in cols], F.spark_partition_id()) % buckets).cast("int")
+    return df.repartition(buckets, F.abs(salt))
+
+
+# --------------------------------------------------------------------------
+# finalizers: turn a (group..., sketch) frame into query results
+# --------------------------------------------------------------------------
+
+
+def _explode(
+    sketch_df: DataFrame,
+    group_cols: Sequence[str],
+    deserialize: Callable[[bytes], object],
+    extra_fields: list[StructField],
+    per_sketch: Callable[[object, dict], dict],
+) -> DataFrame:
+    group_cols = list(group_cols)
+    fields = [f for f in sketch_df.schema.fields if f.name in group_cols] + extra_fields
+    out_schema = StructType(fields)
+    names = [f.name for f in fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                sk = deserialize(row["sketch"])
+                cols = per_sketch(sk, {c: row[c] for c in group_cols})
+                frames.append(pd.DataFrame(cols, columns=names))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return sketch_df.mapInPandas(fn, out_schema)
+
+
+def hg64_quantiles(
+    sketch_df: DataFrame, group_cols: Sequence[str], qs: Sequence[float]
+) -> DataFrame:
+    """(group..., q double, value long) — `hg64s_value_at_quantile`
+    (`/root/reference/hg64.c:431-436`) per group per q."""
+    qarr = np.asarray(list(qs), dtype=np.float64)
+
+    def per_sketch(sk: HG64, gvals: dict) -> dict:
+        snap = sk.snapshot()
+        vals = snap.value_at_quantile(qarr).astype(np.int64)
+        out = {c: [v] * len(qarr) for c, v in gvals.items()}
+        out["q"] = qarr
+        out["value"] = vals
+        return out
+
+    extra = [StructField("q", DoubleType(), False), StructField("value", LongType(), False)]
+    return _explode(sketch_df, group_cols, HG64.deserialize, extra, per_sketch)
+
+
+def hg64_buckets(sketch_df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """(group..., key, bucket_min, bucket_max, count) — the exploded
+    `hg64_get` view (`/root/reference/hg64.c:272-283`), nonzero buckets only."""
+
+    def per_sketch(sk: HG64, gvals: dict) -> dict:
+        keys, mins, maxs, counts = sk.to_buckets()
+        n = keys.size
+        out = {c: [v] * n for c, v in gvals.items()}
+        out["key"] = keys.astype(np.int64)
+        out["bucket_min"] = mins.astype(np.int64)
+        out["bucket_max"] = maxs.astype(np.int64)
+        out["count"] = counts.astype(np.int64)
+        return out
+
+    extra = [
+        StructField("key", LongType(), False),
+        StructField("bucket_min", LongType(), False),
+        StructField("bucket_max", LongType(), False),
+        StructField("count", LongType(), False),
+    ]
+    return _explode(sketch_df, group_cols, HG64.deserialize, extra, per_sketch)
+
+
+def hg64_ranks(
+    sketch_df: DataFrame, group_cols: Sequence[str], probes: Sequence[int]
+) -> DataFrame:
+    """(group..., probe, rank) — `hg64s_rank_of_value`
+    (`/root/reference/hg64.c:410-429`) for each probe value."""
+    parr = np.asarray(list(probes), dtype=np.uint64)
+
+    def per_sketch(sk: HG64, gvals: dict) -> dict:
+        snap = sk.snapshot()
+        ranks = snap.rank_of_value(parr).astype(np.int64)
+        out = {c: [v] * parr.size for c, v in gvals.items()}
+        out["probe"] = parr.astype(np.int64)
+        out["rank"] = ranks
+        return out
+
+    extra = [StructField("probe", LongType(), False), StructField("rank", LongType(), False)]
+    return _explode(sketch_df, group_cols, HG64.deserialize, extra, per_sketch)
+
+
+def hg64_stats(sketch_df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """(group..., population, mean, variance) from integer-exact midpoint sums
+    (FP only in the final two scalar ops, so a SQL oracle agrees bitwise)."""
+
+    def per_sketch(sk: HG64, gvals: dict) -> dict:
+        s1, s2, pop = sk.snapshot().midpoint_stats_exact()
+        # op order matches the SQL oracle exactly: round each exact integer
+        # sum to double FIRST, then divide — so DuckDB agrees bit-for-bit
+        mean = float(s1) / (2.0 * float(pop)) if pop else 0.0
+        var = float(s2) / (4.0 * float(pop)) - mean * mean if pop else 0.0
+        out = {c: [v] for c, v in gvals.items()}
+        out["population"] = [pop]
+        out["mean"] = [mean]
+        out["variance"] = [var]
+        return out
+
+    extra = [
+        StructField("population", LongType(), False),
+        StructField("mean", DoubleType(), False),
+        StructField("variance", DoubleType(), False),
+    ]
+    return _explode(sketch_df, group_cols, HG64.deserialize, extra, per_sketch)

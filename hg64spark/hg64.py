@@ -316,8 +316,8 @@ class HG64Snapshot:
         s1, s2, pop = self.midpoint_stats_exact()
         if pop == 0:
             return 0.0, 0.0
-        mean = s1 / (2 * pop)
-        var = s2 / (4 * pop) - mean * mean
+        mean = float(s1) / (2.0 * float(pop))
+        var = float(s2) / (4.0 * float(pop)) - mean * mean
         return mean, var
 
     def midpoint_stats_exact(self) -> tuple[int, int, int]:

@@ -1,0 +1,123 @@
+"""End-to-end Spark pipeline tests: partition invariance (the distributed
+analogue of the reference's parallel-vs-merged assert,
+`/root/reference/test.c:221-230`), skew salting, and finalizer correctness
+against exact Spark SQL."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hg64spark import agg, transcripts
+from hg64spark.hg64 import HG64
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_values(spark, sf_dir=SF_DIR):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
+
+
+def _collect_sketch(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return HG64.deserialize(rows[0]["sketch"])
+
+
+def test_partition_invariance_identical_sketches(spark):
+    """north_rule hard requirement: identical serialized sketches across
+    arbitrary partition splits (1 / 4 / 13 partitions, plus a shuffled row
+    order)."""
+    base = _events_values(spark)
+    reference = None
+    for variant in (
+        base.coalesce(1),
+        base.repartition(4),
+        base.repartition(13, "v"),
+        base.orderBy(F.rand(seed=7)).repartition(5),
+    ):
+        sk = _collect_sketch(agg.hg64_agg(variant, "v", [], 5))
+        if reference is None:
+            reference = sk
+        else:
+            assert sk == reference
+
+
+def test_sketch_agg_matches_local(spark):
+    pdf = _events_values(spark).toPandas()
+    local = HG64(5).add_values(pdf["v"].to_numpy().astype(np.uint64))
+    dist = _collect_sketch(agg.hg64_agg(_events_values(spark), "v", [], 5))
+    assert dist == local
+
+
+def test_grouped_agg_matches_local_groups(spark):
+    pdf = _events_values(spark).toPandas()
+    dist = agg.hg64_agg(_events_values(spark), "v", ["event_type"], 5).collect()
+    assert len(dist) == pdf["event_type"].nunique()
+    for row in dist:
+        vals = pdf.loc[pdf["event_type"] == row["event_type"], "v"].to_numpy()
+        local = HG64(5).add_values(vals.astype(np.uint64))
+        assert HG64.deserialize(row["sketch"]) == local, row["event_type"]
+
+
+def test_salted_repartition_preserves_result(spark):
+    base = _events_values(spark)
+    plain = _collect_sketch(agg.hg64_agg(base, "v", [], 5))
+    salted = _collect_sketch(agg.hg64_agg(agg.repartition_salted(base, ["event_type"], 16), "v", [], 5))
+    assert plain == salted
+
+
+def test_quantile_finalizer_within_bound_of_exact(spark):
+    base = _events_values(spark)
+    sk = agg.hg64_agg(base, "v", [], 5)
+    got = {r["q"]: r["value"] for r in agg.hg64_quantiles(sk, [], [0.5, 0.9, 0.99]).collect()}
+    exact = base.selectExpr(
+        "percentile(v, 0.5) AS p50", "percentile(v, 0.9) AS p90", "percentile(v, 0.99) AS p99"
+    ).collect()[0]
+    for q, ex in ((0.5, exact["p50"]), (0.9, exact["p90"]), (0.99, exact["p99"])):
+        assert abs(got[q] - ex) / ex <= 2.0**-5 + 1e-9
+
+
+def test_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (5, "a"), (None, "b"), (7, "b")], "v long, g string"
+    )
+    rows = agg.hg64_agg(df, "v", ["g"], 5).collect()
+    pops = {r["g"]: HG64.deserialize(r["sketch"]).population for r in rows}
+    assert pops == {"a": 2, "b": 1}
+
+
+def test_partials_metrics_lineage(spark):
+    base = _events_values(spark).repartition(4)
+    partials = agg.sketch_partials(base, "v", [], HG64, with_metrics=True)
+    rows = partials.collect()
+    assert 1 <= len(rows) <= 4
+    assert sum(r["m_rows"] for r in rows) == base.count()
+    for r in rows:
+        assert r["m_ns_per_row"] > 0
+        assert r["m_sketch_bytes"] == len(r["sketch"])
+
+
+def test_transcript_latency_non_negative(spark):
+    t = transcripts.with_latency(transcripts.transcripts_from_events(spark, SF_DIR))
+    bad = t.filter(F.col("latency_us") < 0).count()
+    assert bad == 0
+
+
+def test_synthetic_transcripts_deterministic_and_skewed(spark):
+    a = transcripts.synthetic_transcripts(spark, n_convs=200, seed=1)
+    b = transcripts.synthetic_transcripts(spark, n_convs=200, seed=1).repartition(7)
+    ca = a.groupBy("conv_id").count().orderBy("conv_id").collect()
+    cb = b.groupBy("conv_id").count().orderBy("conv_id").collect()
+    assert ca == cb
+    sizes = np.array([r["count"] for r in ca])
+    assert sizes.max() > 4 * np.median(sizes)  # Pareto skew present
+    cols = dict(a.dtypes)
+    assert cols == {
+        "conv_id": "string",
+        "turn_idx": "int",
+        "role": "string",
+        "text": "string",
+        "tool": "string",
+        "ts": "timestamp",
+    } or cols.get("ts") == "timestamp_ntz"
