@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from hg64spark import agg, sqloracle, transcripts
 from hg64spark.hg64 import HG64
+from hg64spark.sketches import HLL, CMS, Bloom, KLL
 
 # the reference harness's quantile sweep shape (`/root/reference/test.c:245-256`),
 # clipped of q=0/1 (q=0 is the documented low-rank interpolation artifact,
@@ -110,6 +111,136 @@ def q_hg64_downsample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_buckets(coarse, [])
 
 
+# ------------------------------------------------------- companion sketches
+#
+# Companions are approximate, so their driver gates use the *self-certifying*
+# pattern: the Spark query computes both the exact answer (built-in Spark
+# aggregation) and a boolean asserting the sketch estimate satisfies its
+# published error bound; the oracle returns the exact answer and a literal
+# TRUE.  The hashes match iff the bound holds.  (Raw estimate accuracy is
+# additionally unit-tested in tests/test_companions.py.)
+
+
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct(user_id) per event_type vs exact count(distinct):
+    |est - exact| <= 3 sigma, sigma = 1.04/sqrt(2^p)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    sk = agg.sketch_agg(ev, "user_id", ["event_type"], lambda: HLL(14), HLL.deserialize)
+    ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in sk.collect()}
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3 * HLL.error_bound(14)
+
+    rows = exact.collect()
+    out = [
+        (
+            r["event_type"],
+            r["exact_distinct"],
+            bool(abs(ests[r["event_type"]] - r["exact_distinct"]) <= bound * r["exact_distinct"]),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(out, "event_type string, exact_distinct long, hll_ok boolean")
+
+
+def q_cms_top_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters: for the exact top-10 o_custkey, the CMS
+    estimate must satisfy exact <= est <= exact + eps*N (eps = e/width)."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    sk = agg.sketch_agg(od, "o_custkey", [], lambda: CMS(4096, 5), CMS.deserialize)
+    cms = CMS.deserialize(sk.collect()[0]["sketch"])
+    top = (
+        od.groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("o_custkey"))
+        .limit(10)
+        .collect()
+    )
+    import numpy as np
+
+    keys = np.array([r["o_custkey"] for r in top], dtype=np.int64)
+    ests = cms.estimate(keys)
+    n = cms.total
+    eps = cms.epsilon()
+    out = [
+        (int(r["o_custkey"]), int(r["exact_count"]), bool(int(e) >= r["exact_count"] and int(e) <= r["exact_count"] + eps * n))
+        for r, e in zip(top, ests.tolist())
+    ]
+    return spark.createDataFrame(out, "o_custkey long, exact_count long, cms_ok boolean")
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom built over o_custkey; probed with every customer key.  The
+    no-false-negative guarantee makes the per-key check exact: every key that
+    IS in orders must test positive."""
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    sk = agg.sketch_agg(od, "o_custkey", [], lambda: Bloom(1 << 17, 7), Bloom.deserialize)
+    blob = sk.collect()[0]["sketch"]
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    in_orders = od.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn("in_ord", F.lit(True))
+    probe = cust.join(F.broadcast(in_orders), "c_custkey", "left").select(
+        "c_custkey", F.coalesce("in_ord", F.lit(False)).alias("in_orders_exact")
+    )
+
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("in_orders_exact", BooleanType()),
+            StructField("bloom_no_false_negative", BooleanType()),
+        ]
+    )
+
+    def check(batches):
+        bf = Bloom.deserialize(blob)
+        for pdf in batches:
+            hits = bf.contains(pdf["c_custkey"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "c_custkey": pdf["c_custkey"],
+                    "in_orders_exact": pdf["in_orders_exact"],
+                    "bloom_no_false_negative": (~pdf["in_orders_exact"].to_numpy()) | hits,
+                }
+            )
+
+    return probe.mapInPandas(check, schema)
+
+
+KLL_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def q_kll_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL latency quantiles per tool; the true rank of each estimate (exact
+    Spark count) must be within the published normalized rank-error bound."""
+    lat = _latency(spark, sf_dir).select("tool", "latency_us").filter(F.col("latency_us").isNotNull())
+    sk = agg.sketch_agg(lat, "latency_us", ["tool"], lambda: KLL(200), KLL.deserialize)
+
+    import numpy as np
+
+    qarr = np.array(KLL_QS)
+    ests = []
+    for r in sk.collect():
+        kll = KLL.deserialize(r["sketch"])
+        for q, v in zip(KLL_QS, kll.value_at_quantile(qarr).tolist()):
+            ests.append((r["tool"], float(q), float(v)))
+    est_df = spark.createDataFrame(ests, "tool string, q double, est double")
+    eps = KLL.rank_error_bound(200) + 0.02  # finite-confidence slack
+
+    ranked = (
+        lat.join(F.broadcast(est_df), "tool")
+        .groupBy("tool", "q")
+        .agg((F.count(F.when(F.col("latency_us") <= F.col("est"), 1)) / F.count("*")).alias("rank_true"))
+        .select(
+            "tool",
+            "q",
+            (F.abs(F.col("rank_true") - F.col("q")) <= eps).alias("within_bound"),
+        )
+    )
+    return ranked
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hg64_buckets_events": q_hg64_buckets_events,
@@ -120,6 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textlen_buckets_by_role": q_textlen_buckets_by_role,
         "turncount_quantiles": q_turncount_quantiles,
         "hg64_downsample_lineitem": q_hg64_downsample_lineitem,
+        "hll_distinct_users": q_hll_distinct_users,
+        "cms_top_custkeys": q_cms_top_custkeys,
+        "bloom_membership": q_bloom_membership,
+        "kll_latency_by_tool": q_kll_latency_by_tool,
     }
 
 
@@ -140,4 +275,23 @@ def oracle_sql() -> dict[str, str]:
             _TURNS_BASE_SQL, "v", SIGBITS, [0.1, 0.5, 0.9, 0.99]
         ),
         "hg64_downsample_lineitem": sqloracle.buckets_sql(li_sql, "v", 4),
+        "hll_distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+            "true AS hll_ok FROM events GROUP BY event_type"
+        ),
+        "cms_top_custkeys": (
+            "SELECT o_custkey, count(*) AS exact_count, true AS cms_ok "
+            "FROM orders GROUP BY o_custkey "
+            "ORDER BY exact_count DESC, o_custkey ASC LIMIT 10"
+        ),
+        "bloom_membership": (
+            "SELECT c_custkey, "
+            "c_custkey IN (SELECT o_custkey FROM orders) AS in_orders_exact, "
+            "true AS bloom_no_false_negative FROM customer"
+        ),
+        "kll_latency_by_tool": (
+            f"SELECT tool, CAST(q AS DOUBLE) AS q, true AS within_bound "
+            f"FROM (SELECT DISTINCT tool FROM ({transcripts.TRANSCRIPTS_SQL})) "
+            f"CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in KLL_QS)}]) AS q)"
+        ),
     }

@@ -1,0 +1,99 @@
+"""Bloom filter for set membership (conv_id membership per north_rule).
+
+Merge = bitwise OR — exactly associative and commutative.  Guarantees:
+no false negatives (asserted exactly by the driver-gated query); false
+positive probability ~ (1 - e^(-k n / m))^k, asserted within slack by the
+test suite.  Bits are stored as packed uint64 words.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from hg64spark import serde
+from hg64spark.sketches.common import U64, hash64, rehash
+
+
+class Bloom:
+    __slots__ = ("n_bits", "n_hashes", "words")
+
+    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 7, words: np.ndarray | None = None):
+        if n_bits % 64 != 0 or n_bits <= 0:
+            raise ValueError("n_bits must be a positive multiple of 64")
+        if not 1 <= n_hashes <= 32:
+            raise ValueError("n_hashes must be in [1, 32]")
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        if words is None:
+            self.words = np.zeros(n_bits // 64, dtype=U64)
+        else:
+            words = np.asarray(words, dtype=U64)
+            if words.shape != (n_bits // 64,):
+                raise ValueError("Bloom words shape mismatch")
+            self.words = words
+
+    @classmethod
+    def for_capacity(cls, n: int, fpp: float = 0.01) -> "Bloom":
+        """Size for ~n distinct items at the target false-positive rate."""
+        m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+        m = (m + 63) // 64 * 64
+        k = max(1, round(m / max(n, 1) * math.log(2)))
+        return cls(m, min(k, 32))
+
+    def _bit_positions(self, values: np.ndarray) -> np.ndarray:
+        """(k, n) bit indices via double hashing h1 + i*h2."""
+        h1 = hash64(values)
+        h2 = rehash(h1, 1) | U64(1)  # odd so the stride covers the table
+        m = U64(self.n_bits)
+        return np.stack([((h1 + U64(i) * h2) % m) for i in range(self.n_hashes)])
+
+    def add_values(self, values: np.ndarray, weights=None) -> "Bloom":
+        if len(values) == 0:
+            return self
+        pos = self._bit_positions(values).ravel()
+        np.bitwise_or.at(self.words, (pos >> U64(6)).astype(np.int64), U64(1) << (pos & U64(63)))
+        return self
+
+    def contains(self, values: np.ndarray) -> np.ndarray:
+        values = np.asarray(values)
+        if values.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._bit_positions(values)
+        hits = (self.words[(pos >> U64(6)).astype(np.int64)] >> (pos & U64(63))) & U64(1)
+        return hits.all(axis=0)
+
+    def fpp_bound(self, n_items: int) -> float:
+        """Expected false-positive probability after n_items insertions."""
+        k, m = self.n_hashes, self.n_bits
+        return (1.0 - math.exp(-k * n_items / m)) ** k
+
+    def merge(self, other: "Bloom") -> "Bloom":
+        if (other.n_bits, other.n_hashes) != (self.n_bits, self.n_hashes):
+            raise ValueError("cannot merge Blooms with different parameters")
+        self.words |= other.words
+        return self
+
+    def serialize(self) -> bytes:
+        header = struct.pack("<QI", self.n_bits, self.n_hashes)
+        return serde.pack(serde.TYPE_BLOOM, header, self.words.astype("<u8").tobytes())
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "Bloom":
+        _, header, payload = serde.expect(buf, serde.TYPE_BLOOM)
+        if len(header) != 12:
+            raise ValueError("corrupt Bloom header")
+        n_bits, n_hashes = struct.unpack("<QI", header)
+        words = np.frombuffer(payload, dtype="<u8")
+        if words.size != n_bits // 64:
+            raise ValueError("corrupt Bloom payload")
+        return cls(n_bits, n_hashes, words.astype(U64))
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Bloom)
+            and (self.n_bits, self.n_hashes) == (other.n_bits, other.n_hashes)
+            and bool(np.array_equal(self.words, other.words))
+        )

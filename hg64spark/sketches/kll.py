@@ -1,0 +1,164 @@
+"""KLL rank/quantile sketch (Karnin, Lang, Liberty 2016).
+
+Complements hg64: hg64 bounds *value* error (2^-sigbits relative bucket
+width); KLL bounds *rank* error (~1.65% of N at k=200, the figure published
+for Apache DataSketches' KLL at that k).  Cross-checked against hg64 and
+exact quantiles in the test suite, and against ``percentile_approx`` in the
+pipeline tests.
+
+Merge is level-wise concatenation + re-compaction.  KLL is a *randomized*
+sketch: unlike hg64/HLL/CMS/Bloom, its merge is associative only in
+distribution — different partition splits give different (all valid) sketches
+whose answers stay within the published rank-error bound.  Compaction
+randomness is drawn from a per-sketch deterministic generator so a given
+execution order is reproducible.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from hg64spark import serde
+
+_C = 2.0 / 3.0
+
+
+class KLL:
+    __slots__ = ("k", "levels", "n", "_rng")
+
+    def __init__(self, k: int = 200, levels: list[np.ndarray] | None = None, n: int = 0):
+        if not 8 <= k <= 65535:
+            raise ValueError(f"KLL k must be in [8, 65535], got {k}")
+        self.k = k
+        self.levels = levels if levels is not None else [np.empty(0, dtype=np.float64)]
+        self.n = n
+        self._rng = np.random.default_rng(0xD1CE + k)
+
+    # ------------------------------------------------------------- internals
+
+    def _cap(self, h: int, n_levels: int) -> int:
+        return max(2, int(math.ceil(self.k * _C ** (n_levels - 1 - h))))
+
+    def _total_cap(self, n_levels: int) -> int:
+        return sum(self._cap(h, n_levels) for h in range(n_levels))
+
+    def _size(self) -> int:
+        return sum(lv.size for lv in self.levels)
+
+    def _compress(self) -> None:
+        while self._size() > self._total_cap(len(self.levels)):
+            for h in range(len(self.levels)):
+                lv = self.levels[h]
+                if lv.size > self._cap(h, len(self.levels)):
+                    lv = np.sort(lv)
+                    if lv.size % 2 == 1:
+                        keep, lv = lv[-1:], lv[:-1]
+                    else:
+                        keep = np.empty(0, dtype=np.float64)
+                    offset = int(self._rng.integers(2))
+                    promoted = lv[offset::2]
+                    self.levels[h] = keep
+                    if h + 1 == len(self.levels):
+                        self.levels.append(np.empty(0, dtype=np.float64))
+                    self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+                    break
+            else:
+                break
+
+    # -------------------------------------------------------------- protocol
+
+    def add_values(self, values: np.ndarray, weights=None) -> "KLL":
+        values = np.asarray(values, dtype=np.float64)
+        if values.size == 0:
+            return self
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self.n += values.size
+        self._compress()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.k != self.k:
+            raise ValueError("cannot merge KLL sketches with different k")
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h, lv in enumerate(other.levels):
+            if lv.size:
+                self.levels[h] = np.concatenate([self.levels[h], lv])
+        self.n += other.n
+        self._compress()
+        return self
+
+    # --------------------------------------------------------------- queries
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        items = []
+        weights = []
+        for h, lv in enumerate(self.levels):
+            if lv.size:
+                items.append(lv)
+                weights.append(np.full(lv.size, 1 << h, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], wt[order]
+
+    def value_at_quantile(self, qs) -> np.ndarray:
+        qs = np.atleast_1d(np.asarray(qs, dtype=np.float64)).clip(0.0, 1.0)
+        it, wt = self._weighted()
+        if it.size == 0:
+            return np.full(qs.shape, np.nan)
+        cum = np.cumsum(wt)
+        ranks = np.minimum(np.floor(qs * self.n), self.n - 1)
+        idx = np.searchsorted(cum, ranks, side="right")
+        return it[np.minimum(idx, it.size - 1)]
+
+    def rank_of_value(self, values) -> np.ndarray:
+        """Estimated number of items <= value."""
+        values = np.atleast_1d(np.asarray(values, dtype=np.float64))
+        it, wt = self._weighted()
+        if it.size == 0:
+            return np.zeros(values.shape, dtype=np.int64)
+        cum = np.concatenate([[0], np.cumsum(wt)])
+        idx = np.searchsorted(it, values, side="right")
+        return cum[idx]
+
+    @staticmethod
+    def rank_error_bound(k: int = 200) -> float:
+        """Published normalized rank error at 99% confidence for KLL with
+        c=2/3 (DataSketches figure for k=200 is ~1.65%); scales as O(1/k)."""
+        return 1.65 / 200.0 * (200.0 / k)
+
+    # ----------------------------------------------------------------- serde
+
+    def serialize(self) -> bytes:
+        header = struct.pack("<HIQ", self.k, len(self.levels), self.n)
+        parts = []
+        for lv in self.levels:
+            parts.append(struct.pack("<I", lv.size))
+            parts.append(lv.astype("<f8").tobytes())
+        return serde.pack(serde.TYPE_KLL, header, b"".join(parts))
+
+    @classmethod
+    def deserialize(cls, buf: bytes) -> "KLL":
+        _, header, payload = serde.expect(buf, serde.TYPE_KLL)
+        if len(header) != 14:
+            raise ValueError("corrupt KLL header")
+        k, n_levels, n = struct.unpack("<HIQ", header)
+        levels = []
+        off = 0
+        for _ in range(n_levels):
+            if off + 4 > len(payload):
+                raise ValueError("corrupt KLL payload")
+            (sz,) = struct.unpack_from("<I", payload, off)
+            off += 4
+            end = off + sz * 8
+            if end > len(payload):
+                raise ValueError("corrupt KLL payload")
+            levels.append(np.frombuffer(payload, dtype="<f8", count=sz, offset=off).astype(np.float64))
+            off = end
+        return cls(k, levels, n)

@@ -1,0 +1,170 @@
+"""Companion sketch tests: merge laws, serde round-trips, published error
+bounds vs exact oracles (FIXTURES.md F3)."""
+
+import numpy as np
+import pytest
+
+from hg64spark.sketches import HLL, CMS, Bloom, KLL
+
+SEED = 42
+
+
+def rng():
+    return np.random.default_rng(SEED)
+
+
+# ------------------------------------------------------------------- HLL
+
+
+def test_hll_error_within_published_bound():
+    for true_n in (100, 10_000, 200_000):
+        vals = np.arange(true_n, dtype=np.int64) * 7919 + 13
+        est = HLL(14).add_values(vals).estimate()
+        bound = 3 * HLL.error_bound(14)
+        assert abs(est - true_n) / true_n <= bound, (true_n, est)
+
+
+def test_hll_merge_exact_and_commutative():
+    a_vals = rng().integers(0, 50_000, 80_000)
+    b_vals = rng().integers(25_000, 75_000, 80_000)
+    direct = HLL(12).add_values(np.concatenate([a_vals, b_vals]))
+    a, b = HLL(12).add_values(a_vals), HLL(12).add_values(b_vals)
+    ab = HLL(12).merge(a).merge(b)
+    ba = HLL(12).merge(b).merge(a)
+    assert ab == ba == direct  # register max is exactly order-independent
+
+
+def test_hll_strings_and_serde():
+    vals = np.array([f"conv_{i:08d}" for i in range(5000)], dtype=object)
+    h = HLL(12).add_values(vals)
+    back = HLL.deserialize(h.serialize())
+    assert back == h
+    assert abs(back.estimate() - 5000) / 5000 <= 3 * HLL.error_bound(12)
+
+
+def test_hll_merge_p_mismatch():
+    with pytest.raises(ValueError):
+        HLL(12).merge(HLL(14))
+
+
+# ------------------------------------------------------------------- CMS
+
+
+def test_cms_never_underestimates_and_bound():
+    # zipf-ish stream
+    r = rng()
+    vals = (r.zipf(1.3, 200_000) % 10_000).astype(np.int64)
+    cms = CMS(width=2048, depth=5).add_values(vals)
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = cms.estimate(uniq)
+    assert np.all(est >= true_counts)  # hard guarantee
+    overshoot = est - true_counts
+    n = vals.size
+    # eps*N bound holds with prob 1-e^-5 per item; assert on the 99.9th pct
+    assert np.quantile(overshoot, 0.999) <= cms.epsilon() * n
+
+
+def test_cms_merge_is_addition():
+    a_vals = rng().integers(0, 1000, 50_000)
+    b_vals = rng().integers(0, 1000, 50_000)
+    direct = CMS(1024, 4).add_values(np.concatenate([a_vals, b_vals]))
+    merged = CMS(1024, 4).add_values(a_vals).merge(CMS(1024, 4).add_values(b_vals))
+    assert merged == direct
+    assert merged.total == 100_000
+
+
+def test_cms_weighted_and_serde():
+    cms = CMS(512, 4).add_values(np.array([1, 2, 3]), weights=np.array([10, 20, 30]))
+    back = CMS.deserialize(cms.serialize())
+    assert back == cms
+    assert back.estimate(np.array([2]))[0] >= 20
+    assert back.total == 60
+
+
+# ------------------------------------------------------------------- Bloom
+
+
+def test_bloom_no_false_negatives():
+    members = np.array([f"conv_{i}" for i in range(20_000)], dtype=object)
+    bf = Bloom.for_capacity(20_000, fpp=0.01).add_values(members)
+    assert bool(bf.contains(members).all())
+
+
+def test_bloom_fpp_within_bound():
+    n = 20_000
+    members = np.arange(n, dtype=np.int64)
+    bf = Bloom.for_capacity(n, fpp=0.01).add_values(members)
+    probes = np.arange(10**7, 10**7 + 50_000, dtype=np.int64)  # disjoint
+    fp = float(bf.contains(probes).mean())
+    assert fp <= 3 * max(bf.fpp_bound(n), 0.001), fp
+
+
+def test_bloom_merge_is_or():
+    a = Bloom(1 << 14, 5).add_values(np.arange(1000))
+    b = Bloom(1 << 14, 5).add_values(np.arange(1000, 2000))
+    direct = Bloom(1 << 14, 5).add_values(np.arange(2000))
+    assert a.merge(b) == direct
+
+
+def test_bloom_serde_roundtrip():
+    bf = Bloom(1 << 10, 3).add_values(np.array(["x", "y"], dtype=object))
+    back = Bloom.deserialize(bf.serialize())
+    assert back == bf
+    assert bool(back.contains(np.array(["x"], dtype=object))[0])
+
+
+# ------------------------------------------------------------------- KLL
+
+
+def test_kll_rank_error_within_bound():
+    data = rng().uniform(0, 1e9, 500_000)
+    kll = KLL(200)
+    for chunk in np.array_split(data, 20):
+        kll.add_values(chunk)
+    assert kll.n == data.size
+    data_sorted = np.sort(data)
+    eps = KLL.rank_error_bound(200) + 0.01  # slack for finite confidence
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = float(kll.value_at_quantile(np.array([q]))[0])
+        true_rank = np.searchsorted(data_sorted, est, side="right") / data.size
+        assert abs(true_rank - q) <= eps, (q, true_rank)
+
+
+def test_kll_merge_within_bound():
+    data = rng().uniform(0, 1e6, 300_000)
+    parts = np.array_split(data, 16)
+    merged = KLL(200)
+    for p in parts:
+        merged.merge(KLL(200).add_values(p))
+    assert merged.n == data.size
+    data_sorted = np.sort(data)
+    eps = KLL.rank_error_bound(200) + 0.015
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(merged.value_at_quantile(np.array([q]))[0])
+        true_rank = np.searchsorted(data_sorted, est, side="right") / data.size
+        assert abs(true_rank - q) <= eps, (q, true_rank)
+
+
+def test_kll_memory_sublinear():
+    kll = KLL(200)
+    for chunk in np.array_split(rng().uniform(0, 1, 1_000_000), 50):
+        kll.add_values(chunk)
+    assert kll._size() < 3000  # vs 1M items ingested
+
+
+def test_kll_serde_roundtrip():
+    kll = KLL(128).add_values(rng().uniform(0, 100, 10_000))
+    back = KLL.deserialize(kll.serialize())
+    assert back.k == kll.k and back.n == kll.n
+    assert all(np.array_equal(a, b) for a, b in zip(back.levels, kll.levels))
+    qs = np.array([0.25, 0.5, 0.75])
+    assert np.array_equal(back.value_at_quantile(qs), kll.value_at_quantile(qs))
+
+
+def test_kll_rank_of_value_consistency():
+    data = rng().uniform(0, 1000, 100_000)
+    kll = KLL(200).add_values(data)
+    for q in (0.2, 0.5, 0.8):
+        v = float(kll.value_at_quantile(np.array([q]))[0])
+        r = float(kll.rank_of_value(np.array([v]))[0]) / kll.n
+        assert abs(r - q) <= 2 * KLL.rank_error_bound(200) + 0.01

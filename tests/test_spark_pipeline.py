@@ -104,6 +104,36 @@ def test_transcript_latency_non_negative(spark):
     assert bad == 0
 
 
+def test_hll_cross_check_spark_builtin(spark):
+    """north_star: our HLL validated against Spark's own approximate distinct
+    aggregates on the same column."""
+    from hg64spark.sketches import HLL
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    sk = agg.sketch_agg(ev, "user_id", [], lambda: HLL(14), HLL.deserialize)
+    ours = HLL.deserialize(sk.collect()[0]["sketch"]).estimate()
+    theirs = ev.agg(F.approx_count_distinct("user_id", 0.01).alias("d")).collect()[0]["d"]
+    exact = ev.distinct().count()
+    assert abs(ours - exact) / exact <= 3 * HLL.error_bound(14)
+    assert abs(ours - theirs) / exact <= 0.05
+
+
+def test_kll_cross_check_percentile_approx(spark):
+    from hg64spark.sketches import KLL
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    sk = agg.sketch_agg(ev, "v", [], lambda: KLL(200), KLL.deserialize)
+    kll = KLL.deserialize(sk.collect()[0]["sketch"])
+    import numpy as np
+
+    ours = kll.value_at_quantile(np.array([0.5, 0.9]))
+    theirs = ev.agg(F.percentile_approx("v", [0.5, 0.9], 10_000).alias("p")).collect()[0]["p"]
+    for o, t in zip(ours.tolist(), theirs):
+        assert abs(o - t) / t <= 0.05
+
+
 def test_synthetic_transcripts_deterministic_and_skewed(spark):
     a = transcripts.synthetic_transcripts(spark, n_convs=200, seed=1)
     b = transcripts.synthetic_transcripts(spark, n_convs=200, seed=1).repartition(7)
