@@ -1,0 +1,250 @@
+"""Benchmark harness: headline sketch queries at SPARK_GRAFT_SF_DIR plus the
+N->4N scaling probe (local[4] vs local[16] on identical generated input — the
+sandbox stand-in for two cluster sizes; rationale in BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": "bench_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "throughput": {"turns_per_sec_e2e": ..., "updates_per_sec_ingest": ...},
+   "scaling": {"local4_rows_per_sec": ..., "local16_rows_per_sec": ...,
+               "efficiency": ...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_CONVS (default 20000),
+SPARK_GRAFT_SCALE_ROWS / SPARK_GRAFT_SCALING_ROWS (ingest / scaling probe
+sizes), SPARK_GRAFT_SKIP_SCALING=1 to skip the scaling probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000"))
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "500000000"))
+BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"/tmp/hg64spark_bench_{N_CONVS}")
+
+
+def make_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"hg64spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def materialize_transcripts(spark) -> str:
+    """Deterministic synthetic transcript table (FIXTURES.md F1), written once
+    (untimed): the bench measures query time, not generator time."""
+    from hg64spark import transcripts
+
+    path = os.path.join(BENCH_DIR, "transcripts")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        t = transcripts.synthetic_transcripts(spark, n_convs=N_CONVS, seed=42, partitions=64)
+        t.write.mode("overwrite").parquet(path)
+    # also a pre-derived numeric table for the pure sketch-update microbench
+    lat_path = os.path.join(BENCH_DIR, "latency")
+    if not os.path.exists(os.path.join(lat_path, "_SUCCESS")):
+        from hg64spark.transcripts import with_latency
+
+        t = spark.read.parquet(path).select("conv_id", "turn_idx", "tool", "ts")
+        with_latency(t).select("tool", "latency_us").filter(
+            "latency_us IS NOT NULL"
+        ).repartition(64).write.mode("overwrite").parquet(lat_path)
+    return path
+
+
+def generated_stream(spark, n_rows: int, cpus: int):
+    """Deterministic on-the-fly value stream (no IO): isolates the sketch
+    pipeline's COMPUTE for throughput/scaling probes.  In this single-box
+    sandbox the parquet page-cache read path saturates at ~120M rows/s
+    regardless of thread count — a shared-disk artifact a real cluster
+    doesn't have (each executor scans its own splits), so the scaling
+    evidence must not be capped by it."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n_rows, numPartitions=cpus * 8).select(
+        (F.abs(F.xxhash64("id", F.lit(1))) % 8).cast("int").alias("tool_id"),
+        (F.abs(F.xxhash64("id", F.lit(2))) % F.lit(1_000_000_000)).alias("latency_us"),
+    )
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def run_queries(spark, tpath: str) -> tuple[dict, dict]:
+    from pyspark.sql import functions as F
+
+    from hg64spark import agg
+    from hg64spark.sketches import CMS, HLL, KLL
+    from hg64spark.transcripts import with_latency
+
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    t = spark.read.parquet(tpath)
+    n_turns = t.count()
+    meta["n_turns"] = n_turns
+    lat_path = os.path.join(BENCH_DIR, "latency")
+
+    def q_latency_quantiles_by_tool():
+        # project narrow BEFORE the window: the conv_id shuffle then carries
+        # ~30 bytes/row instead of the text column
+        lat = with_latency(t.select("conv_id", "turn_idx", "tool", "ts"))
+        sk = agg.hg64_agg(lat, "latency_us", ["tool"], 5)
+        return agg.hg64_quantiles(sk, ["tool"], [0.5, 0.9, 0.99, 0.999]).collect()
+
+    def q_textlen_buckets_by_role():
+        d = t.select("role", F.length("text").alias("v"))
+        sk = agg.hg64_agg(d, "v", ["role"], 5)
+        return agg.hg64_buckets(sk, ["role"]).collect()
+
+    def q_turncount_quantiles():
+        counts = t.groupBy("conv_id").agg(F.count("*").alias("v"))
+        sk = agg.hg64_agg(counts, "v", [], 5)
+        return agg.hg64_quantiles(sk, [], [0.5, 0.9, 0.99]).collect()
+
+    def q_ingest_hg64():
+        d = generated_stream(spark, SCALE_ROWS, CPUS)
+        return agg.hg64_agg(d, "latency_us", ["tool_id"], 5).collect()
+
+    def q_hll_distinct_convs():
+        sk = agg.sketch_agg(t.select("conv_id"), "conv_id", [], lambda: HLL(14), HLL.deserialize)
+        return HLL.deserialize(sk.collect()[0]["sketch"]).estimate()
+
+    def q_cms_tools():
+        sk = agg.sketch_agg(t.select("tool"), "tool", [], lambda: CMS(4096, 5), CMS.deserialize)
+        return sk.collect()[0]["sketch"][:8]
+
+    def q_kll_latency():
+        d = spark.read.parquet(lat_path)
+        sk = agg.sketch_agg(d, "latency_us", ["tool"], lambda: KLL(200), KLL.deserialize)
+        return sk.collect()
+
+    for name, fn in [
+        ("latency_quantiles_by_tool", q_latency_quantiles_by_tool),
+        ("textlen_buckets_by_role", q_textlen_buckets_by_role),
+        ("turncount_quantiles", q_turncount_quantiles),
+        ("ingest_hg64_global", q_ingest_hg64),
+        ("hll_distinct_convs", q_hll_distinct_convs),
+        ("cms_tools", q_cms_tools),
+        ("kll_latency_by_tool", q_kll_latency),
+    ]:
+        sec, _ = timed(fn)
+        timings[name] = round(sec, 3)
+
+    meta["turns_per_sec_e2e"] = round(n_turns / timings["latency_quantiles_by_tool"], 1)
+    meta["updates_per_sec_ingest"] = round(SCALE_ROWS / timings["ingest_hg64_global"], 1)
+    return timings, meta
+
+
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "1000000000"))
+SCALING_CPUS = (4, 16)  # N and 4N executor-threads; see BASELINE.md for why not 8/32
+
+
+def scaling_probe_child(cpus: int) -> None:
+    """Child mode: time the sketch build (keyed counts fully in Catalyst,
+    <= 1920x8 result rows) at a given parallelism over SCALING_N generated
+    rows.  Fresh JVM per parallelism level so the two measurements are
+    independent (the honest analogue of two separately-provisioned cluster
+    sizes)."""
+    spark = make_session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    from hg64spark import relational
+
+    d = generated_stream(spark, SCALING_N, cpus)
+    # warm-up: JIT + plan compile on a small prefix
+    relational.hg64_counts(generated_stream(spark, 1_000_000, cpus), "latency_us", ["tool_id"], 5).collect()
+    best = None
+    for _ in range(4):
+        sec, _ = timed(lambda: relational.hg64_counts(d, "latency_us", ["tool_id"], 5).collect())
+        best = sec if best is None else min(best, sec)
+    print(json.dumps({"cpus": cpus, "sec": best, "rows": SCALING_N, "rows_per_sec": SCALING_N / best}))
+    spark.stop()
+
+
+def scaling_probe() -> dict:
+    out = {}
+    for cpus in SCALING_CPUS:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_DIR"] = BENCH_DIR
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=900,
+        )
+        line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    n, n4 = SCALING_CPUS
+    eff = (out[n4]["rows_per_sec"] / out[n]["rows_per_sec"]) / 4.0
+    return {
+        f"local{n}_rows_per_sec": round(out[n]["rows_per_sec"], 1),
+        f"local{n4}_rows_per_sec": round(out[n4]["rows_per_sec"], 1),
+        f"local{n}_sec": round(out[n]["sec"], 3),
+        f"local{n4}_sec": round(out[n4]["sec"], 3),
+        "scaling_rows": SCALING_N,
+        "efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-child":
+        scaling_probe_child(int(sys.argv[2]))
+        return
+
+    spark = make_session(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    tpath = materialize_transcripts(spark)
+    timings, meta = run_queries(spark, tpath)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        scaling = scaling_probe()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = SF_DIR
+    result = {
+        "metric": "bench_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_turns": meta["n_turns"],
+        "throughput": {
+            "turns_per_sec_e2e": meta["turns_per_sec_e2e"],
+            "updates_per_sec_ingest": meta["updates_per_sec_ingest"],
+        },
+    }
+    if scaling is not None:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,30 @@ def test_grouped_agg_matches_local_groups(spark):
         assert HG64.deserialize(row["sketch"]) == local, row["event_type"]
 
 
+def test_relational_and_arrow_paths_byte_identical(spark):
+    """The Catalyst keyed-count plan and the vectorized-UDF pipeline must
+    produce byte-identical sketch blobs, grouped and global."""
+    base = _events_values(spark)
+    rel = _collect_sketch(agg.hg64_agg(base, "v", [], 5, method="relational"))
+    arw = _collect_sketch(agg.hg64_agg(base, "v", [], 5, method="arrow"))
+    assert rel == arw
+    rel_g = {r["event_type"]: bytes(r["sketch"]) for r in agg.hg64_agg(base, "v", ["event_type"], 5).collect()}
+    arw_g = {r["event_type"]: bytes(r["sketch"]) for r in agg.hg64_agg(base, "v", ["event_type"], 5, method="arrow").collect()}
+    assert rel_g == arw_g
+
+
+def test_relational_key_matches_numpy_on_boundaries(spark):
+    from hg64spark import relational
+    from hg64spark import keymath as km
+
+    vals = [0, 1, 31, 32, 33, 2**20 - 1, 2**20, 2**40 + 7, 2**62 - 1, 2**62]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for sb in (1, 5, 11):
+        got = [r["hg64_key"] for r in relational.with_hg64_key(df, "v", sb).collect()]
+        want = km.value_to_key(np.array(vals, dtype=np.uint64), sb).tolist()
+        assert got == want, sb
+
+
 def test_salted_repartition_preserves_result(spark):
     base = _events_values(spark)
     plain = _collect_sketch(agg.hg64_agg(base, "v", [], 5))
