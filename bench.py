@@ -129,12 +129,16 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         return agg.hg64_agg(d, "latency_us", ["tool_id"], 5).collect()
 
     def q_hll_distinct_convs():
-        sk = agg.sketch_agg(t.select("conv_id"), "conv_id", [], lambda: HLL(14), HLL.deserialize)
+        from hg64spark import relational
+
+        sk = relational.hll_agg_relational(t.select("conv_id"), "conv_id", [], 14)
         return HLL.deserialize(sk.collect()[0]["sketch"]).estimate()
 
     def q_cms_tools():
-        sk = agg.sketch_agg(t.select("tool"), "tool", [], lambda: CMS(4096, 5), CMS.deserialize)
-        return sk.collect()[0]["sketch"][:8]
+        from hg64spark import relational
+
+        sk = relational.cms_agg_relational(t.select("tool"), "tool", 4096, 5)
+        return CMS.deserialize(sk.collect()[0]["sketch"]).total
 
     def q_kll_latency():
         d = spark.read.parquet(lat_path)
@@ -145,10 +149,12 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("latency_quantiles_by_tool", q_latency_quantiles_by_tool),
         ("textlen_buckets_by_role", q_textlen_buckets_by_role),
         ("turncount_quantiles", q_turncount_quantiles),
-        ("ingest_hg64_global", q_ingest_hg64),
         ("hll_distinct_convs", q_hll_distinct_convs),
         ("cms_tools", q_cms_tools),
         ("kll_latency_by_tool", q_kll_latency),
+        # last: its 500M-row generated scan leaves the JVM heap churned,
+        # which would tax whatever query ran after it
+        ("ingest_hg64_global", q_ingest_hg64),
     ]:
         sec, _ = timed(fn)
         timings[name] = round(sec, 3)
@@ -176,7 +182,7 @@ def scaling_probe_child(cpus: int) -> None:
     # warm-up: JIT + plan compile on a small prefix
     relational.hg64_counts(generated_stream(spark, 1_000_000, cpus), "latency_us", ["tool_id"], 5).collect()
     best = None
-    for _ in range(4):
+    for _ in range(2):
         sec, _ = timed(lambda: relational.hg64_counts(d, "latency_us", ["tool_id"], 5).collect())
         best = sec if best is None else min(best, sec)
     print(json.dumps({"cpus": cpus, "sec": best, "rows": SCALING_N, "rows_per_sec": SCALING_N / best}))
@@ -184,8 +190,12 @@ def scaling_probe_child(cpus: int) -> None:
 
 
 def scaling_probe() -> dict:
+    """Two interleaved rounds per parallelism (4,16,4,16), best kept — this
+    sandbox is a shared-hypervisor VM with visible run-to-run CPU variance,
+    and interleaving keeps a transient slowdown from landing entirely on one
+    side of the ratio."""
     out = {}
-    for cpus in SCALING_CPUS:
+    for cpus in SCALING_CPUS * 2:
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_DIR"] = BENCH_DIR
         res = subprocess.run(
@@ -196,7 +206,9 @@ def scaling_probe() -> dict:
             timeout=900,
         )
         line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
-        out[cpus] = json.loads(line)
+        got = json.loads(line)
+        if cpus not in out or got["sec"] < out[cpus]["sec"]:
+            out[cpus] = got
     n, n4 = SCALING_CPUS
     eff = (out[n4]["rows_per_sec"] / out[n]["rows_per_sec"]) / 4.0
     return {

@@ -208,6 +208,82 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.mapInPandas(check, schema)
 
 
+def q_hll_distinct_users_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational (pure-Catalyst, xxhash64-family) HLL — same bound gate as
+    q_hll_distinct_users, exercising the scale path end to end."""
+    from hg64spark import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    sk = relational.hll_agg_relational(ev, "user_id", ["event_type"], 14)
+    ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in sk.collect()}
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3 * HLL.error_bound(14)
+    out = [
+        (
+            r["event_type"],
+            r["exact_distinct"],
+            bool(abs(ests[r["event_type"]] - r["exact_distinct"]) <= bound * r["exact_distinct"]),
+        )
+        for r in exact.collect()
+    ]
+    return spark.createDataFrame(out, "event_type string, exact_distinct long, hll_ok boolean")
+
+
+def q_bloom_membership_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational Bloom: built with grouped BIT_OR, probed with a broadcast
+    join — no per-row Python anywhere.  Same exact no-false-negative gate."""
+    from hg64spark import relational
+    from hg64spark.sketches import Bloom
+
+    n_bits, k = 1 << 17, 7
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    blob = relational.bloom_agg_relational(od, "o_custkey", n_bits, k).collect()[0]["sketch"]
+    words = relational.bloom_words_df(spark, Bloom.deserialize(blob))
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    in_orders = od.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn("in_ord", F.lit(True))
+    probe = cust.join(F.broadcast(in_orders), "c_custkey", "left").select(
+        "c_custkey", F.coalesce("in_ord", F.lit(False)).alias("in_orders_exact")
+    )
+    checked = relational.bloom_contains_relational(probe, "c_custkey", words, n_bits, k)
+    return checked.select(
+        "c_custkey",
+        "in_orders_exact",
+        (~F.col("in_orders_exact") | F.col("bloom_contains")).alias("bloom_no_false_negative"),
+    )
+
+
+def q_cms_top_custkeys_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational count-min: built with exploded grouped counts, probed with
+    a broadcast join.  Same exact<=est<=exact+eps*N gate."""
+    from hg64spark import relational
+    from hg64spark.sketches import CMS
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    blob = relational.cms_agg_relational(od, "o_custkey", 4096, 5).collect()[0]["sketch"]
+    cms = CMS.deserialize(blob)
+    top = (
+        od.groupBy("o_custkey")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("o_custkey"))
+        .limit(10)
+    )
+    counts_df = relational.cms_counts_df(spark, cms)
+    est = relational.cms_estimate_relational(top.select("o_custkey"), "o_custkey", counts_df, 4096, 5)
+    n, eps = cms.total, cms.epsilon()
+    return (
+        top.join(est, "o_custkey")
+        .select(
+            "o_custkey",
+            "exact_count",
+            (
+                (F.col("cms_estimate") >= F.col("exact_count"))
+                & (F.col("cms_estimate") <= F.col("exact_count") + F.lit(eps * n))
+            ).alias("cms_ok"),
+        )
+    )
+
+
 KLL_QS = [0.1, 0.5, 0.9, 0.99]
 
 
@@ -255,6 +331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_custkeys": q_cms_top_custkeys,
         "bloom_membership": q_bloom_membership,
         "kll_latency_by_tool": q_kll_latency_by_tool,
+        "hll_distinct_users_rel": q_hll_distinct_users_rel,
+        "bloom_membership_rel": q_bloom_membership_rel,
+        "cms_top_custkeys_rel": q_cms_top_custkeys_rel,
     }
 
 
@@ -293,5 +372,19 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT tool, CAST(q AS DOUBLE) AS q, true AS within_bound "
             f"FROM (SELECT DISTINCT tool FROM ({transcripts.TRANSCRIPTS_SQL})) "
             f"CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in KLL_QS)}]) AS q)"
+        ),
+        "hll_distinct_users_rel": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+            "true AS hll_ok FROM events GROUP BY event_type"
+        ),
+        "bloom_membership_rel": (
+            "SELECT c_custkey, "
+            "c_custkey IN (SELECT o_custkey FROM orders) AS in_orders_exact, "
+            "true AS bloom_no_false_negative FROM customer"
+        ),
+        "cms_top_custkeys_rel": (
+            "SELECT o_custkey, count(*) AS exact_count, true AS cms_ok "
+            "FROM orders GROUP BY o_custkey "
+            "ORDER BY exact_count DESC, o_custkey ASC LIMIT 10"
         ),
     }

@@ -86,6 +86,198 @@ def hg64_counts(
     return keyed.groupBy(*group_cols, "hg64_key").agg(F.count("*").alias("count"))
 
 
+# ------------------------------------------------------------------ HLL/Bloom
+#
+# The same no-Python-in-the-hot-path treatment for the companions whose
+# updates reduce to built-in aggregates: HLL registers are a grouped MAX,
+# Bloom words are a grouped BIT_OR.  Hashing uses Spark's xxhash64 (JVM,
+# codegen), so these sketches carry hash_family=XXHASH64 and refuse to merge
+# with siphash-built ones (enforced by the sketch headers).
+
+
+def _clz64(col: Column) -> Column:
+    """Count of leading zeros of a 64-bit column (0 -> 64), integer-only."""
+    x = col
+    for s in (1, 2, 4, 8, 16, 32):
+        x = x.bitwiseOR(F.shiftright(x, s))
+    return F.lit(64) - F.bit_count(x)
+
+
+def hll_agg_relational(
+    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), p: int = 14
+) -> DataFrame:
+    """(group..., sketch): HLL built entirely with Catalyst aggregates —
+    register index = top p bits of xxhash64, rho = clz(remaining bits)+1,
+    registers = grouped MAX.  <= 2^p rows/group reach Python."""
+    from hg64spark.sketches.hll import HASH_XXHASH64, HLL
+
+    group_cols = list(group_cols)
+    base = df.filter(F.col(value_col).isNotNull())
+    h = F.xxhash64(F.col(value_col))
+    w = F.shiftleft(h, p)
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(_clz64(w) + F.lit(1))
+    regs = (
+        base.select(
+            *group_cols,
+            F.shiftrightunsigned(h, 64 - p).cast("int").alias("hll_idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "hll_idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    fields = [f for f in regs.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+    grouped = regs if group_cols else regs.withColumn(_GLOBAL, F.lit(0))
+    keys = group_cols or [_GLOBAL]
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = HLL(p, hash_family=HASH_XXHASH64)
+        sk.registers[pdf["hll_idx"].to_numpy()] = pdf["rho"].to_numpy().astype(np.uint8)
+        out = {g: [pdf[g].iloc[0]] for g in group_cols}
+        out["sketch"] = [sk.serialize()]
+        return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return grouped.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def _bloom_positions(value_col: str, n_bits: int, n_hashes: int) -> Column:
+    """Array of bit positions via double hashing h1 + i*h2 mod n_bits.
+
+    Both hashes are reduced mod n_bits BEFORE combining so the arithmetic
+    never overflows a long (Spark 4 runs in ANSI mode — wrap-around adds
+    throw).  h2 is forced odd pre-reduction; n_bits is a power of two times
+    64, so the stride still covers the table."""
+    h1 = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(F.col(value_col), F.lit(1)).bitwiseOR(F.lit(1)), F.lit(n_bits))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(n_hashes)])
+
+
+def bloom_agg_relational(
+    df: DataFrame, value_col: str, n_bits: int = 1 << 20, n_hashes: int = 7
+) -> DataFrame:
+    """(sketch): Bloom filter built with Catalyst — bit positions exploded,
+    words = grouped BIT_OR of shifted ones.  <= n_bits/64 rows reach Python."""
+    from hg64spark.sketches.bloom import HASH_XXHASH64, Bloom
+
+    pos = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.explode(_bloom_positions(value_col, n_bits, n_hashes)).alias("pos"))
+    )
+    words = (
+        pos.select(
+            F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = Bloom(n_bits, n_hashes, hash_family=HASH_XXHASH64)
+        sk.words[pdf["word_idx"].to_numpy()] = pdf["word"].to_numpy().view(np.uint64)
+        return pd.DataFrame({"sketch": [sk.serialize()]})
+
+    out_schema = StructType([StructField("sketch", BinaryType(), False)])
+    return words.withColumn(_GLOBAL, F.lit(0)).groupBy(_GLOBAL).applyInPandas(fold, out_schema)
+
+
+def bloom_contains_relational(
+    probes: DataFrame, probe_col: str, words: DataFrame, n_bits: int, n_hashes: int
+) -> DataFrame:
+    """Membership check without deserializing the filter: explode probe bit
+    positions, broadcast-join the words table, AND the bits back together.
+    Returns the probe rows plus ``bloom_contains`` boolean.  At cluster scale
+    this is a broadcast hash join against <= n_bits/64 rows — no driver
+    round-trip of the filter."""
+    pid = F.monotonically_increasing_id()
+    p = probes.withColumn("__pid", pid)
+    pos = p.select(
+        "__pid", F.posexplode(_bloom_positions(probe_col, n_bits, n_hashes)).alias("__i", "pos")
+    ).select(
+        "__pid",
+        F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
+        F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+    )
+    hit = (
+        pos.join(F.broadcast(words), "word_idx", "left")
+        .select(
+            "__pid",
+            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias("bit_set"),
+        )
+        .groupBy("__pid")
+        .agg(F.min("bit_set").alias("bloom_contains"))
+    )
+    return p.join(hit, "__pid").drop("__pid")
+
+
+def bloom_words_df(spark, bloom) -> DataFrame:
+    """Nonzero Bloom words as a (word_idx, word) DataFrame — the broadcast
+    side of :func:`bloom_contains_relational` when starting from a
+    deserialized sketch."""
+    rows = [
+        (i, int(w) - (1 << 64) if int(w) >= (1 << 63) else int(w))
+        for i, w in enumerate(bloom.words.tolist())
+        if int(w) != 0
+    ]
+    if not rows:
+        return spark.createDataFrame([], "word_idx int, word long")
+    return spark.createDataFrame(rows, "word_idx int, word long")
+
+
+def _cms_indices(value_col: str, width: int, depth: int) -> Column:
+    return F.array(
+        *[F.pmod(F.xxhash64(F.col(value_col), F.lit(1000 + j)), F.lit(width)) for j in range(depth)]
+    )
+
+
+def cms_agg_relational(df: DataFrame, value_col: str, width: int = 4096, depth: int = 5) -> DataFrame:
+    """(sketch): count-min built with Catalyst — per-row indices exploded,
+    grouped count per (row, index).  <= width*depth rows reach Python."""
+    from hg64spark.sketches.cms import CMS, HASH_XXHASH64
+
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.posexplode(_cms_indices(value_col, width, depth)).alias("row_j", "idx"))
+        .groupBy("row_j", "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = CMS(width, depth, hash_family=HASH_XXHASH64)
+        sk.counts[pdf["row_j"].to_numpy(), pdf["idx"].to_numpy()] = pdf["cnt"].to_numpy()
+        return pd.DataFrame({"sketch": [sk.serialize()]})
+
+    out_schema = StructType([StructField("sketch", BinaryType(), False)])
+    return cells.withColumn(_GLOBAL, F.lit(0)).groupBy(_GLOBAL).applyInPandas(fold, out_schema)
+
+
+def cms_counts_df(spark, cms) -> DataFrame:
+    """Nonzero CMS cells as (row_j, idx, cnt) — broadcast side for
+    :func:`cms_estimate_relational`."""
+    nz = np.nonzero(cms.counts)
+    rows = [
+        (int(j), int(i), int(c)) for j, i, c in zip(nz[0].tolist(), nz[1].tolist(), cms.counts[nz].tolist())
+    ]
+    return spark.createDataFrame(rows, "row_j int, idx long, cnt long")
+
+
+def cms_estimate_relational(
+    probes: DataFrame, probe_col: str, counts: DataFrame, width: int, depth: int
+) -> DataFrame:
+    """Point-frequency estimates (min over rows) as a broadcast join — the
+    probe values are hashed by the same JVM xxhash64 family that built the
+    sketch.  Returns probe rows plus ``cms_estimate``."""
+    exploded = probes.select(
+        F.col(probe_col), F.posexplode(_cms_indices(probe_col, width, depth)).alias("row_j", "idx")
+    )
+    return (
+        exploded.join(F.broadcast(counts), ["row_j", "idx"], "left")
+        .select(probe_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(probe_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+
+
 def hg64_from_counts(rows, sigbits: int) -> HG64:
     """Fold collected (hg64_key, count) rows into a sketch, driver-side.
     For global aggregations this replaces the applyInPandas stage entirely:

@@ -17,16 +17,27 @@ from hg64spark import serde
 from hg64spark.sketches.common import U64, hash64, rehash
 
 
-class Bloom:
-    __slots__ = ("n_bits", "n_hashes", "words")
+HASH_SIPHASH = 0  # pandas siphash — the Python/Arrow ingest path
+HASH_XXHASH64 = 1  # Spark xxhash64 — the relational (pure-Catalyst) path
 
-    def __init__(self, n_bits: int = 1 << 20, n_hashes: int = 7, words: np.ndarray | None = None):
+
+class Bloom:
+    __slots__ = ("n_bits", "n_hashes", "words", "hash_family")
+
+    def __init__(
+        self,
+        n_bits: int = 1 << 20,
+        n_hashes: int = 7,
+        words: np.ndarray | None = None,
+        hash_family: int = HASH_SIPHASH,
+    ):
         if n_bits % 64 != 0 or n_bits <= 0:
             raise ValueError("n_bits must be a positive multiple of 64")
         if not 1 <= n_hashes <= 32:
             raise ValueError("n_hashes must be in [1, 32]")
         self.n_bits = n_bits
         self.n_hashes = n_hashes
+        self.hash_family = hash_family
         if words is None:
             self.words = np.zeros(n_bits // 64, dtype=U64)
         else:
@@ -71,29 +82,34 @@ class Bloom:
         return (1.0 - math.exp(-k * n_items / m)) ** k
 
     def merge(self, other: "Bloom") -> "Bloom":
-        if (other.n_bits, other.n_hashes) != (self.n_bits, self.n_hashes):
-            raise ValueError("cannot merge Blooms with different parameters")
+        if (other.n_bits, other.n_hashes, other.hash_family) != (
+            self.n_bits,
+            self.n_hashes,
+            self.hash_family,
+        ):
+            raise ValueError("cannot merge Blooms with different parameters/hash family")
         self.words |= other.words
         return self
 
     def serialize(self) -> bytes:
-        header = struct.pack("<QI", self.n_bits, self.n_hashes)
+        header = struct.pack("<QIB", self.n_bits, self.n_hashes, self.hash_family)
         return serde.pack(serde.TYPE_BLOOM, header, self.words.astype("<u8").tobytes())
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "Bloom":
         _, header, payload = serde.expect(buf, serde.TYPE_BLOOM)
-        if len(header) != 12:
+        if len(header) != 13:
             raise ValueError("corrupt Bloom header")
-        n_bits, n_hashes = struct.unpack("<QI", header)
+        n_bits, n_hashes, fam = struct.unpack("<QIB", header)
         words = np.frombuffer(payload, dtype="<u8")
         if words.size != n_bits // 64:
             raise ValueError("corrupt Bloom payload")
-        return cls(n_bits, n_hashes, words.astype(U64))
+        return cls(n_bits, n_hashes, words.astype(U64), hash_family=fam)
 
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, Bloom)
-            and (self.n_bits, self.n_hashes) == (other.n_bits, other.n_hashes)
+            and (self.n_bits, self.n_hashes, self.hash_family)
+            == (other.n_bits, other.n_hashes, other.hash_family)
             and bool(np.array_equal(self.words, other.words))
         )

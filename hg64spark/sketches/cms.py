@@ -21,14 +21,25 @@ from hg64spark import serde
 from hg64spark.sketches.common import U64, hash64, rehash
 
 
-class CMS:
-    __slots__ = ("width", "depth", "counts")
+HASH_SIPHASH = 0  # pandas siphash — the Python/Arrow ingest path
+HASH_XXHASH64 = 1  # Spark xxhash64 — the relational (pure-Catalyst) path
 
-    def __init__(self, width: int = 2048, depth: int = 5, counts: np.ndarray | None = None):
+
+class CMS:
+    __slots__ = ("width", "depth", "counts", "hash_family")
+
+    def __init__(
+        self,
+        width: int = 2048,
+        depth: int = 5,
+        counts: np.ndarray | None = None,
+        hash_family: int = HASH_SIPHASH,
+    ):
         if width < 8 or depth < 1 or depth > 32:
             raise ValueError(f"bad CMS dims width={width} depth={depth}")
         self.width = width
         self.depth = depth
+        self.hash_family = hash_family
         if counts is None:
             self.counts = np.zeros((depth, width), dtype=np.int64)
         else:
@@ -70,29 +81,34 @@ class CMS:
         return math.e / self.width
 
     def merge(self, other: "CMS") -> "CMS":
-        if (other.width, other.depth) != (self.width, self.depth):
-            raise ValueError("cannot merge CMS with different dimensions")
+        if (other.width, other.depth, other.hash_family) != (
+            self.width,
+            self.depth,
+            self.hash_family,
+        ):
+            raise ValueError("cannot merge CMS with different dimensions/hash family")
         self.counts += other.counts
         return self
 
     def serialize(self) -> bytes:
-        header = struct.pack("<II", self.width, self.depth)
+        header = struct.pack("<IIB", self.width, self.depth, self.hash_family)
         return serde.pack(serde.TYPE_CMS, header, self.counts.astype("<i8").tobytes())
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "CMS":
         _, header, payload = serde.expect(buf, serde.TYPE_CMS)
-        if len(header) != 8:
+        if len(header) != 9:
             raise ValueError("corrupt CMS header")
-        width, depth = struct.unpack("<II", header)
+        width, depth, fam = struct.unpack("<IIB", header)
         counts = np.frombuffer(payload, dtype="<i8")
         if counts.size != width * depth:
             raise ValueError("corrupt CMS payload")
-        return cls(width, depth, counts.reshape(depth, width).astype(np.int64))
+        return cls(width, depth, counts.reshape(depth, width).astype(np.int64), hash_family=fam)
 
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, CMS)
-            and (self.width, self.depth) == (other.width, other.depth)
+            and (self.width, self.depth, self.hash_family)
+            == (other.width, other.depth, other.hash_family)
             and bool(np.array_equal(self.counts, other.counts))
         )

@@ -19,14 +19,19 @@ from hg64spark.keymath import floor_log2_u64
 from hg64spark.sketches.common import U64, hash64
 
 
-class HLL:
-    __slots__ = ("p", "m", "registers")
+HASH_SIPHASH = 0  # pandas siphash — the Python/Arrow ingest path
+HASH_XXHASH64 = 1  # Spark xxhash64 — the relational (pure-Catalyst) path
 
-    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+
+class HLL:
+    __slots__ = ("p", "m", "registers", "hash_family")
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None, hash_family: int = HASH_SIPHASH):
         if not 4 <= p <= 18:
             raise ValueError(f"HLL precision p must be in [4, 18], got {p}")
         self.p = p
         self.m = 1 << p
+        self.hash_family = hash_family
         if registers is None:
             self.registers = np.zeros(self.m, dtype=np.uint8)
         else:
@@ -56,6 +61,11 @@ class HLL:
     def merge(self, other: "HLL") -> "HLL":
         if other.p != self.p:
             raise ValueError(f"cannot merge HLL p={other.p} into p={self.p}")
+        if other.hash_family != self.hash_family:
+            raise ValueError(
+                f"cannot merge HLLs from different hash families "
+                f"({self.hash_family} vs {other.hash_family})"
+            )
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
@@ -75,21 +85,22 @@ class HLL:
         return 1.04 / math.sqrt(1 << p)
 
     def serialize(self) -> bytes:
-        header = struct.pack("<B", self.p)
+        header = struct.pack("<BB", self.p, self.hash_family)
         return serde.pack(serde.TYPE_HLL, header, self.registers.tobytes())
 
     @classmethod
     def deserialize(cls, buf: bytes) -> "HLL":
         _, header, payload = serde.expect(buf, serde.TYPE_HLL)
-        if len(header) != 1:
+        if len(header) != 2:
             raise ValueError("corrupt HLL header")
-        (p,) = struct.unpack("<B", header)
+        p, fam = struct.unpack("<BB", header)
         regs = np.frombuffer(payload, dtype=np.uint8)
-        return cls(p, regs.copy())
+        return cls(p, regs.copy(), hash_family=fam)
 
     def __eq__(self, other) -> bool:
         return (
             isinstance(other, HLL)
             and self.p == other.p
+            and self.hash_family == other.hash_family
             and bool(np.array_equal(self.registers, other.registers))
         )

@@ -128,6 +128,72 @@ def test_transcript_latency_non_negative(spark):
     assert bad == 0
 
 
+def test_relational_hll_accuracy_and_family_guard(spark):
+    from hg64spark import relational
+    from hg64spark.sketches import HLL
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    sk = HLL.deserialize(relational.hll_agg_relational(ev, "user_id", [], 14).collect()[0]["sketch"])
+    exact = ev.distinct().count()
+    assert abs(sk.estimate() - exact) / exact <= 3 * HLL.error_bound(14)
+    # grouped variant: per event_type registers
+    ev2 = spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_type", "user_id")
+    rows = relational.hll_agg_relational(ev2, "user_id", ["event_type"], 12).collect()
+    assert len(rows) == ev2.select("event_type").distinct().count()
+    # cross-family merges must be refused
+    with pytest.raises(ValueError, match="hash famil"):
+        sk.merge(HLL(14))
+
+
+def test_relational_bloom_no_false_negatives_and_probe(spark):
+    from hg64spark import relational
+    from hg64spark.sketches import Bloom
+
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_custkey")
+    n_bits, k = 1 << 17, 7
+    blob = relational.bloom_agg_relational(od, "o_custkey", n_bits, k).collect()[0]["sketch"]
+    bf = Bloom.deserialize(blob)
+    assert bf.hash_family == 1
+
+    # relational probe: every present key must test positive (no-FN)
+    words = (
+        spark.createDataFrame(
+            [(i, int(w) - (1 << 64) if int(w) >= (1 << 63) else int(w))
+             for i, w in enumerate(bf.words.tolist()) if int(w) != 0],
+            "word_idx int, word long",
+        )
+    )
+    present = od.distinct()
+    checked = relational.bloom_contains_relational(present, "o_custkey", words, n_bits, k)
+    assert checked.filter(~F.col("bloom_contains")).count() == 0
+    # absent keys: false-positive rate within bound
+    absent = spark.range(10**7, 10**7 + 20_000).select(F.col("id").alias("o_custkey"))
+    fp = relational.bloom_contains_relational(absent, "o_custkey", words, n_bits, k)
+    n_items = present.count()
+    rate = fp.filter(F.col("bloom_contains")).count() / 20_000
+    assert rate <= 3 * max(bf.fpp_bound(n_items), 0.001), rate
+
+
+def test_relational_cms_estimates(spark):
+    from hg64spark import relational
+    from hg64spark.sketches import CMS
+
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_custkey")
+    blob = relational.cms_agg_relational(od, "o_custkey", 4096, 5).collect()[0]["sketch"]
+    cms = CMS.deserialize(blob)
+    assert cms.hash_family == 1 and cms.total == od.count()
+    exact = od.groupBy("o_custkey").count().orderBy(F.desc("count"), "o_custkey").limit(10)
+    counts_df = relational.cms_counts_df(spark, cms)
+    est = relational.cms_estimate_relational(
+        exact.select("o_custkey"), "o_custkey", counts_df, 4096, 5
+    )
+    joined = {r["o_custkey"]: r["cms_estimate"] for r in est.collect()}
+    n = cms.total
+    for r in exact.collect():
+        e = joined[r["o_custkey"]]
+        assert r["count"] <= e <= r["count"] + cms.epsilon() * n
+
+
 def test_hll_cross_check_spark_builtin(spark):
     """north_star: our HLL validated against Spark's own approximate distinct
     aggregates on the same column."""
