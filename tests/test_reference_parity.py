@@ -113,3 +113,13 @@ def test_full_harness_output_parity(harness):
     assert len(lines) == len(golden), (len(lines), len(golden))
     mismatches = [(i, g, l) for i, (g, l) in enumerate(zip(golden, lines)) if g != l]
     assert not mismatches, mismatches[:5]
+
+
+def test_sigs_tables_match_reference_binary():
+    """tests/golden/sigs_output.txt is the stdout of the reference's own
+    `sigs` utility (`/root/reference/sigs.c`, built unmodified)."""
+    from hg64spark import sigs
+
+    golden = open(os.path.join(os.path.dirname(__file__), "golden", "sigs_output.txt")).read()
+    assert sigs.tables() == golden
+    assert sigs.digits_to_sigbits(2) == 5  # why the default sigbits is 5
