@@ -287,6 +287,34 @@ def q_cms_top_custkeys_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
 KLL_QS = [0.1, 0.5, 0.9, 0.99]
 
 
+def q_tdigest_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest latency quantiles per tool — same exact-rank-of-estimate
+    bound gate as KLL, tighter tolerance at the tails (t-digest's k1 scale
+    concentrates accuracy there)."""
+    from hg64spark.sketches import TDigest
+
+    lat = _latency(spark, sf_dir).select("tool", "latency_us").filter(F.col("latency_us").isNotNull())
+    sk = agg.sketch_agg(lat, "latency_us", ["tool"], lambda: TDigest(100), TDigest.deserialize)
+
+    import numpy as np
+
+    qarr = np.array(KLL_QS)
+    ests = []
+    for r in sk.collect():
+        td = TDigest.deserialize(r["sketch"])
+        for q, v in zip(KLL_QS, td.value_at_quantile(qarr).tolist()):
+            ests.append((r["tool"], float(q), float(v)))
+    est_df = spark.createDataFrame(ests, "tool string, q double, est double")
+    eps = 0.03  # empirical envelope for delta=100 incl. merge slack
+
+    return (
+        lat.join(F.broadcast(est_df), "tool")
+        .groupBy("tool", "q")
+        .agg((F.count(F.when(F.col("latency_us") <= F.col("est"), 1)) / F.count("*")).alias("rank_true"))
+        .select("tool", "q", (F.abs(F.col("rank_true") - F.col("q")) <= eps).alias("within_bound"))
+    )
+
+
 def q_kll_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL latency quantiles per tool; the true rank of each estimate (exact
     Spark count) must be within the published normalized rank-error bound."""
@@ -342,6 +370,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_rel": q_hll_distinct_users_rel,
         "bloom_membership_rel": q_bloom_membership_rel,
         "cms_top_custkeys_rel": q_cms_top_custkeys_rel,
+        "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
     }
 
 
@@ -402,5 +431,10 @@ def _core_oracles() -> dict[str, str]:
             "SELECT o_custkey, count(*) AS exact_count, true AS cms_ok "
             "FROM orders GROUP BY o_custkey "
             "ORDER BY exact_count DESC, o_custkey ASC LIMIT 10"
+        ),
+        "tdigest_latency_by_tool": (
+            f"SELECT tool, CAST(q AS DOUBLE) AS q, true AS within_bound "
+            f"FROM (SELECT DISTINCT tool FROM ({transcripts.TRANSCRIPTS_SQL})) "
+            f"CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in KLL_QS)}]) AS q)"
         ),
     }

@@ -31,6 +31,7 @@ TYPE_HLL = 2
 TYPE_CMS = 3
 TYPE_BLOOM = 4
 TYPE_KLL = 5
+TYPE_TDIGEST = 6
 
 _ENV = struct.Struct("<4sBBH")
 

@@ -9,5 +9,6 @@ from hg64spark.sketches.hll import HLL
 from hg64spark.sketches.cms import CMS
 from hg64spark.sketches.bloom import Bloom
 from hg64spark.sketches.kll import KLL
+from hg64spark.sketches.tdigest import TDigest
 
-__all__ = ["HLL", "CMS", "Bloom", "KLL"]
+__all__ = ["HLL", "CMS", "Bloom", "KLL", "TDigest"]

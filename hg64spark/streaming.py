@@ -1,0 +1,108 @@
+"""Structured Streaming sketch aggregation.
+
+hg64 is a one-pass streaming summary by construction (bounded size, no
+re-reads), so the streaming form is the batch pipeline applied per
+micro-batch plus an idempotent state store:
+
+    readStream -> foreachBatch:
+        stage 1 partials for the micro-batch (same mapInArrow kernel as batch)
+        written to  <state_dir>/batch=<batch_id>/   (overwrite by batch id ->
+        re-delivered batches after a failure land in the same directory:
+        exactly-once state, the streaming analogue of checkpoint.py's
+        _SUCCESS-gated runs)
+    result(): merge every committed batch's partials — valid at ANY moment
+        between micro-batches, because the merge is exactly associative and
+        commutative (a sketch never has to be "finalized" to be read).
+
+Scale notes: the per-batch work is the batch hot path (no per-row Python);
+state size is (#groups x #batches) tiny sketch blobs, compactable by
+rewriting old batches into one merged partial (``compact()``).  Watermarked
+event-time windows compose by adding the window column to ``group_cols``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from hg64spark import agg
+from hg64spark.hg64 import HG64
+
+
+class StreamingSketch:
+    def __init__(
+        self,
+        state_dir: str,
+        value_col: str,
+        group_cols: Sequence[str] = (),
+        make_sketch: Callable[[], object] = HG64,
+        deserialize: Callable[[bytes], object] = HG64.deserialize,
+    ):
+        self.state_dir = state_dir
+        self.value_col = value_col
+        self.group_cols = list(group_cols)
+        self.make_sketch = make_sketch
+        self.deserialize = deserialize
+
+    # ---------------------------------------------------------------- write
+
+    def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """The foreachBatch sink: stage-1 partials for this micro-batch,
+        overwritten idempotently under the batch id."""
+        partials = agg.sketch_partials(batch_df, self.value_col, self.group_cols, self.make_sketch)
+        partials.write.mode("overwrite").parquet(os.path.join(self.state_dir, f"batch={batch_id}"))
+
+    def start(
+        self,
+        stream_df: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        **trigger_kwargs,
+    ) -> StreamingQuery:
+        writer = (
+            stream_df.writeStream.foreachBatch(self.foreach_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        return writer.start()
+
+    # ----------------------------------------------------------------- read
+
+    def _batch_dirs(self) -> list[str]:
+        if not os.path.isdir(self.state_dir):
+            return []
+        return sorted(
+            os.path.join(self.state_dir, d)
+            for d in os.listdir(self.state_dir)
+            if d.startswith("batch=") and os.path.exists(os.path.join(self.state_dir, d, "_SUCCESS"))
+        )
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        """(group..., sketch): merge of all committed micro-batch partials."""
+        dirs = self._batch_dirs()
+        if not dirs:
+            raise FileNotFoundError(f"no committed stream batches under {self.state_dir}")
+        partials = spark.read.parquet(*dirs)
+        return agg.merge_sketches(partials, self.group_cols, self.deserialize)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold every committed batch into one merged partial directory so
+        state stays O(#groups) over an unbounded stream."""
+        dirs = self._batch_dirs()
+        if len(dirs) <= 1:
+            return
+        merged = self.result(spark)
+        tmp = os.path.join(self.state_dir, "batch=-1")
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        for d in dirs:
+            shutil.rmtree(d)
+        os.rename(tmp, os.path.join(self.state_dir, "batch=0"))

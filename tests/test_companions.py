@@ -168,3 +168,60 @@ def test_kll_rank_of_value_consistency():
         v = float(kll.value_at_quantile(np.array([q]))[0])
         r = float(kll.rank_of_value(np.array([v]))[0]) / kll.n
         assert abs(r - q) <= 2 * KLL.rank_error_bound(200) + 0.01
+
+
+# ----------------------------------------------------------------- t-digest
+
+
+def test_tdigest_rank_error_and_tail_accuracy():
+    from hg64spark.sketches.tdigest import TDigest
+
+    data = rng().uniform(0, 1e9, 400_000)
+    td = TDigest(100)
+    for chunk in np.array_split(data, 16):
+        td.add_values(chunk)
+    assert td.n == data.size
+    data_sorted = np.sort(data)
+    for q, tol in [(0.01, 0.005), (0.1, 0.02), (0.5, 0.03), (0.9, 0.02), (0.99, 0.005), (0.999, 0.002)]:
+        est = float(td.value_at_quantile(np.array([q]))[0])
+        true_rank = np.searchsorted(data_sorted, est) / data.size
+        assert abs(true_rank - q) <= tol, (q, true_rank)
+
+
+def test_tdigest_merge_within_bound():
+    from hg64spark.sketches.tdigest import TDigest
+
+    data = rng().lognormal(0, 2, 300_000) * 1e3
+    parts = np.array_split(data, 8)
+    merged = TDigest(100)
+    for p in parts:
+        merged.merge(TDigest(100).add_values(p))
+    assert merged.n == data.size
+    data_sorted = np.sort(data)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(merged.value_at_quantile(np.array([q]))[0])
+        true_rank = np.searchsorted(data_sorted, est) / data.size
+        assert abs(true_rank - q) <= 0.03, (q, true_rank)
+
+
+def test_tdigest_bounded_size_and_serde():
+    from hg64spark.sketches.tdigest import TDigest
+
+    td = TDigest(100)
+    for chunk in np.array_split(rng().normal(0, 1, 500_000), 25):
+        td.add_values(chunk)
+    td._compress()
+    assert td.means.size < 2 * 100  # centroids bounded by ~delta
+    back = TDigest.deserialize(td.serialize())
+    assert back.n == td.n and np.array_equal(back.means, td.means)
+    qs = np.array([0.05, 0.5, 0.95])
+    assert np.array_equal(back.value_at_quantile(qs), td.value_at_quantile(qs))
+
+
+def test_tdigest_min_max_exact():
+    from hg64spark.sketches.tdigest import TDigest
+
+    data = rng().uniform(10, 20, 50_000)
+    td = TDigest(50).add_values(data)
+    assert float(td.value_at_quantile(np.array([0.0]))[0]) == data.min()
+    assert float(td.value_at_quantile(np.array([1.0]))[0]) == data.max()

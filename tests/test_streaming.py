@@ -1,0 +1,82 @@
+"""Structured Streaming sketch aggregation: file-source stream, availableNow
+trigger, incremental appends, compaction — result must equal the batch
+pipeline over the same rows at every point."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from hg64spark import agg
+from hg64spark.hg64 import HG64
+from hg64spark.streaming import StreamingSketch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+SCHEMA = StructType(
+    [StructField("event_type", StringType()), StructField("v", LongType())]
+)
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("v")
+    )
+    src = tmp_path / "src"
+    for i in range(3):
+        ev.filter(F.col("v") % 3 == i).coalesce(1).write.parquet(str(src / f"chunk{i}"))
+    files = []
+    for i in range(3):
+        files.append(glob.glob(str(src / f"chunk{i}" / "part-*.parquet"))[0])
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    return ev, files, stream_dir
+
+
+def _run_stream(spark, stream_dir, state_dir, ckpt_dir):
+    ss = StreamingSketch(str(state_dir), "v", ["event_type"])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    q = ss.start(stream, str(ckpt_dir), available_now=True)
+    q.awaitTermination(300)
+    return ss
+
+
+def test_stream_equals_batch_and_is_incremental(spark, tmp_path, source):
+    ev, files, stream_dir = source
+    import shutil
+
+    # first two chunks arrive
+    shutil.copy(files[0], stream_dir / "f0.parquet")
+    shutil.copy(files[1], stream_dir / "f1.parquet")
+    ss = _run_stream(spark, stream_dir, tmp_path / "state", tmp_path / "ckpt")
+
+    seen = spark.read.parquet(str(stream_dir / "f0.parquet"), str(stream_dir / "f1.parquet"))
+    want = {
+        r["event_type"]: HG64.deserialize(r["sketch"])
+        for r in agg.hg64_agg(seen, "v", ["event_type"], 5, method="arrow").collect()
+    }
+    got = {r["event_type"]: HG64.deserialize(r["sketch"]) for r in ss.result(spark).collect()}
+    assert got == want
+
+    # the third chunk arrives later; restart picks up only the new file
+    shutil.copy(files[2], stream_dir / "f2.parquet")
+    ss = _run_stream(spark, stream_dir, tmp_path / "state", tmp_path / "ckpt")
+    all_rows = spark.read.parquet(*[str(stream_dir / f"f{i}.parquet") for i in range(3)])
+    want_all = {
+        r["event_type"]: HG64.deserialize(r["sketch"])
+        for r in agg.hg64_agg(all_rows, "v", ["event_type"], 5, method="arrow").collect()
+    }
+    got_all = {r["event_type"]: HG64.deserialize(r["sketch"]) for r in ss.result(spark).collect()}
+    assert got_all == want_all
+
+    # compaction preserves the result and shrinks state to one batch dir
+    ss.compact(spark)
+    got_c = {r["event_type"]: HG64.deserialize(r["sketch"]) for r in ss.result(spark).collect()}
+    assert got_c == want_all
+    assert len(ss._batch_dirs()) == 1
