@@ -145,6 +145,16 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         sk = agg.sketch_agg(d, "latency_us", ["tool"], lambda: KLL(200), KLL.deserialize)
         return sk.collect()
 
+    def q_dedup_minhash():
+        from hg64spark import dataops
+
+        return dataops.q_dedup_minhash_lsh(spark, SF_DIR).count()
+
+    def q_ann_brute():
+        from hg64spark import dataops
+
+        return dataops.q_ann_brute_topk(spark, SF_DIR).count()
+
     for name, fn in [
         ("latency_quantiles_by_tool", q_latency_quantiles_by_tool),
         ("textlen_buckets_by_role", q_textlen_buckets_by_role),
@@ -152,6 +162,8 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("hll_distinct_convs", q_hll_distinct_convs),
         ("cms_tools", q_cms_tools),
         ("kll_latency_by_tool", q_kll_latency),
+        ("dedup_minhash_lsh", q_dedup_minhash),
+        ("ann_brute_topk", q_ann_brute),
         # last: its 500M-row generated scan leaves the JVM heap churned,
         # which would tax whatever query ran after it
         ("ingest_hg64_global", q_ingest_hg64),

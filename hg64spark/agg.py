@@ -227,11 +227,16 @@ def hg64_agg(
 
 def repartition_salted(df: DataFrame, cols: Sequence[str], buckets: int) -> DataFrame:
     """Explicit skew handling: spread hot group keys over ``buckets`` salted
-    partitions before stage 1.  Because the sketch merge is exactly
-    associative+commutative, the salt needs no second unsalting stage — the
-    group-by merge in stage 2 already recombines the salted partials."""
-    salt = (F.xxhash64(*[F.col(c) for c in cols], F.spark_partition_id()) % buckets).cast("int")
-    return df.repartition(buckets, F.abs(salt))
+    partitions before stage 1.  The salt mixes the group key with a row-local
+    counter (monotonically_increasing_id), so even a key whose rows all sit
+    in ONE input partition fans out across all buckets.  Because the sketch
+    merge is exactly associative+commutative, no unsalting stage is needed —
+    the group-by merge in stage 2 recombines the salted partials."""
+    # salt domain 8x wider than the partition count: with only `buckets`
+    # distinct salt values, hash-partitioning collides and leaves partitions
+    # empty/doubled; 8x over-decomposition smooths the balls-into-bins
+    salt = F.abs(F.xxhash64(*[F.col(c) for c in cols], F.monotonically_increasing_id())) % (buckets * 8)
+    return df.repartition(buckets, salt.cast("int"))
 
 
 # --------------------------------------------------------------------------

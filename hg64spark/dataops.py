@@ -428,17 +428,18 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-probe partitions — the standard exact baseline an ANN index is
     judged against."""
     e = _scaled(spark, sf_dir)
+    # explode-based dot product: posexplode + broadcast equi-join on the
+    # dimension index + integer sum — stays in whole-stage codegen, unlike
+    # zip_with/aggregate lambdas which run interpreted (measured 4x slower)
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("se").alias("pe")
+        F.col("vec_id").alias("probe_id"), F.posexplode("se").alias("j", "y")
     )
+    ee = e.select(F.col("vec_id").alias("neighbor_id"), F.posexplode("se").alias("j", "x"))
     dots = (
-        e.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr("aggregate(zip_with(se, pe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").alias("dot"),
-        )
+        ee.join(F.broadcast(probes), "j")
+        .filter(F.col("neighbor_id") != F.col("probe_id"))
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     return dots.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOPK)

@@ -91,6 +91,46 @@ def test_salted_repartition_preserves_result(spark):
     assert plain == salted
 
 
+def test_salting_balances_a_hot_key(spark):
+    """Adversarial skew: one conversation holds 95% of the rows and lives in
+    one input partition.  Hash-partitioning by conv_id leaves one giant task;
+    salted repartition must spread it while preserving the result exactly."""
+    hot = spark.range(50_000).select(F.lit("conv_hot").alias("conv_id"), F.col("id").alias("v"))
+    cold = spark.range(2_500).select(
+        F.concat(F.lit("conv_"), (F.col("id") % 100).cast("string")).alias("conv_id"),
+        F.col("id").alias("v"),
+    )
+    df = hot.unionAll(cold).coalesce(1)
+
+    def partition_sizes(d):
+        return [r["count"] for r in d.groupBy(F.spark_partition_id().alias("p")).count().collect()]
+
+    plain = df.repartition(8, "conv_id")
+    salted = agg.repartition_salted(df, ["conv_id"], 8)
+    assert max(partition_sizes(plain)) >= 50_000  # the hot key is one task
+    assert max(partition_sizes(salted)) < 15_000  # spread across buckets
+    a = _collect_sketch(agg.hg64_agg(plain, "v", [], 5))
+    b = _collect_sketch(agg.hg64_agg(salted, "v", [], 5))
+    assert a == b
+
+
+def test_relational_plan_shape(spark):
+    """The hot-path physical plan must: prune columns at the scan, push the
+    null filter, partial-aggregate BEFORE the exchange, and contain no Python
+    evaluation node."""
+    from hg64spark import relational
+
+    base = _events_values(spark)
+    plan = relational.hg64_counts(base, "v", ["event_type"], 5)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "Exchange" in plan
+    assert plan.index("HashAggregate") < len(plan)  # exists
+    # partial agg appears below (after, in printed tree) the exchange
+    assert "partial_count" in plan.lower() or plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    scan = plan[plan.index("FileScan"):]
+    assert "ReadSchema" in scan
+
+
 def test_quantile_finalizer_within_bound_of_exact(spark):
     base = _events_values(spark)
     sk = agg.hg64_agg(base, "v", [], 5)
