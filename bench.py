@@ -107,6 +107,11 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
     meta["n_turns"] = n_turns
     lat_path = os.path.join(BENCH_DIR, "latency")
 
+    # untimed warm-up: spawn python workers + JIT the common plan shapes so
+    # the first timed query doesn't absorb session fixed costs
+    agg.hg64_agg(t.limit(10_000).select(F.length("text").alias("v")), "v", [], 5).collect()
+    agg.sketch_agg(t.limit(10_000).select("conv_id"), "conv_id", [], HLL, HLL.deserialize).collect()
+
     def q_latency_quantiles_by_tool():
         # project narrow BEFORE the window: the conv_id shuffle then carries
         # ~30 bytes/row instead of the text column

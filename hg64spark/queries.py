@@ -94,6 +94,44 @@ def q_turncount_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_quantiles(sk, [], [0.1, 0.5, 0.9, 0.99])
 
 
+CUBE_QS = [0.5, 0.9]
+
+
+def q_textlen_quantiles_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (tool, role): hg64 text-length quantiles for every grouping
+    cell — (tool, role), (tool), (role), and global — expressed as explicit
+    grouping-set unions so the Spark and SQL null-padding semantics are
+    identical by construction.  Each cell reuses the same relational sketch
+    plan; at scale the four groupings share one scan via Spark's cache or a
+    grouping-sets pushdown (cells here are cheap enough to recompute)."""
+    t = transcripts.transcripts_from_events(spark, sf_dir)
+    base = t.select("tool", "role", F.length("text").alias("v"))
+    pieces = []
+    for cols in (["tool", "role"], ["tool"], ["role"], []):
+        sk = agg.hg64_agg(base, "v", cols, SIGBITS)
+        qd = agg.hg64_quantiles(sk, cols, CUBE_QS)
+        for missing in ("tool", "role"):
+            if missing not in cols:
+                qd = qd.withColumn(missing, F.lit(None).cast("string"))
+        pieces.append(qd.select("tool", "role", "q", "value"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _cube_oracle() -> str:
+    base = f"SELECT tool, role, length(text) AS v FROM ({transcripts.TRANSCRIPTS_SQL})"
+    parts = []
+    for cols in (["tool", "role"], ["tool"], ["role"], []):
+        inner = sqloracle.quantiles_sql(base, "v", SIGBITS, CUBE_QS, cols)
+        sel = []
+        for c in ("tool", "role"):
+            sel.append(c if c in cols else f"CAST(NULL AS VARCHAR) AS {c}")
+        parts.append(f"SELECT {', '.join(sel)}, q, value FROM ({inner})")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_hg64_downsample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-precision merge (`/root/reference/test.c:159-168`): sketch at
     sigbits=8, downsample to 4 (pure re-keying — exact), explode buckets.
@@ -371,6 +409,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_rel": q_bloom_membership_rel,
         "cms_top_custkeys_rel": q_cms_top_custkeys_rel,
         "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
+        "textlen_quantiles_cube": q_textlen_quantiles_cube,
     }
 
 
@@ -437,4 +476,5 @@ def _core_oracles() -> dict[str, str]:
             f"FROM (SELECT DISTINCT tool FROM ({transcripts.TRANSCRIPTS_SQL})) "
             f"CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in KLL_QS)}]) AS q)"
         ),
+        "textlen_quantiles_cube": _cube_oracle(),
     }

@@ -32,6 +32,54 @@ from hg64spark import agg
 from hg64spark.hg64 import HG64
 
 
+def sketch_stream_stateful(
+    stream_df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    make_sketch: Callable[[], object] = HG64,
+    deserialize: Callable[[bytes], object] = HG64.deserialize,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-group sketch kept in Spark's
+    streaming state store via ``applyInPandasWithState``.  Each micro-batch
+    folds its rows into the group's sketch (vectorized) and emits the updated
+    serialized sketch — downstream consumers always see the newest cumulative
+    summary per group.
+
+    Versus the foreachBatch form (:class:`StreamingSketch`): state lives in
+    the checkpointed state store (RocksDB/HDFS on a cluster), is keyed and
+    sharded by group, and recovers exactly-once on restart without an
+    external directory — the right shape when group cardinality is large.
+    foreachBatch remains preferable when results must live in an external
+    table anyway."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    group_cols = list(group_cols)
+    fields = [f for f in stream_df.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+    state_schema = StructType([StructField("sketch", BinaryType(), True)])
+
+    def update(key, pdfs, state):
+        if state.exists:
+            sk = deserialize(bytes(state.get[0]))
+        else:
+            sk = make_sketch()
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                sk.add_values(vals.to_numpy())
+        blob = sk.serialize()
+        state.update((blob,))
+        out = {c: [k] for c, k in zip(group_cols, key)}
+        out["sketch"] = [blob]
+        yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return stream_df.groupBy(*group_cols).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 class StreamingSketch:
     def __init__(
         self,

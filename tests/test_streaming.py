@@ -80,3 +80,46 @@ def test_stream_equals_batch_and_is_incremental(spark, tmp_path, source):
     got_c = {r["event_type"]: HG64.deserialize(r["sketch"]) for r in ss.result(spark).collect()}
     assert got_c == want_all
     assert len(ss._batch_dirs()) == 1
+
+
+def test_stateful_operator_accumulates_across_batches(spark, tmp_path, source):
+    """applyInPandasWithState keeps per-group sketch state in the streaming
+    state store: after both micro-batches, the latest emitted sketch per
+    group equals the batch pipeline over all rows seen."""
+    import shutil
+
+    from hg64spark.streaming import sketch_stream_stateful
+
+    ev, files, stream_dir = source
+    shutil.copy(files[0], stream_dir / "f0.parquet")
+    shutil.copy(files[1], stream_dir / "f1.parquet")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    updated = sketch_stream_stateful(stream, "v", ["event_type"])
+    q = (
+        updated.writeStream.format("memory")
+        .queryName("stateful_sketches")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql(
+        "SELECT * FROM (SELECT event_type, sketch, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY monotonically_increasing_id() DESC) rn "
+        "FROM stateful_sketches) WHERE rn = 1"
+    ).collect()
+    got = {r["event_type"]: HG64.deserialize(bytes(r["sketch"])) for r in rows}
+
+    seen = spark.read.parquet(str(stream_dir / "f0.parquet"), str(stream_dir / "f1.parquet"))
+    want = {
+        r["event_type"]: HG64.deserialize(r["sketch"])
+        for r in agg.hg64_agg(seen, "v", ["event_type"], 5, method="arrow").collect()
+    }
+    assert got == want
