@@ -78,6 +78,17 @@ def q_latency_quantiles_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_quantiles(sk, ["tool"], QSWEEP)
 
 
+def q_latency_quantiles_by_tool_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with ZERO Python anywhere: window latency derivation,
+    hg64 keyed counts, cumulative rank scan, and in-bucket interpolation all
+    in Catalyst (`relational.hg64_quantiles_relational`) — bit-identical to
+    the sketch-object path (same oracle gates both)."""
+    from hg64spark import relational
+
+    lat = _latency(spark, sf_dir).select("tool", "latency_us")
+    return relational.hg64_quantiles_relational(lat, "latency_us", QSWEEP, ["tool"], SIGBITS)
+
+
 def q_textlen_buckets_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts.transcripts_from_events(spark, sf_dir)
     t = t.select("role", F.length("text").alias("v"))
@@ -398,6 +409,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hg64_ranks_events": q_hg64_ranks_events,
         "hg64_stats_events": q_hg64_stats_events,
         "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
+        "latency_quantiles_by_tool_rel": q_latency_quantiles_by_tool_rel,
         "textlen_buckets_by_role": q_textlen_buckets_by_role,
         "turncount_quantiles": q_turncount_quantiles,
         "hg64_downsample_lineitem": q_hg64_downsample_lineitem,
@@ -431,6 +443,9 @@ def _core_oracles() -> dict[str, str]:
         "hg64_ranks_events": sqloracle.ranks_sql(_EVENTS_VALUE_SQL, "v", SIGBITS, _RANK_PROBES),
         "hg64_stats_events": sqloracle.stats_sql(_EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]),
         "latency_quantiles_by_tool": sqloracle.quantiles_sql(
+            _LATENCY_BASE_SQL, "latency_us", SIGBITS, QSWEEP, ["tool"]
+        ),
+        "latency_quantiles_by_tool_rel": sqloracle.quantiles_sql(
             _LATENCY_BASE_SQL, "latency_us", SIGBITS, QSWEEP, ["tool"]
         ),
         "textlen_buckets_by_role": sqloracle.buckets_sql(_TEXTLEN_BASE_SQL, "v", SIGBITS, ["role"]),

@@ -210,6 +210,56 @@ def bloom_contains_relational(
     return p.join(hit, "__pid").drop("__pid")
 
 
+def minval_col(key: str, sigbits: int) -> Column:
+    """`key_to_minval` (`hg64.c:156-162`) over a named key column."""
+    bs = 1 << sigbits
+    # mantissa must be BIGINT before the shift: shiftleft on INT wraps at 2^32
+    return F.when(F.col(key) < bs, F.col(key).cast("long")).otherwise(
+        F.expr(f"shiftleft(CAST(({key} % {bs}) + {bs} AS BIGINT), int({key} / {bs}) - 1)")
+    )
+
+
+def maxval_col(key: str, sigbits: int) -> Column:
+    """`key_to_maxval` (`hg64.c:164-174`) over a named key column."""
+    bs = 1 << sigbits
+    return minval_col(key, sigbits) + F.expr(f"shiftright({(1 << 62) - 1}L, 63 - int({key} / {bs}))")
+
+
+def hg64_quantiles_relational(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    sigbits: int = 5,
+) -> DataFrame:
+    """(group..., q, value): the COMPLETE hg64 quantile query with zero
+    Python anywhere — keyed counts, cumulative rank scan (window over <= 1920
+    keys/group), and in-bucket interpolation all as Catalyst expressions.
+    Bit-identical to the numpy finalizer (`HG64Snapshot.value_at_quantile`):
+    same IEEE-754 ops in the same order (rank = trunc(q*pop),
+    value = min + trunc(span * (rank_in/cnt)))."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    counts = hg64_counts(df, value_col, group_cols, sigbits)
+    wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))
+    cum = counts.withColumn("cum_incl", F.sum("count").over(wpart.orderBy("hg64_key"))).withColumn(
+        "pop", F.sum("count").over(wpart)
+    )
+    qdf = cum.crossJoin(
+        F.broadcast(
+            counts.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+        )
+    )
+    rank = F.floor(F.col("q") * F.col("pop").cast("double")).cast("long")
+    hit = qdf.filter((rank >= F.col("cum_incl") - F.col("count")) & (rank < F.col("cum_incl")))
+    mn = minval_col("hg64_key", sigbits)
+    span = (maxval_col("hg64_key", sigbits) - mn).cast("double")
+    rank_in = (rank - (F.col("cum_incl") - F.col("count"))).cast("double")
+    value = (mn + F.floor(span * (rank_in / F.col("count").cast("double"))).cast("long")).alias("value")
+    return hit.select(*group_cols, "q", value)
+
+
 def bloom_words_df(spark, bloom) -> DataFrame:
     """Nonzero Bloom words as a (word_idx, word) DataFrame — the broadcast
     side of :func:`bloom_contains_relational` when starting from a

@@ -114,6 +114,61 @@ def test_salting_balances_a_hot_key(spark):
     assert a == b
 
 
+def test_relational_quantile_finalizer_bit_identical(spark):
+    """The zero-Python quantile pipeline must reproduce the numpy finalizer
+    exactly (same IEEE ops in the same order), grouped and global, including
+    values past 2^32 (the shiftleft-width regression case)."""
+    from hg64spark import relational
+
+    base = _events_values(spark).withColumn("v", F.col("v") * 4096)  # push past 2^32
+    qs = [0.1, 0.5, 0.9, 0.999]
+    rel = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in relational.hg64_quantiles_relational(base, "v", qs, ["event_type"], 5).collect()
+    }
+    sk = agg.hg64_agg(base, "v", ["event_type"], 5)
+    py = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in agg.hg64_quantiles(sk, ["event_type"], qs).collect()
+    }
+    assert rel == py
+    plan = relational.hg64_quantiles_relational(base, "v", qs, ["event_type"], 5)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in s
+
+
+def test_bucketed_table_eliminates_window_shuffle(spark, tmp_path):
+    """The flagship's only full-data shuffle is the conv_id window.  With the
+    transcript table bucketed+sorted by conv_id (the standard Iceberg/warehouse
+    layout for this workload), the window's required distribution is already
+    satisfied by the scan, so the Exchange disappears — at 100TB that is the
+    difference between shuffling every turn and shuffling nothing."""
+    t = transcripts.transcripts_from_events(spark, SF_DIR).select(
+        "conv_id", "turn_idx", "tool", "ts"
+    )
+    (
+        t.write.bucketBy(8, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .option("path", str(tmp_path / "tx_bucketed"))
+        .mode("overwrite")
+        .saveAsTable("tx_bucketed")
+    )
+    try:
+        bucketed = spark.table("tx_bucketed")
+        lat_b = transcripts.with_latency(bucketed)
+        plan_b = lat_b._jdf.queryExecution().executedPlan().toString()
+        lat_p = transcripts.with_latency(t)
+        plan_p = lat_p._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan_p  # plain parquet must shuffle for the window
+        assert "Exchange" not in plan_b  # bucketed layout: no shuffle at all
+        # and results agree
+        a = sorted(tuple(r) for r in lat_b.select("conv_id", "turn_idx", "latency_us").collect())
+        b = sorted(tuple(r) for r in lat_p.select("conv_id", "turn_idx", "latency_us").collect())
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tx_bucketed")
+
+
 def test_relational_plan_shape(spark):
     """The hot-path physical plan must: prune columns at the scan, push the
     null filter, partial-aggregate BEFORE the exchange, and contain no Python
