@@ -307,6 +307,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles (band_id, band_hash) keys; candidate verification touches
     only candidate pairs, never the O(n^2) cross join."""
     corpus = augmented_corpus(spark, sf_dir)
+    # NOTE: the shingle set feeds signatures, verification, and sizes; it is
+    # recomputed per branch on purpose — measured faster than .persist()
+    # (row-format caching breaks the codegen pipeline and costs more than the
+    # re-explosion at this shape)
     s = shingles(corpus)
     r = MINHASH_N // LSH_BANDS
     sigs = s.groupBy("doc_id").agg(
@@ -330,12 +334,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = jaccard_pairs(corpus)
-    return (
-        cand.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= NEARDUP_TAU)
-        .select("doc_a", "doc_b", "jaccard")
+    # verify ONLY the candidates (that's the point of LSH): intersect the two
+    # candidates' shingle sets via a semi-structured join, never the full
+    # O(pairs) cross — the exact-Jaccard filter then kills false candidates
+    sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(s.alias("xs"), F.col("doc_a") == F.col("xs.doc_id"))
+        .join(s.alias("ys"), (F.col("doc_b") == F.col("ys.doc_id")) & (F.col("xs.sh") == F.col("ys.sh")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
     )
+    verified = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= NEARDUP_TAU)
 
 
 Q_DEDUP_MINHASH_SQL = f"""

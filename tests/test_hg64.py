@@ -207,3 +207,50 @@ def test_distribution_menagerie_quantiles():
             est = int(hs.value_at_quantile(np.array([q]))[0])
             exact = int(data_sorted[int(q * data.size)])
             assert abs(est - exact) / max(exact, 1) <= 2.0**-5, (name, q)
+
+
+# --------------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=0, max_size=200),
+    st.integers(min_value=1, max_value=11),
+)
+@settings(max_examples=60, deadline=None)
+def test_property_serde_roundtrip(values, sigbits):
+    hg = HG64(sigbits).add_values(np.array(values, dtype=U64))
+    assert HG64.deserialize(hg.serialize()) == hg
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1), min_size=3, max_size=300),
+    st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_property_merge_split_invariance(values, seed):
+    """Any random 3-way split, merged in any rotation, equals direct load."""
+    arr = np.array(values, dtype=U64)
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, 3, arr.size)
+    parts = [arr[assign == i] for i in range(3)]
+    order = rng.permutation(3)
+    merged = HG64(5)
+    for i in order:
+        merged.merge(HG64(5).add_values(parts[i]))
+    assert merged == HG64(5).add_values(arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 62)), min_size=1, max_size=500))
+@settings(max_examples=40, deadline=None)
+def test_property_quantile_within_bucket_bound(values):
+    """For any data, the q=0.5 estimate's bucket must contain a true sample
+    within the relative bucket width bound."""
+    arr = np.array(values, dtype=U64)
+    hs = HG64(5).add_values(arr).snapshot()
+    est = int(hs.value_at_quantile(np.array([0.5]))[0])
+    exact = int(np.sort(arr)[int(0.5 * arr.size)])
+    if exact > 0:
+        assert abs(est - exact) / exact <= 2.0**-5 + 1e-12 or abs(est - exact) <= 1
