@@ -123,3 +123,29 @@ def test_sigs_tables_match_reference_binary():
     golden = open(os.path.join(os.path.dirname(__file__), "golden", "sigs_output.txt")).read()
     assert sigs.tables() == golden
     assert sigs.digits_to_sigbits(2) == 5  # why the default sigbits is 5
+
+
+def test_distribution_generators_shapes():
+    """F2 stress shapes from the reference generator family
+    (`/root/reference/random.c:46-93`), consumed through the same PCG32
+    stream, feed the sketch within its value-error bound."""
+    from hg64spark.hg64 import HG64
+
+    for name, gen, n in [
+        ("exponential", refrandom.exponential, 100_000),
+        ("pareto", refrandom.pareto, 100_000),
+        ("lognormal", refrandom.lognormal, 50_000),
+        ("gamma", lambda n: refrandom.gamma(n, 4), 50_000),
+        ("chisquared", lambda n: refrandom.chisquared(n, 4), 50_000),
+        ("normal_shifted", lambda n: refrandom.normal(n) + 6.0, 50_000),
+    ]:
+        raw = gen(n)
+        data = np.minimum(np.maximum(raw, 0.0) * 1e6, 1e18).astype(np.uint64)
+        hs = HG64(5).add_values(data).snapshot()
+        data_sorted = np.sort(data)
+        for q in (0.5, 0.99):
+            est = int(hs.value_at_quantile(np.array([q]))[0])
+            exact = int(data_sorted[int(q * n)])
+            assert abs(est - exact) / max(exact, 1) <= 2.0**-5, (name, q)
+        # mean matches the distribution's design (most have mean ~1 pre-scale)
+        assert hs.population == n
