@@ -336,3 +336,32 @@ def test_synthetic_transcripts_deterministic_and_skewed(spark):
         "tool": "string",
         "ts": "timestamp",
     } or cols.get("ts") == "timestamp_ntz"
+
+
+def test_sql_udf_surface_over_sketch_columns(spark):
+    """SELECT hg64_quantile(sketch, q) straight from SQL over a persisted
+    sketch table must agree with the library finalizer."""
+    from hg64spark import udfs
+    from hg64spark.hg64 import HG64
+
+    udfs.register(spark)
+    base = _events_values(spark)
+    sk = agg.hg64_agg(base, "v", ["event_type"], 5)
+    sk.createOrReplaceTempView("ev_sketches")
+    rows = spark.sql(
+        "SELECT event_type, hg64_quantile(sketch, 0.9) AS p90, "
+        "hg64_population(sketch) AS pop, hg64_mean(sketch) AS mean FROM ev_sketches"
+    ).collect()
+    want = {r["event_type"]: r["value"] for r in agg.hg64_quantiles(sk, ["event_type"], [0.9]).collect()}
+    pdf = base.toPandas()
+    for r in rows:
+        assert r["p90"] == want[r["event_type"]]
+        assert r["pop"] == int((pdf["event_type"] == r["event_type"]).sum())
+    # pairwise merge UDF == library merge
+    two = spark.sql(
+        "SELECT hg64_population(hg64_merge_pair(a.sketch, b.sketch)) AS pop "
+        "FROM ev_sketches a JOIN ev_sketches b ON a.event_type = 'click' AND b.event_type = 'view'"
+    ).collect()[0]["pop"]
+    click = int((pdf["event_type"] == "click").sum())
+    view = int((pdf["event_type"] == "view").sum())
+    assert two == click + view
