@@ -313,19 +313,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-explosion at this shape)
     s = shingles(corpus)
     r = MINHASH_N // LSH_BANDS
-    sigs = s.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_N)]
-    )
-    bands = sigs.select(
+    assert r == 2, "band assembly below is written for r=2 rows per band"
+    # signatures in LONG format: explode the hash index and run ONE narrow
+    # min-aggregate instead of 64 wide agg expressions — a 64-column agg
+    # generates enormous codegen classes that fill the JVM code cache and
+    # progressively disable JIT (measured 24s -> 125s over three calls);
+    # the long shape partial-aggregates to #docs x 64 rows before the shuffle
+    hashes = s.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b))
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("band", "bh"),
+            F.expr(f"transform(sequence(0, {MINHASH_N - 1}), i -> xxhash64(sh, i))")
+        ).alias("i", "h"),
+    )
+    sig_long = hashes.groupBy("doc_id", (F.col("i") / r).cast("int").alias("band"), "i").agg(
+        F.min("h").alias("m")
+    )
+    bands = (
+        sig_long.groupBy("doc_id", "band")
+        .agg(
+            F.min(F.when(F.col("i") % r == 0, F.col("m"))).alias("m0"),
+            F.min(F.when(F.col("i") % r == 1, F.col("m"))).alias("m1"),
+        )
+        .select("doc_id", "band", F.xxhash64("m0", "m1", "band").alias("bh"))
     )
     cand = (
         bands.alias("x")
@@ -378,19 +387,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = augmented_corpus(spark, sf_dir)
     toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = toks.select("doc_id", _tokhash_spark(F.col("tok")).alias("h"))
-    bit_sums = h.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+    # long format (one narrow agg, not 60 wide ones — see the minhash note on
+    # codegen/code-cache blowup): explode the bit index, sum the signs per
+    # (doc, bit), then assemble the signature with a single conditional sum
+    bits = h.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
+                f" b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)"
+            )
+        ).alias("b", "sign"),
     )
-    sig_expr = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sigs = bit_sums.select("doc_id", sig_expr.alias("simhash"))
+    bit_sums = bits.groupBy("doc_id", "b").agg(F.sum("sign").alias("s"))
+    sigs = bit_sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))).alias("simhash")
+    )
     pairs = (
         sigs.alias("x")
         .join(sigs.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))

