@@ -160,6 +160,25 @@ def q_hg64_downsample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_buckets(coarse, [])
 
 
+def q_hg64_weighted_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted ingest (`hg64_add(value, inc)`, `hg64.c:251-254`) fully
+    relationally: extendedprice-cent buckets weighted by line quantity —
+    keyed weighted counts plus bucket bounds, all Catalyst expressions."""
+    from hg64spark import relational
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    counts = relational.hg64_counts(li, "v", [], SIGBITS, weight_col="w")
+    return counts.select(
+        F.col("hg64_key").cast("long").alias("key"),
+        relational.minval_col("hg64_key", SIGBITS).alias("bucket_min"),
+        relational.maxval_col("hg64_key", SIGBITS).alias("bucket_max"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
 # ------------------------------------------------------- companion sketches
 #
 # Companions are approximate, so their driver gates use the *self-certifying*
@@ -413,6 +432,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textlen_buckets_by_role": q_textlen_buckets_by_role,
         "turncount_quantiles": q_turncount_quantiles,
         "hg64_downsample_lineitem": q_hg64_downsample_lineitem,
+        "hg64_weighted_buckets": q_hg64_weighted_buckets,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_top_custkeys": q_cms_top_custkeys,
         "bloom_membership": q_bloom_membership,
@@ -453,6 +473,11 @@ def _core_oracles() -> dict[str, str]:
             _TURNS_BASE_SQL, "v", SIGBITS, [0.1, 0.5, 0.9, 0.99]
         ),
         "hg64_downsample_lineitem": sqloracle.buckets_sql(li_sql, "v", 4),
+        "hg64_weighted_buckets": sqloracle.buckets_sql(
+            "SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v, "
+            "CAST(l_quantity AS BIGINT) AS w FROM lineitem",
+            "v", SIGBITS, weight_col="w",
+        ),
         "hll_distinct_users": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

@@ -76,14 +76,22 @@ def with_hg64_key(df: DataFrame, value_col: str, sigbits: int, key_col: str = "h
 
 
 def hg64_counts(
-    df: DataFrame, value_col: str, group_cols: Sequence[str] = (), sigbits: int = 5
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    sigbits: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(group..., hg64_key, count) — the sketch in relational form.  This IS
     a valid query result on its own (the exploded-bucket view) and the input
-    to sketch materialization."""
+    to sketch materialization.  With ``weight_col`` the update is the
+    reference's weighted `hg64_add(value, inc)` (`hg64.c:251-254`):
+    count = sum of weights per bucket."""
     group_cols = list(group_cols)
-    keyed = with_hg64_key(df.select(*group_cols, value_col), value_col, sigbits)
-    return keyed.groupBy(*group_cols, "hg64_key").agg(F.count("*").alias("count"))
+    cols = [*group_cols, value_col] + ([weight_col] if weight_col else [])
+    keyed = with_hg64_key(df.select(*cols), value_col, sigbits)
+    agg_expr = F.sum(weight_col).alias("count") if weight_col else F.count("*").alias("count")
+    return keyed.groupBy(*group_cols, "hg64_key").agg(agg_expr)
 
 
 # ------------------------------------------------------------------ HLL/Bloom

@@ -55,17 +55,25 @@ def _grp_list(group_cols: Sequence[str]) -> str:
     return ", ".join(group_cols)
 
 
-def buckets_sql(base_sql: str, value_col: str, sigbits: int, group_cols: Sequence[str] = ()) -> str:
+def buckets_sql(
+    base_sql: str,
+    value_col: str,
+    sigbits: int,
+    group_cols: Sequence[str] = (),
+    weight_col: str | None = None,
+) -> str:
     """Oracle for the exploded-bucket view (`hg64_get`, `hg64.c:272-283`):
     (group..., key, bucket_min, bucket_max, count), nonzero buckets only.
     ``base_sql`` must select ``value_col`` (non-negative BIGINT, NULLs allowed
-    — dropped here as in the Spark pipeline) plus the group columns."""
+    — dropped here as in the Spark pipeline) plus the group columns.  With
+    ``weight_col`` the count is the weighted `hg64_add` sum."""
     g = _grp_list(group_cols)
     gsel = f"{g}, " if g else ""
+    cnt = f"CAST(sum({weight_col}) AS BIGINT)" if weight_col else "count(*)"
     return f"""
 WITH base AS ({base_sql}),
 keyed AS (
-    SELECT {gsel}{key_expr(value_col, sigbits)} AS key, count(*) AS count
+    SELECT {gsel}{key_expr(value_col, sigbits)} AS key, {cnt} AS count
     FROM base WHERE {value_col} IS NOT NULL
     GROUP BY {gsel[:-2] + ', key' if g else 'key'}
 )
