@@ -106,10 +106,24 @@ class CheckpointedSketchAgg:
         todo = [f for f in files if os.path.abspath(f) not in done]
         if not todo:
             return []
-        df = spark.read.parquet(*todo)
-        if derive is not None:
-            df = derive(df)
-        df = df.withColumn(_FILE_COL, F.input_file_name())
+        # derive PER FILE, then union: (a) a shuffling derive (window lag,
+        # per-conv groupBy) stays file-local by construction — exactly the
+        # file-local assumption this resume granularity needs — and (b) the
+        # lineage column is a literal, immune to input_file_name() going
+        # empty after a derive's exchange
+        per_file = []
+        for f in todo:
+            d = spark.read.parquet(f)
+            if derive is not None:
+                d = derive(d)
+            per_file.append(
+                d.select(*self.group_cols, self.value_col).withColumn(
+                    _FILE_COL, F.lit(os.path.abspath(f))
+                )
+            )
+        df = per_file[0]
+        for d in per_file[1:]:
+            df = df.unionAll(d)
         partials = agg.sketch_partials(
             df, self.value_col, self.group_cols + [_FILE_COL], self.make_sketch, with_metrics=True
         ).withColumn(_MARKER_COL, F.lit(False))

@@ -64,9 +64,17 @@ def with_hg64_key(df: DataFrame, value_col: str, sigbits: int, key_col: str = "h
     exp_col = f"__{key_col}_exp"
     binned = F.col(value_col).bitwiseOR(F.lit(bs))
     exponent = (floor_log2_col(binned) - F.lit(sb)).cast("int")
+    # negative values must FAIL the job (matching HG64.add_values's
+    # ValueError), not silently mis-bucket: arithmetic shiftright would
+    # sign-extend them into the top bucket otherwise
+    guarded = F.expr(
+        f"CASE WHEN {value_col} < 0 THEN "
+        f"CAST(raise_error('hg64 ingests unsigned values; got negative {value_col}') AS INT) "
+        f"ELSE 0 END"
+    )
     return (
         df.filter(F.col(value_col).isNotNull())
-        .withColumn(exp_col, exponent)
+        .withColumn(exp_col, exponent + guarded)
         .withColumn(
             key_col,
             (F.col(exp_col) * bs + F.expr(f"shiftright({value_col}, {exp_col})")).cast("int"),
@@ -104,11 +112,9 @@ def hg64_counts(
 
 
 def _clz64(col: Column) -> Column:
-    """Count of leading zeros of a 64-bit column (0 -> 64), integer-only."""
-    x = col
-    for s in (1, 2, 4, 8, 16, 32):
-        x = x.bitwiseOR(F.shiftright(x, s))
-    return F.lit(64) - F.bit_count(x)
+    """Count of leading zeros of a 64-bit column (0 -> 64), integer-only.
+    Exactly 63 - floor_log2 (floor_log2_col(0) = -1 makes the 0 case work)."""
+    return F.lit(63) - floor_log2_col(col)
 
 
 def hll_agg_relational(
@@ -248,6 +254,13 @@ def hg64_quantiles_relational(
     value = min + trunc(span * (rank_in/cnt)))."""
     from pyspark.sql import Window
 
+    qs = [float(q) for q in qs]
+    if any(q < 0.0 or q >= 1.0 for q in qs):
+        raise ValueError(
+            "hg64_quantiles_relational requires 0 <= q < 1: q=1.0's UINT64_MAX "
+            "sentinel has no BIGINT representation in a relational result "
+            "(the sketch-object path returns it wrapped as -1)"
+        )
     group_cols = list(group_cols)
     counts = hg64_counts(df, value_col, group_cols, sigbits)
     wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))

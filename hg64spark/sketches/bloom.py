@@ -62,6 +62,8 @@ class Bloom:
         return np.stack([((h1 + U64(i) * h2) % m) for i in range(self.n_hashes)])
 
     def add_values(self, values: np.ndarray, weights=None) -> "Bloom":
+        if self.hash_family != HASH_SIPHASH:
+            raise ValueError("cannot add Python-hashed values to an xxhash64-family Bloom filter")
         if len(values) == 0:
             return self
         pos = self._bit_positions(values).ravel()
@@ -69,6 +71,12 @@ class Bloom:
         return self
 
     def contains(self, values: np.ndarray) -> np.ndarray:
+        if self.hash_family != HASH_SIPHASH:
+            raise ValueError(
+                "this Bloom filter was built with the xxhash64 (relational) hash "
+                "family; probe it with relational.bloom_contains_relational — "
+                "Python-side probing would produce false negatives"
+            )
         values = np.asarray(values)
         if values.size == 0:
             return np.zeros(0, dtype=bool)

@@ -54,6 +54,8 @@ class CMS:
         return np.stack([(rehash(h, j) % U64(self.width)).astype(np.int64) for j in range(self.depth)])
 
     def add_values(self, values: np.ndarray, weights: np.ndarray | None = None) -> "CMS":
+        if self.hash_family != HASH_SIPHASH:
+            raise ValueError("cannot add Python-hashed values to an xxhash64-family CMS")
         if len(values) == 0:
             return self
         idx = self._rows(values)
@@ -64,6 +66,11 @@ class CMS:
 
     def estimate(self, values: np.ndarray) -> np.ndarray:
         """Point-frequency estimates: min over rows."""
+        if self.hash_family != HASH_SIPHASH:
+            raise ValueError(
+                "this CMS was built with the xxhash64 (relational) hash family; "
+                "probe it with relational.cms_estimate_relational"
+            )
         values = np.asarray(values)
         if values.size == 0:
             return np.zeros(0, dtype=np.int64)

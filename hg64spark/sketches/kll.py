@@ -71,6 +71,8 @@ class KLL:
     # -------------------------------------------------------------- protocol
 
     def add_values(self, values: np.ndarray, weights=None) -> "KLL":
+        if weights is not None:
+            raise NotImplementedError("KLL does not support weighted updates")
         values = np.asarray(values, dtype=np.float64)
         if values.size == 0:
             return self

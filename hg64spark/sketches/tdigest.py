@@ -44,6 +44,8 @@ class TDigest:
     # ------------------------------------------------------------- protocol
 
     def add_values(self, values: np.ndarray, weights=None) -> "TDigest":
+        if weights is not None:
+            raise NotImplementedError("TDigest.add_values does not support weighted updates")
         values = np.asarray(values, dtype=np.float64)
         if values.size == 0:
             return self

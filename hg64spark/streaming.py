@@ -100,6 +100,11 @@ class StreamingSketch:
     def foreach_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """The foreachBatch sink: stage-1 partials for this micro-batch,
         overwritten idempotently under the batch id."""
+        if f"batch={batch_id}" in self._manifest()["consumed"]:
+            raise RuntimeError(
+                f"batch={batch_id} was already folded by a compaction — the state dir "
+                f"{self.state_dir} belongs to a different streaming checkpoint lineage"
+            )
         partials = agg.sketch_partials(batch_df, self.value_col, self.group_cols, self.make_sketch)
         partials.write.mode("overwrite").parquet(os.path.join(self.state_dir, f"batch={batch_id}"))
 
@@ -123,14 +128,32 @@ class StreamingSketch:
 
     # ----------------------------------------------------------------- read
 
+    def _manifest(self) -> dict:
+        path = os.path.join(self.state_dir, "COMPACTION")
+        if not os.path.exists(path):
+            return {"compacted": None, "consumed": []}
+        import json
+
+        with open(path) as fh:
+            return json.load(fh)
+
     def _batch_dirs(self) -> list[str]:
         if not os.path.isdir(self.state_dir):
             return []
-        return sorted(
+        man = self._manifest()
+        consumed = set(man["consumed"])
+        dirs = [
             os.path.join(self.state_dir, d)
-            for d in os.listdir(self.state_dir)
-            if d.startswith("batch=") and os.path.exists(os.path.join(self.state_dir, d, "_SUCCESS"))
-        )
+            for d in sorted(os.listdir(self.state_dir))
+            if d.startswith("batch=")
+            and d not in consumed
+            and os.path.exists(os.path.join(self.state_dir, d, "_SUCCESS"))
+        ]
+        if man["compacted"] is not None:
+            comp = os.path.join(self.state_dir, man["compacted"])
+            if os.path.exists(os.path.join(comp, "_SUCCESS")):
+                dirs.insert(0, comp)
+        return dirs
 
     def result(self, spark: SparkSession) -> DataFrame:
         """(group..., sketch): merge of all committed micro-batch partials."""
@@ -142,15 +165,40 @@ class StreamingSketch:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold every committed batch into one merged partial directory so
-        state stays O(#groups) over an unbounded stream."""
+        state stays O(#groups) over an unbounded stream.
+
+        Crash-safe protocol: the merged output lives under ``compacted=<id>``
+        — a name ``_batch_dirs`` never scans — and becomes visible only via
+        an atomic manifest replace that simultaneously tombstones the
+        consumed batch directories.  A crash before the replace leaves the
+        old state intact (stray compacted dir ignored); a crash after it
+        double-counts nothing (consumed dirs are tombstoned even though their
+        bytes still exist); deletion of tombstoned dirs is lazy cleanup."""
+        import json
+        import shutil
+        import uuid
+
         dirs = self._batch_dirs()
         if len(dirs) <= 1:
             return
-        merged = self.result(spark)
-        tmp = os.path.join(self.state_dir, "batch=-1")
-        merged.write.mode("overwrite").parquet(tmp)
-        import shutil
-
+        merged = agg.merge_sketches(
+            spark.read.parquet(*dirs).select(*self.group_cols, "sketch"),
+            self.group_cols,
+            self.deserialize,
+        )
+        prev_man = self._manifest()
+        comp_name = f"compacted={uuid.uuid4().hex[:12]}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.state_dir, comp_name))
+        consumed = sorted(
+            set(prev_man["consumed"]) | {os.path.basename(d) for d in dirs if "batch=" in os.path.basename(d)}
+        )
+        tmp = os.path.join(self.state_dir, f".manifest_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"compacted": comp_name, "consumed": consumed}, fh)
+        os.replace(tmp, os.path.join(self.state_dir, "COMPACTION"))  # the atomic commit point
+        # lazy cleanup (safe to crash anywhere in here)
         for d in dirs:
-            shutil.rmtree(d)
-        os.rename(tmp, os.path.join(self.state_dir, "batch=0"))
+            if os.path.basename(d).startswith("batch="):
+                shutil.rmtree(d, ignore_errors=True)
+        if prev_man["compacted"]:
+            shutil.rmtree(os.path.join(self.state_dir, prev_man["compacted"]), ignore_errors=True)

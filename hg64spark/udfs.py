@@ -27,7 +27,9 @@ def hg64_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
     """value_at_quantile over a serialized hg64 column (`hg64.c:431-436`)."""
     out = np.empty(len(sketch), dtype=np.int64)
     for i, (blob, qq) in enumerate(zip(sketch, q)):
-        out[i] = int(HG64.deserialize(bytes(blob)).snapshot().value_at_quantile(np.array([qq]))[0])
+        # .astype(int64) wraps UINT64_MAX (q=1.0 / empty sketch) to -1,
+        # matching agg.hg64_quantiles — a bare int() would overflow
+        out[i] = HG64.deserialize(bytes(blob)).snapshot().value_at_quantile(np.array([qq])).astype(np.int64)[0]
     return pd.Series(out)
 
 

@@ -49,6 +49,9 @@ def main() -> None:
     from hg64spark.hg64 import HG64
 
     group_cols = [c for c in args.group.split(",") if c]
+    if args.metric == "turn_count" and group_cols:
+        ap.error("--metric turn_count aggregates per conversation and supports only "
+                 "the global grouping; pass --group ''")
     qs = [float(q) for q in args.qs.split(",")]
     t0 = time.time()
 

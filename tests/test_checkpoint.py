@@ -92,3 +92,23 @@ def test_derive_hook(spark, tmp_path, split_files):
     direct = spark.read.parquet(*split_files).select((F.col("v") * 2).alias("v2")).toPandas()
     local = HG64(5).add_values(direct["v2"].to_numpy().astype(np.uint64))
     assert sk == local
+
+
+def test_lineage_survives_shuffling_derive(spark, tmp_path, split_files):
+    """Regression: input_file_name() returns '' after a derive's exchange;
+    lineage must be attached per file BEFORE deriving.  Uses a groupBy derive
+    (the turn-count shape)."""
+    ck = CheckpointedSketchAgg(str(tmp_path / "ckpt"), "n", [])
+    ck.process(
+        spark,
+        split_files,
+        derive=lambda df: df.groupBy("event_type").agg(F.count("*").alias("n")),
+    )
+    m = ck.metrics(spark).collect()
+    assert m, "no metrics rows"
+    from hg64spark.checkpoint import _norm_file
+
+    files_seen = {_norm_file(r["lineage_file"]) for r in m}
+    assert "" not in files_seen
+    nonempty = {os.path.abspath(f) for f in split_files if spark.read.parquet(f).count() > 0}
+    assert files_seen == nonempty

@@ -225,3 +225,30 @@ def test_tdigest_min_max_exact():
     td = TDigest(50).add_values(data)
     assert float(td.value_at_quantile(np.array([0.0]))[0]) == data.min()
     assert float(td.value_at_quantile(np.array([1.0]))[0]) == data.max()
+
+
+def test_cross_family_probing_refused():
+    """Regression: probing an xxhash64-built sketch through the Python
+    siphash path would return garbage (incl. Bloom false negatives) — it must
+    raise instead."""
+    from hg64spark.sketches.bloom import HASH_XXHASH64
+
+    bf = Bloom(1 << 10, 3, hash_family=HASH_XXHASH64)
+    with pytest.raises(ValueError, match="relational"):
+        bf.contains(np.array([1, 2]))
+    with pytest.raises(ValueError):
+        bf.add_values(np.array([1]))
+    cms = CMS(64, 3, hash_family=1)
+    with pytest.raises(ValueError, match="relational"):
+        cms.estimate(np.array([1]))
+    with pytest.raises(ValueError):
+        cms.add_values(np.array([1]))
+
+
+def test_kll_tdigest_reject_weights():
+    from hg64spark.sketches.tdigest import TDigest
+
+    with pytest.raises(NotImplementedError):
+        KLL(64).add_values(np.array([1.0]), weights=np.array([2]))
+    with pytest.raises(NotImplementedError):
+        TDigest(100).add_values(np.array([1.0]), weights=np.array([2]))

@@ -365,3 +365,24 @@ def test_sql_udf_surface_over_sketch_columns(spark):
     click = int((pdf["event_type"] == "click").sum())
     view = int((pdf["event_type"] == "view").sum())
     assert two == click + view
+
+
+def test_relational_path_rejects_negative_values(spark):
+    """Regression: arithmetic shiftright would silently mis-bucket negatives
+    into the top buckets; the relational path must fail the job like the
+    numpy path raises ValueError."""
+    from py4j.protocol import Py4JJavaError
+    from hg64spark import relational
+
+    df = spark.createDataFrame([(5,), (-3,)], "v long")
+    with pytest.raises(Exception) as exc:
+        relational.hg64_counts(df, "v", [], 5).collect()
+    assert "unsigned" in str(exc.value)
+
+
+def test_relational_quantiles_reject_q_ge_1(spark):
+    from hg64spark import relational
+
+    df = spark.createDataFrame([(5,)], "v long")
+    with pytest.raises(ValueError, match="0 <= q < 1"):
+        relational.hg64_quantiles_relational(df, "v", [1.0], [], 5)

@@ -123,3 +123,27 @@ def test_stateful_operator_accumulates_across_batches(spark, tmp_path, source):
         for r in agg.hg64_agg(seen, "v", ["event_type"], 5, method="arrow").collect()
     }
     assert got == want
+
+
+def test_compaction_crash_window_does_not_double_count(spark, tmp_path, source):
+    """Regression: a compacted dir becoming visible before the originals are
+    removed must not double-count.  Simulate the crash by restoring a consumed
+    batch dir after compact() (as if rmtree never ran): the manifest's
+    tombstones keep it invisible."""
+    import shutil
+
+    ev, files, stream_dir = source
+    shutil.copy(files[0], stream_dir / "f0.parquet")
+    shutil.copy(files[1], stream_dir / "f1.parquet")
+    ss = _run_stream(spark, stream_dir, tmp_path / "state", tmp_path / "ckpt")
+    want = {r["event_type"]: HG64.deserialize(r["sketch"]) for r in ss.result(spark).collect()}
+
+    # snapshot a batch dir, compact, then "resurrect" it (crash-before-cleanup)
+    batch_dirs = ss._batch_dirs()
+    saved = tmp_path / "saved_batch"
+    shutil.copytree(batch_dirs[0], saved)
+    ss.compact(spark)
+    shutil.copytree(saved, batch_dirs[0])
+
+    got = {r["event_type"]: HG64.deserialize(r["sketch"]) for r in ss.result(spark).collect()}
+    assert got == want  # resurrected dir is tombstoned, not double-counted
