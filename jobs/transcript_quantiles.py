@@ -35,7 +35,14 @@ def main() -> None:
     ap.add_argument("--group", default="tool", help="comma-separated group columns ('' = global)")
     ap.add_argument("--qs", default="0.5,0.9,0.99")
     ap.add_argument("--sigbits", type=int, default=5)
-    ap.add_argument("--checkpoint", help="checkpoint dir -> resumable, file-level replay")
+    ap.add_argument(
+        "--checkpoint",
+        help="checkpoint dir -> resumable, file-level replay. NOTE: derivations "
+        "are computed per file (that's what makes replay exact), so for "
+        "--metric latency_us/turn_count the input files must be partitioned "
+        "by conv_id (no conversation spanning files) — the standard "
+        "Iceberg bucket layout for transcript tables",
+    )
     ap.add_argument("--salt-buckets", type=int, default=0, help="salted repartition width for skewed inputs")
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
