@@ -371,7 +371,6 @@ def test_relational_path_rejects_negative_values(spark):
     """Regression: arithmetic shiftright would silently mis-bucket negatives
     into the top buckets; the relational path must fail the job like the
     numpy path raises ValueError."""
-    from py4j.protocol import Py4JJavaError
     from hg64spark import relational
 
     df = spark.createDataFrame([(5,), (-3,)], "v long")
