@@ -125,6 +125,12 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         sk = agg.hg64_agg(d, "v", ["role"], 5)
         return agg.hg64_buckets(sk, ["role"]).collect()
 
+    def q_latency_sketch_per_conv():
+        # high-group-cardinality stress: one sketch per conversation (20k
+        # groups) via the Arrow-segmented fold
+        lat = with_latency(t.select("conv_id", "turn_idx", "ts"))
+        return agg.hg64_agg(lat, "latency_us", ["conv_id"], 5).count()
+
     def q_turncount_quantiles():
         counts = t.groupBy("conv_id").agg(F.count("*").alias("v"))
         sk = agg.hg64_agg(counts, "v", [], 5)
@@ -169,6 +175,7 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("latency_quantiles_by_tool", q_latency_quantiles_by_tool),
         ("textlen_buckets_by_role", q_textlen_buckets_by_role),
         ("turncount_quantiles", q_turncount_quantiles),
+        ("latency_sketch_per_conv", q_latency_sketch_per_conv),
         ("hll_distinct_convs", q_hll_distinct_convs),
         ("cms_tools", q_cms_tools),
         ("kll_latency_by_tool", q_kll_latency),
