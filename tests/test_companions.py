@@ -252,3 +252,37 @@ def test_kll_tdigest_reject_weights():
         KLL(64).add_values(np.array([1.0]), weights=np.array([2]))
     with pytest.raises(NotImplementedError):
         TDigest(100).add_values(np.array([1.0]), weights=np.array([2]))
+
+
+# --------------------------------------------- property tests (merge laws)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=300), st.integers(0, 1000))
+@settings(max_examples=30, deadline=None)
+def test_property_hll_split_invariance(values, seed):
+    arr = np.array(values, dtype=np.int64)
+    rng_ = np.random.default_rng(seed)
+    assign = rng_.integers(0, 3, arr.size) if arr.size else np.empty(0, dtype=int)
+    merged = HLL(10)
+    for i in rng_.permutation(3):
+        merged.merge(HLL(10).add_values(arr[assign == i]))
+    assert merged == HLL(10).add_values(arr)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=300), st.integers(0, 1000))
+@settings(max_examples=30, deadline=None)
+def test_property_cms_bloom_split_invariance(values, seed):
+    arr = np.array(values, dtype=np.int64)
+    rng_ = np.random.default_rng(seed)
+    assign = rng_.integers(0, 3, arr.size) if arr.size else np.empty(0, dtype=int)
+    mc = CMS(256, 3)
+    mb = Bloom(1 << 10, 3)
+    for i in rng_.permutation(3):
+        part = arr[assign == i]
+        mc.merge(CMS(256, 3).add_values(part))
+        mb.merge(Bloom(1 << 10, 3).add_values(part))
+    assert mc == CMS(256, 3).add_values(arr)
+    assert mb == Bloom(1 << 10, 3).add_values(arr)

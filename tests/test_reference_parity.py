@@ -149,3 +149,32 @@ def test_distribution_generators_shapes():
             assert abs(est - exact) / max(exact, 1) <= 2.0**-5, (name, q)
         # mean matches the distribution's design (most have mean ~1 pre-scale)
         assert hs.population == n
+
+
+def test_put_pro_rata_matches_reference_exactly():
+    """tests/golden/put_output.txt: nonzero (sigbits, key, count) rows after
+    six hg64_put range-inserts, produced by the compiled reference.  The
+    Python put() must reproduce every counter exactly — including the
+    carried-remainder arithmetic and the FP pro-rata truncation."""
+    from hg64spark.hg64 import HG64
+
+    cases = [
+        (100, 100_000, 12_345),
+        (0, 31, 1_000),
+        (5, 5, 7),
+        (1_000_000, 1_000_001, 999_999_937),
+        (1, 1_000_000_000_000, 123_456_789),
+        (4096, 8191, 64),
+    ]
+    golden: dict[int, dict[int, int]] = {}
+    path = os.path.join(os.path.dirname(__file__), "golden", "put_output.txt")
+    for line in open(path):
+        sb, key, cnt = (int(x) for x in line.split())
+        golden.setdefault(sb, {})[key] = cnt
+    for sb in (1, 4, 7):
+        hg = HG64(sb)
+        for mn, mx, cnt in cases:
+            hg.put(mn, mx, cnt)
+        keys, _, _, counts = hg.to_buckets()
+        mine = dict(zip(keys.tolist(), counts.tolist()))
+        assert mine == golden[sb], f"sigbits={sb}"
