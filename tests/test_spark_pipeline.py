@@ -385,3 +385,12 @@ def test_relational_quantiles_reject_q_ge_1(spark):
     df = spark.createDataFrame([(5,)], "v long")
     with pytest.raises(ValueError, match="0 <= q < 1"):
         relational.hg64_quantiles_relational(df, "v", [1.0], [], 5)
+
+
+def test_tree_aggregate_path_matches(spark):
+    """The literal treeAggregate global rollup (merged_load writ large,
+    test.c:125-157) must equal the relational and arrow paths exactly."""
+    base = _events_values(spark).repartition(7)
+    tree = agg.hg64_tree_agg(base, "v", 5, depth=2)
+    rel = _collect_sketch(agg.hg64_agg(base, "v", [], 5))
+    assert tree == rel
