@@ -22,27 +22,43 @@ sys.path.insert(0, _REPO)
 
 from hg64spark import queries as _q  # noqa: E402
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
+_ZIP_PATH: str | None = None
 
 
-def _ensure_package(spark: SparkSession) -> None:
-    """Ship hg64spark to the executors (addPyFile) so the vectorized-UDF
-    stages unpickle regardless of the harness's working directory — the
-    driver-side sys.path insert above does not reach Python workers."""
-    sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
-        return
-    zip_path = os.path.join(tempfile.gettempdir(), f"hg64spark_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(zip_path):
+def _package_zip() -> str:
+    """Build the executor zip exactly once per process, atomically (mkstemp +
+    os.replace into a unique per-instance name) — no reuse of files from
+    earlier processes, no truncated zips visible to anyone."""
+    global _ZIP_PATH
+    if _ZIP_PATH is None:
+        fd, tmp = tempfile.mkstemp(suffix=".zip", prefix="hg64spark_build_")
+        os.close(fd)
         pkg = os.path.join(_REPO, "hg64spark")
-        with zipfile.ZipFile(zip_path, "w") as zf:
+        with zipfile.ZipFile(tmp, "w") as zf:
             for root, _, files in os.walk(pkg):
                 for f in files:
                     if f.endswith(".py"):
                         full = os.path.join(root, f)
                         zf.write(full, os.path.relpath(full, _REPO))
-    sc.addPyFile(zip_path)
-    _SHIPPED.add(id(sc))
+        final = tmp.replace("hg64spark_build_", "hg64spark_pyfiles_")
+        os.replace(tmp, final)
+        _ZIP_PATH = final
+    return _ZIP_PATH
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    """Ship hg64spark to the executors (addPyFile) so the vectorized-UDF
+    stages unpickle regardless of the harness's working directory — the
+    driver-side sys.path insert above does not reach Python workers.
+    Keyed by applicationId (unique per SparkContext; id() can be reused
+    after GC)."""
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    sc.addPyFile(_package_zip())
+    _SHIPPED.add(app)
 
 
 def entry(spark: SparkSession) -> DataFrame:

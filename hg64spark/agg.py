@@ -53,6 +53,45 @@ def _group_schema(df: DataFrame, group_cols: Sequence[str]) -> list[StructField]
     return [by_name[c] for c in group_cols]
 
 
+#: one canonical NaN object: tuple equality shortcuts on identity, so using a
+#: single NaN instance makes cross-batch dict keys with NaN group values
+#: collide into one group (matching Spark's groupBy NaN semantics)
+_NAN = float("nan")
+
+
+def segment_record_batch(rb: pa.RecordBatch, n_group_cols: int) -> list[tuple[tuple, np.ndarray]]:
+    """Group the first ``n_group_cols`` columns of an Arrow batch without
+    creating per-row Python objects: dictionary-encode each group column,
+    fuse the codes into one mixed-radix int, argsort, and cut segments.
+    Returns [(group_value_tuple, row_index_array), ...]; empty list for a
+    zero-row batch.  Shared by the partial builder and the relational fold."""
+    if rb.num_rows == 0:
+        return []
+    dicts: list[list] = []
+    fused = None
+    for i in range(n_group_cols):
+        enc = rb.column(i).dictionary_encode()
+        d = enc.dictionary.to_pylist() + [None]  # last code = NULL
+        d = [_NAN if isinstance(v, float) and v != v else v for v in d]
+        codes = enc.indices.fill_null(len(d) - 1).to_numpy(zero_copy_only=False).astype(np.int64)
+        dicts.append(d)
+        fused = codes if fused is None else fused * len(d) + codes
+    order = np.argsort(fused, kind="stable")
+    fs = fused[order]
+    bounds = np.flatnonzero(np.diff(fs)) + 1
+    out = []
+    for s, e in zip(
+        np.concatenate([[0], bounds]).tolist(), np.concatenate([bounds, [fs.size]]).tolist()
+    ):
+        code = int(fs[s])
+        key_vals = []
+        for d in reversed(dicts):
+            code, c = divmod(code, len(d))
+            key_vals.append(d[c])
+        out.append((tuple(reversed(key_vals)), order[s:e]))
+    return out
+
+
 def sketch_partials(
     df: DataFrame,
     value_col: str,
@@ -117,37 +156,18 @@ def sketch_partials(
                 sk.add_values(varr if keep is None else varr[keep])
                 key_rows[()] += n_valid
                 continue
-            # dictionary-encode each group column; fuse codes into one int64
-            dicts = []
-            fused = None
-            for i in range(len(group_cols)):
-                enc = rb.column(i).dictionary_encode()
-                d = enc.dictionary.to_pylist() + [None]  # last code = NULL
-                codes = enc.indices.fill_null(len(d) - 1).to_numpy(zero_copy_only=False).astype(np.int64)
-                dicts.append(d)
-                fused = codes if fused is None else fused * len(d) + codes
-            if keep is not None:
-                fused = fused[keep]
-                varr = varr[keep]
-            order = np.argsort(fused, kind="stable")
-            fs = fused[order]
-            vs = varr[order]
-            bounds = np.flatnonzero(np.diff(fs)) + 1
-            starts = np.concatenate([[0], bounds])
-            ends = np.concatenate([bounds, [fs.size]])
-            for s, e in zip(starts.tolist(), ends.tolist()):
-                code = int(fs[s])
-                key_vals = []
-                for d in reversed(dicts):
-                    code, c = divmod(code, len(d))
-                    key_vals.append(d[c])
-                key = tuple(reversed(key_vals))
+            valid_mask = valid  # row-aligned null mask for the value column
+            for key, idx in segment_record_batch(rb, len(group_cols)):
+                if valid_mask is not None:
+                    idx = idx[valid_mask[idx]]
+                    if idx.size == 0:
+                        continue
                 sk = sketches.get(key)
                 if sk is None:
                     sk = sketches[key] = make_sketch()
                     key_rows[key] = 0
-                sk.add_values(vs[s:e])
-                key_rows[key] += e - s
+                sk.add_values(varr[idx])
+                key_rows[key] += idx.size
         if not sketches:
             return
         elapsed = time.perf_counter_ns() - t0

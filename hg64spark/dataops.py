@@ -610,19 +610,20 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    pe = probes.select(F.col("vec_id").alias("probe_id"), F.posexplode("se").alias("j", "y"))
-    ee = e.select(F.col("vec_id").alias("neighbor_id"), F.posexplode("se").alias("j", "x"))
-    dots = (
-        ee.join(F.broadcast(pe), "j")
+    # exact scoring of the CANDIDATES ONLY (the point of the inverted lists):
+    # attach both vectors to each candidate pair, zip-explode, integer sum —
+    # never the full N x P cross like the brute-force baseline
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("se").alias("nv"))
+    pv = probes.select(F.col("vec_id").alias("probe_id"), F.col("se").alias("pv"))
+    scored = (
+        cand.join(ne, "neighbor_id")
+        .join(F.broadcast(pv), "probe_id")
+        .select("probe_id", "neighbor_id", F.explode(F.arrays_zip("nv", "pv")).alias("z"))
         .groupBy("probe_id", "neighbor_id")
-        .agg(F.sum(F.col("x") * F.col("y")).alias("dot"))
+        .agg(F.sum(F.col("z.nv") * F.col("z.pv")).alias("dot"))
     )
     w_p = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
-    ivf_top = (
-        cand.join(dots, ["probe_id", "neighbor_id"])
-        .withColumn("rk", F.row_number().over(w_p))
-        .filter(F.col("rk") <= TOPK)
-    )
+    ivf_top = scored.withColumn("rk", F.row_number().over(w_p)).filter(F.col("rk") <= TOPK)
     true_top = q_ann_brute_topk(spark, sf_dir).select("probe_id", "neighbor_id")
     overlap = ivf_top.join(true_top, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
         F.count("*").alias("hits")

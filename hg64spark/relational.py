@@ -392,6 +392,8 @@ def hg64_agg_relational(
         shuffled = counts.repartition(*group_cols)
 
         def fold_partition(batches):
+            from hg64spark.agg import segment_record_batch
+
             sketches: dict[tuple, np.ndarray] = {}
             out_type = None
             for rb in batches:
@@ -399,31 +401,11 @@ def hg64_agg_relational(
                     out_type = rb.schema
                 keys = rb.column(len(group_cols)).to_numpy(zero_copy_only=False)
                 cnts = rb.column(len(group_cols) + 1).to_numpy(zero_copy_only=False)
-                dicts = []
-                fused = None
-                for i in range(len(group_cols)):
-                    enc = rb.column(i).dictionary_encode()
-                    d = enc.dictionary.to_pylist() + [None]
-                    codes = enc.indices.fill_null(len(d) - 1).to_numpy(zero_copy_only=False).astype(np.int64)
-                    dicts.append(d)
-                    fused = codes if fused is None else fused * len(d) + codes
-                order = np.argsort(fused, kind="stable")
-                fs, ks, cs = fused[order], keys[order], cnts[order]
-                bounds = np.flatnonzero(np.diff(fs)) + 1
-                for s, e in zip(
-                    np.concatenate([[0], bounds]).tolist(),
-                    np.concatenate([bounds, [fs.size]]).tolist(),
-                ):
-                    code = int(fs[s])
-                    key_vals = []
-                    for d in reversed(dicts):
-                        code, c = divmod(code, len(d))
-                        key_vals.append(d[c])
-                    gkey = tuple(reversed(key_vals))
+                for gkey, idx in segment_record_batch(rb, len(group_cols)):
                     counters = sketches.get(gkey)
                     if counters is None:
                         counters = sketches[gkey] = np.zeros(nk, dtype=np.uint64)
-                    counters[ks[s:e]] += cs[s:e].astype(np.uint64)
+                    counters[keys[idx]] += cnts[idx].astype(np.uint64)
             if not sketches:
                 return
             gkeys = list(sketches.keys())

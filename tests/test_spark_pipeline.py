@@ -394,3 +394,17 @@ def test_tree_aggregate_path_matches(spark):
     tree = agg.hg64_tree_agg(base, "v", 5, depth=2)
     rel = _collect_sketch(agg.hg64_agg(base, "v", [], 5))
     assert tree == rel
+
+
+def test_grouped_fold_pandas_and_arrow_byte_identical(spark):
+    """The per-group applyInPandas fold and the Arrow-segmented fold must
+    produce byte-identical blobs (incl. a null group value)."""
+    from hg64spark import relational
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 100), ("b", 7), (None, 3), ("b", 2**40), (None, 9)],
+        "g string, v long",
+    ).repartition(3)
+    a = {r["g"]: bytes(r["sketch"]) for r in relational.hg64_agg_relational(df, "v", ["g"], 5, fold="arrow").collect()}
+    p = {r["g"]: bytes(r["sketch"]) for r in relational.hg64_agg_relational(df, "v", ["g"], 5, fold="pandas").collect()}
+    assert a == p and set(a) == {"a", "b", None}
