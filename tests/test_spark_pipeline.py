@@ -357,6 +357,16 @@ def test_sql_udf_surface_over_sketch_columns(spark):
     for r in rows:
         assert r["p90"] == want[r["event_type"]]
         assert r["pop"] == int((pdf["event_type"] == r["event_type"]).sum())
+    # rank UDF: SQL answer equals the library snapshot
+    probe = 40_000
+    ranks = spark.sql(
+        f"SELECT event_type, hg64_rank(sketch, {probe}L) AS r FROM ev_sketches"
+    ).collect()
+    for r in ranks:
+        blob = [x["sketch"] for x in sk.collect() if x["event_type"] == r["event_type"]][0]
+        want_r = int(HG64.deserialize(bytes(blob)).snapshot().rank_of_value(
+            __import__("numpy").array([probe], dtype="uint64"))[0])
+        assert r["r"] == want_r
     # pairwise merge UDF == library merge
     two = spark.sql(
         "SELECT hg64_population(hg64_merge_pair(a.sketch, b.sketch)) AS pop "
