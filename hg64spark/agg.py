@@ -68,27 +68,42 @@ def segment_record_batch(rb: pa.RecordBatch, n_group_cols: int) -> list[tuple[tu
     if rb.num_rows == 0:
         return []
     dicts: list[list] = []
-    fused = None
+    codes_list: list[np.ndarray] = []
     for i in range(n_group_cols):
         enc = rb.column(i).dictionary_encode()
         d = enc.dictionary.to_pylist() + [None]  # last code = NULL
         d = [_NAN if isinstance(v, float) and v != v else v for v in d]
         codes = enc.indices.fill_null(len(d) - 1).to_numpy(zero_copy_only=False).astype(np.int64)
         dicts.append(d)
-        fused = codes if fused is None else fused * len(d) + codes
-    order = np.argsort(fused, kind="stable")
-    fs = fused[order]
-    bounds = np.flatnonzero(np.diff(fs)) + 1
+        codes_list.append(codes)
+    # mixed-radix fuse only while the radix product fits in int64: with
+    # several high-cardinality group columns prod(len(d)) can exceed 2^63,
+    # which would wrap silently and merge distinct groups — fall back to a
+    # lexsort over the per-column code arrays in that case
+    radix = 1
+    for d in dicts:
+        radix = radix * len(d) if radix <= (1 << 62) // len(d) else 0
+    if radix:
+        fused = None
+        for d, codes in zip(dicts, codes_list):
+            fused = codes if fused is None else fused * len(d) + codes
+        order = np.argsort(fused, kind="stable")
+        fs = fused[order]
+        bounds = np.flatnonzero(np.diff(fs)) + 1
+    else:
+        order = np.lexsort(tuple(reversed(codes_list)))
+        changed = np.zeros(rb.num_rows - 1, dtype=bool)
+        for codes in codes_list:
+            cs = codes[order]
+            changed |= cs[1:] != cs[:-1]
+        bounds = np.flatnonzero(changed) + 1
     out = []
     for s, e in zip(
-        np.concatenate([[0], bounds]).tolist(), np.concatenate([bounds, [fs.size]]).tolist()
+        np.concatenate([[0], bounds]).tolist(), np.concatenate([bounds, [rb.num_rows]]).tolist()
     ):
-        code = int(fs[s])
-        key_vals = []
-        for d in reversed(dicts):
-            code, c = divmod(code, len(d))
-            key_vals.append(d[c])
-        out.append((tuple(reversed(key_vals)), order[s:e]))
+        row = int(order[s])
+        key_vals = tuple(d[codes[row]] for d, codes in zip(dicts, codes_list))
+        out.append((key_vals, order[s:e]))
     return out
 
 
@@ -280,7 +295,11 @@ def repartition_salted(df: DataFrame, cols: Sequence[str], buckets: int) -> Data
     # salt domain 8x wider than the partition count: with only `buckets`
     # distinct salt values, hash-partitioning collides and leaves partitions
     # empty/doubled; 8x over-decomposition smooths the balls-into-bins
-    salt = F.abs(F.xxhash64(*[F.col(c) for c in cols], F.monotonically_increasing_id())) % (buckets * 8)
+    # pmod, not abs+%: abs(Long.MIN_VALUE) overflows (an ANSI-mode job
+    # failure in Spark 4) — astronomically rare per row, nonzero at 10^12
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.monotonically_increasing_id()), F.lit(buckets * 8)
+    )
     return df.repartition(buckets, salt.cast("int"))
 
 

@@ -92,15 +92,39 @@ def _shingles_sql(base: str, k: int = SHINGLE_K) -> str:
     """
 
 
+#: document-frequency cap on shingles entering any pair self-join: a single
+#: stop-phrase shingle shared by 10^6 docs would otherwise create a 10^12-row
+#: join partition.  Similarity is defined over the capped shingle space
+#: (standard stop-gram removal), identically in Spark and the DuckDB oracle.
+SHINGLE_DF_CAP = 256
+
+
+def capped_shingles(corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Shingles minus those appearing in more than ``df_cap`` documents —
+    the skew-safe input to every shingle self-join.  One extra groupBy over
+    the shingle stream (partial-aggregated map-side), then a semi-join that
+    Catalyst plans on the same shingle key as the pair join itself."""
+    s = shingles(corpus, k)
+    rare = s.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).select("sh")
+    return s.join(rare, "sh", "left_semi")
+
+
+def _capped_shingles_sql(base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> str:
+    return f"""
+    SELECT doc_id, sh FROM ({_shingles_sql(base, k)})
+    WHERE sh IN (SELECT sh FROM ({_shingles_sql(base, k)}) GROUP BY sh HAVING count(*) <= {df_cap})
+    """
+
+
 # The exact-Jaccard pair computation, shared by several operators.
 def jaccard_pairs(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for every pair sharing >= 1 shingle.
+    """(doc_a, doc_b, jaccard) for every pair sharing >= 1 (df-capped)
+    shingle.
 
     Scale shape: |shingles| ~ tokens per doc; the self-equi-join shuffles by
-    shingle key (a hot shingle is a skew key — at production scale drop
-    shingles with document frequency above a cap first; here the vocab is
-    tiny and the join is bounded)."""
-    s = shingles(corpus, k)
+    shingle key, and the DF cap removes every shingle hot enough to skew a
+    join partition before the join runs."""
+    s = capped_shingles(corpus, k)
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         s.alias("x")
@@ -124,7 +148,7 @@ def jaccard_pairs(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 
 def _jaccard_pairs_sql(base: str, k: int = SHINGLE_K) -> str:
     return f"""
-    WITH s AS ({_shingles_sql(base, k)}),
+    WITH s AS ({_capped_shingles_sql(base, k)}),
     sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
     inter AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
@@ -310,8 +334,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: the shingle set feeds signatures, verification, and sizes; it is
     # recomputed per branch on purpose — measured faster than .persist()
     # (row-format caching breaks the codegen pipeline and costs more than the
-    # re-explosion at this shape)
-    s = shingles(corpus)
+    # re-explosion at this shape).  DF-capped so one stop-phrase shingle
+    # can't skew either the signature build or the verification join.
+    s = capped_shingles(corpus)
     r = MINHASH_N // LSH_BANDS
     assert r == 2, "band assembly below is written for r=2 rows per band"
     # signatures in LONG format: explode the hash index and run ONE narrow
@@ -374,16 +399,33 @@ WHERE jaccard >= {NEARDUP_TAU}
 
 SIMHASH_BITS = 60
 HAMMING_MAX = 8
+#: pigeonhole banding: a pair at Hamming <= 8 differs in at most 8 of the 9
+#: disjoint bit-bands, so it must agree EXACTLY on >= 1 band — the banded
+#: equi-join is a lossless candidate generator for the <= 8 threshold
+SIMHASH_BANDS = HAMMING_MAX + 1
+
+
+def _simhash_band_bounds() -> list[tuple[int, int]]:
+    """(bit_offset, width) per band: 60 bits over 9 bands -> 6x7 + 3x6."""
+    base, rem = divmod(SIMHASH_BITS, SIMHASH_BANDS)
+    widths = [base + (1 if i < rem else 0) for i in range(SIMHASH_BANDS)]
+    return [(sum(widths[:i]), widths[i]) for i in range(SIMHASH_BANDS)]
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup detection: 60-bit signatures from md5-prefix token
     hashes (sign-sum per bit), pairs at Hamming distance <= 8.  Fully
-    SQL-expressible, so the oracle recomputes the identical signatures.
+    SQL-expressible, so the oracle recomputes the identical signatures (the
+    oracle may pair exhaustively — it runs in DuckDB at test scale; the
+    Spark plan must not).
 
-    Scale shape: signature build is one grouped aggregation; the pair search
-    here is a broadcastable self-join on the corpus (fine for candidate-scale
-    inputs); production pairing would bucket by signature prefixes first."""
+    Scale shape: signature build is one grouped aggregation; pair search is
+    pigeonhole-banded — Hamming <= 8 over 9 disjoint bands forces an exact
+    match on >= 1 band, so candidates come from an equi-join on
+    (band, band_bits) and the Hamming distance is verified on candidates
+    only.  No theta-join anywhere: the plan stays SortMergeJoin /
+    shuffled-hash, never CartesianProduct (asserted by
+    tests/test_dataops.py)."""
     c = augmented_corpus(spark, sf_dir)
     toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = toks.select("doc_id", _tokhash_spark(F.col("tok")).alias("h"))
@@ -403,17 +445,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = bit_sums.groupBy("doc_id").agg(
         F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))).alias("simhash")
     )
-    pairs = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+    band_arr = F.array(
+        *[F.expr(f"(simhash >> {off}) & {(1 << w) - 1}") for off, w in _simhash_band_bounds()]
+    )
+    bands = sigs.select("doc_id", "simhash", F.posexplode(band_arr).alias("band", "bb"))
+    # a near-dup pair can collide in several bands -> distinct BEFORE the
+    # (cheap) bit_count so each pair is verified once
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "bb"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).cast("long").alias("hamming"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
-    return pairs
 
 
 _SIMHASH_SIG_SQL = f"""

@@ -62,6 +62,10 @@ class HG64:
         values = np.asarray(values)
         if values.size == 0:
             return self
+        if values.dtype.kind == "f" and not bool(np.isfinite(values).all()):
+            # NaN passes a `< 0` test and astype(uint64) of NaN/inf is
+            # platform-defined garbage — reject before it mis-buckets
+            raise ValueError("hg64 ingests finite values; got NaN/inf")
         if values.dtype.kind in ("i", "f"):
             if bool((np.asarray(values) < 0).any()):
                 raise ValueError("hg64 ingests unsigned values; got negatives")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 import struct
+import zlib
 
 import numpy as np
 
@@ -27,15 +28,34 @@ _C = 2.0 / 3.0
 
 
 class KLL:
-    __slots__ = ("k", "levels", "n", "_rng")
+    __slots__ = ("k", "levels", "n", "_rng", "_seed")
 
-    def __init__(self, k: int = 200, levels: list[np.ndarray] | None = None, n: int = 0):
+    def __init__(
+        self, k: int = 200, levels: list[np.ndarray] | None = None, n: int = 0, seed: int | None = None
+    ):
         if not 8 <= k <= 65535:
             raise ValueError(f"KLL k must be in [8, 65535], got {k}")
         self.k = k
         self.levels = levels if levels is not None else [np.empty(0, dtype=np.float64)]
         self.n = n
-        self._rng = np.random.default_rng(0xD1CE + k)
+        # the KLL error proof assumes INDEPENDENT compaction coin flips across
+        # sketch instances; a constant seed correlates every partial sketch's
+        # even/odd promotion choices.  Seed lazily from the first data the
+        # sketch compacts (deterministic for a given execution order, i.e.
+        # reproducible, but decorrelated across partitions), or from an
+        # explicit ``seed``.
+        self._seed = seed
+        self._rng = None
+
+    def _coin(self) -> int:
+        if self._rng is None:
+            if self._seed is not None:
+                s = self._seed
+            else:
+                lv0 = self.levels[0][:16] if self.levels else np.empty(0)
+                s = zlib.crc32(np.ascontiguousarray(lv0, dtype=np.float64).tobytes(), self.n & 0xFFFFFFFF)
+            self._rng = np.random.default_rng((s << 17) ^ 0xD1CE ^ self.k)
+        return int(self._rng.integers(2))
 
     # ------------------------------------------------------------- internals
 
@@ -58,7 +78,7 @@ class KLL:
                         keep, lv = lv[-1:], lv[:-1]
                     else:
                         keep = np.empty(0, dtype=np.float64)
-                    offset = int(self._rng.integers(2))
+                    offset = self._coin()
                     promoted = lv[offset::2]
                     self.levels[h] = keep
                     if h + 1 == len(self.levels):

@@ -22,47 +22,73 @@ from pyspark.sql.types import BinaryType, DoubleType, LongType
 from hg64spark.hg64 import HG64
 
 
+def _isnull(v) -> bool:
+    return v is None or (isinstance(v, float) and v != v)
+
+
 @pandas_udf(LongType())
 def hg64_quantile(sketch: pd.Series, q: pd.Series) -> pd.Series:
-    """value_at_quantile over a serialized hg64 column (`hg64.c:431-436`)."""
-    out = np.empty(len(sketch), dtype=np.int64)
-    for i, (blob, qq) in enumerate(zip(sketch, q)):
+    """value_at_quantile over a serialized hg64 column (`hg64.c:431-436`).
+    SQL convention: null sketch or null q -> null result."""
+    out = []
+    for blob, qq in zip(sketch, q):
+        if _isnull(blob) or _isnull(qq):
+            out.append(None)
+            continue
         # .astype(int64) wraps UINT64_MAX (q=1.0 / empty sketch) to -1,
         # matching agg.hg64_quantiles — a bare int() would overflow
-        out[i] = HG64.deserialize(bytes(blob)).snapshot().value_at_quantile(np.array([qq])).astype(np.int64)[0]
-    return pd.Series(out)
+        out.append(
+            int(HG64.deserialize(bytes(blob)).snapshot().value_at_quantile(np.array([qq])).astype(np.int64)[0])
+        )
+    return pd.Series(out, dtype="Int64")
 
 
 @pandas_udf(LongType())
 def hg64_rank(sketch: pd.Series, value: pd.Series) -> pd.Series:
-    """rank_of_value over a serialized hg64 column (`hg64.c:410-429`)."""
-    out = np.empty(len(sketch), dtype=np.int64)
-    for i, (blob, v) in enumerate(zip(sketch, value)):
-        out[i] = int(HG64.deserialize(bytes(blob)).snapshot().rank_of_value(np.array([v], dtype=np.uint64))[0])
-    return pd.Series(out)
+    """rank_of_value over a serialized hg64 column (`hg64.c:410-429`);
+    null-in/null-out."""
+    out = []
+    for blob, v in zip(sketch, value):
+        if _isnull(blob) or _isnull(v):
+            out.append(None)
+            continue
+        out.append(int(HG64.deserialize(bytes(blob)).snapshot().rank_of_value(np.array([v], dtype=np.uint64))[0]))
+    return pd.Series(out, dtype="Int64")
 
 
 @pandas_udf(LongType())
 def hg64_population(sketch: pd.Series) -> pd.Series:
-    return pd.Series([HG64.deserialize(bytes(b)).population for b in sketch], dtype="int64")
+    return pd.Series(
+        [None if _isnull(b) else HG64.deserialize(bytes(b)).population for b in sketch], dtype="Int64"
+    )
 
 
 @pandas_udf(DoubleType())
 def hg64_mean(sketch: pd.Series) -> pd.Series:
     return pd.Series(
-        [HG64.deserialize(bytes(b)).snapshot().mean_variance_corrected()[0] for b in sketch]
+        [None if _isnull(b) else HG64.deserialize(bytes(b)).snapshot().mean_variance_corrected()[0] for b in sketch],
+        dtype="Float64",
     )
 
 
 @pandas_udf(BinaryType())
 def hg64_merge_pair(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Merge two serialized sketches (e.g. combining rollup rows)."""
+    """Merge two serialized sketches (e.g. combining rollup rows).  A null on
+    one side passes the other through unchanged (merge with empty = identity);
+    null on both sides -> null."""
     out = []
     for x, y in zip(a, b):
-        sk = HG64.deserialize(bytes(x))
-        sk.merge(HG64.deserialize(bytes(y)))
-        out.append(sk.serialize())
-    return pd.Series(out)
+        if _isnull(x) and _isnull(y):
+            out.append(None)
+        elif _isnull(x):
+            out.append(bytes(y))
+        elif _isnull(y):
+            out.append(bytes(x))
+        else:
+            sk = HG64.deserialize(bytes(x))
+            sk.merge(HG64.deserialize(bytes(y)))
+            out.append(sk.serialize())
+    return pd.Series(out, dtype="object")
 
 
 def register(spark: SparkSession) -> None:

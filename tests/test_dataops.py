@@ -101,3 +101,74 @@ def test_langid_is_deterministic_and_total(spark):
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(rows) == n_docs
     assert all(r["predicted_lang"] in ("en", "es", "de", "fr", "zh") for r in rows)
+
+
+def test_simhash_plan_has_no_cartesian_or_bnlj(spark):
+    """The SimHash pair search must be the banded equi-join, never a
+    theta-join: a CartesianProduct / BroadcastNestedLoopJoin in this plan is
+    an O(n^2) scale-killer at 10^9 docs (VERDICT r1 'What's wrong' #1)."""
+    plan = dataops.q_dedup_simhash(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_simhash_banding_is_lossless(spark):
+    """Pigeonhole guarantee: banded candidates recover EXACTLY the pairs an
+    exhaustive Hamming<=8 scan finds (banding changes the plan, not the
+    answer)."""
+    sf = SF_DIR
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dataops.q_dedup_simhash(spark, sf).collect()
+    }
+    # exhaustive scan over the same signatures, driver-side (test scale only)
+    c = dataops.augmented_corpus(spark, sf)
+    toks = c.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.select("doc_id", dataops._tokhash_spark(F.col("tok")).alias("h"))
+    bits = h.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {dataops.SIMHASH_BITS - 1}),"
+                f" b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)"
+            )
+        ).alias("b", "sign"),
+    )
+    sums = bits.groupBy("doc_id", "b").agg(F.sum("sign").alias("s"))
+    sigs = sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, b)")).otherwise(F.lit(0))).alias("sig")
+    )
+    rows = sigs.collect()
+    exhaustive = set()
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            x, y = (a, b) if a["doc_id"] < b["doc_id"] else (b, a)
+            d = bin(x["sig"] ^ y["sig"]).count("1")
+            if d <= dataops.HAMMING_MAX:
+                exhaustive.add((x["doc_id"], y["doc_id"], d))
+    assert banded == exhaustive
+
+
+def test_hot_shingle_df_cap_bounds_the_join(spark):
+    """A planted stop-phrase shingle shared by every doc must NOT reach the
+    pair self-join: with the DF cap the join output stays linear in the
+    number of genuinely-similar pairs instead of exploding quadratically."""
+    n = 300  # > SHINGLE_DF_CAP
+    stop = "the quick brown fox jumps"  # one shared 5-gram in every doc
+    rows = [(i, f"{stop} unique{i} u{i}a u{i}b u{i}c u{i}d") for i in range(n)]
+    # plus one genuine near-dup pair sharing rare shingles
+    rows += [
+        (10_000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (10_001, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dataops.capped_shingles(corpus)
+    hot = capped.filter(F.col("sh") == stop).count()
+    assert hot == 0, "ultra-common shingle must be dropped by the DF cap"
+
+    pairs = dataops.jaccard_pairs(corpus).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # without the cap this would contain ~n^2/2 stop-phrase pairs
+    assert (10_000, 10_001) in got
+    assert all(a >= 10_000 for a, _ in got), f"stop-phrase pairs leaked: {sorted(got)[:5]}"
