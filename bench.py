@@ -112,6 +112,11 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
     # the first timed query doesn't absorb session fixed costs
     agg.hg64_agg(t.limit(10_000).select(F.length("text").alias("v")), "v", [], 5).collect()
     agg.sketch_agg(t.limit(10_000).select("conv_id"), "conv_id", [], HLL, HLL.deserialize).collect()
+    # the KLL partial/merge lambdas are distinct pickled UDFs from the HLL
+    # ones, so they JIT/compile separately — warm them too or the first KLL
+    # line absorbs ~3s of session fixed cost (measured: 3.4s cold, 0.9s warm)
+    warm = spark.read.parquet(lat_path).limit(10_000)
+    agg.sketch_agg(warm, "latency_us", ["tool"], lambda: KLL(200), KLL.deserialize).collect()
 
     def q_latency_quantiles_by_tool():
         # project narrow BEFORE the window: the conv_id shuffle then carries

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hg64spark import io
+
 SHINGLE_K = 5
 NEARDUP_TAU = 0.5
 MINHASH_N = 64
@@ -41,7 +43,7 @@ STOPWORDS = ("the", "a")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return io.read_table(spark, sf_dir, "documents")
 
 
 def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,7 +508,7 @@ _SCALE_SQL = "[CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR v IN
 
 
 def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = io.read_table(spark, sf_dir, "embeddings")
     return e.select("vec_id", F.expr(_SCALE).alias("se"))
 
 
@@ -613,9 +615,10 @@ FROM embeddings WHERE vec_id < {N_PROBES}
 """
 
 
-IVF_CENTROID_MOD = 20  # every 20th vector is a coarse centroid
-IVF_NPROBE = 6
-IVF_RECALL_FLOOR = 0.3
+IVF_SEED_MOD = 40  # every 40th vector seeds a coarse centroid (K = N/40)
+IVF_NPROBE = 10
+IVF_RECALL_FLOOR = 0.6
+IVF_LLOYD_ITERS = 2
 
 
 def _dots_against(vectors: DataFrame, refs: DataFrame, ref_id: str) -> DataFrame:
@@ -630,37 +633,74 @@ def _dots_against(vectors: DataFrame, refs: DataFrame, ref_id: str) -> DataFrame
     )
 
 
-def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer (deterministic centroid subset —
-    every 20th vector), inverted lists = argmax-centroid assignment, probes
-    search the nprobe nearest lists, candidates get exact scoring.  Gate:
-    recall@10 >= 0.3 per probe vs brute force (self-certified).
+def _ivf_rank(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """(vec_id, cid, rn): rank of each centroid per vector by spherical
+    score dot/|c| (cosine up to the constant |v|), rows with rn <= n kept.
+    Deterministic tiebreak on cid."""
+    norms = cents.select(
+        "cid",
+        F.expr("sqrt(aggregate(ce, 0.0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))").alias("cn"),
+    )
+    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        _dots_against(vectors, cents, "cid")
+        .join(F.broadcast(norms), "cid")
+        .withColumn("score", F.col("dot").cast("double") / F.col("cn"))
+        .withColumn("rn", F.row_number().over(w_vec))
+        .filter(F.col("rn") <= n)
+        .select("vec_id", "cid", "rn")
+    )
 
-    The synthetic embeddings are near-isotropic, so coarse quantization has
-    an intrinsically modest recall at small nprobe — the gate certifies the
-    floor at these parameters (measured 3-8/10 per probe at both test
-    scales); real clustered embeddings and a trained k-means quantizer raise
-    it, with the identical plan shape.  Scale shape: assignment is a
-    broadcast join + window argmax; probing touches only the selected
-    inverted lists (an equi-join on centroid id)."""
+
+def _ivf_train(spark: SparkSession, e: DataFrame, iters: int = IVF_LLOYD_ITERS) -> DataFrame:
+    """Deterministic seeded k-means (spherical Lloyd) entirely in DataFrame
+    ops: seeds = every IVF_SEED_MOD-th vector; per iteration assign by
+    argmax dot/|c| (broadcast join + window), recompute centroids as the
+    per-dimension integer-rounded mean (posexplode + grouped avg + rebuilt
+    array), keep the old centroid for empty clusters.  K centroids come back
+    to the driver each iteration (K*dim ints — the same driver-loop shape
+    MLlib k-means uses), so the lineage stays shallow."""
+    cents = e.filter(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+        (F.col("vec_id") / IVF_SEED_MOD).cast("int").alias("cid"), F.col("se").alias("ce")
+    )
+    for _ in range(iters):
+        assigned = _ivf_rank(e, cents, 1).select("vec_id", "cid")
+        means = (
+            assigned.join(e, "vec_id")
+            .select("cid", F.posexplode("se").alias("j", "x"))
+            .groupBy("cid", "j")
+            .agg(F.floor(F.avg("x") + F.lit(0.5)).cast("long").alias("m"))
+            .groupBy("cid")
+            .agg(F.expr("transform(array_sort(collect_list(struct(j, m))), s -> s.m)").alias("ce"))
+        )
+        updated = (
+            cents.select("cid", F.col("ce").alias("old"))
+            .join(means, "cid", "left")
+            .select("cid", F.coalesce("ce", "old").alias("ce"))
+        )
+        cents = spark.createDataFrame(
+            [(r["cid"], list(r["ce"])) for r in updated.collect()], "cid int, ce array<bigint>"
+        )
+    return cents
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: deterministic seeded k-means
+    (spherical Lloyd, DataFrame-only — see _ivf_train), inverted lists =
+    argmax-centroid assignment, probes search the nprobe nearest lists,
+    candidates get exact scoring.  Gate: recall@10 >= 0.6 per probe vs brute
+    force (self-certified; measured min 0.8-0.9 at the gated scales, up from
+    the 0.3 floor of the untrained every-20th-vector quantizer).
+
+    Scale shape: training touches the data iters+1 times with a broadcast
+    join + window argmax each pass (train on a sample at production scale);
+    probing touches only the selected inverted lists (an equi-join on
+    centroid id)."""
     e = _scaled(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("se").alias("ce")
-    )
-    w_vec = Window.partitionBy("vec_id").orderBy(F.desc("dot"), F.asc("cid"))
-    assigned = (
-        _dots_against(e, cents, "cid")
-        .withColumn("rn", F.row_number().over(w_vec))
-        .filter("rn = 1")
-        .select("vec_id", "cid")
-    )
+    cents = _ivf_train(spark, e)
+    assigned = _ivf_rank(e, cents, 1).select("vec_id", "cid")
     probes = e.filter(F.col("vec_id") < N_PROBES)
-    plists = (
-        _dots_against(probes, cents, "cid")
-        .withColumn("rn", F.row_number().over(w_vec))
-        .filter(F.col("rn") <= IVF_NPROBE)
-        .select(F.col("vec_id").alias("probe_id"), "cid")
-    )
+    plists = _ivf_rank(probes, cents, IVF_NPROBE).select(F.col("vec_id").alias("probe_id"), "cid")
     cand = (
         plists.join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("probe_id"))

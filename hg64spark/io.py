@@ -1,0 +1,59 @@
+"""Table-format indirection: every query reads named tables through
+:func:`read_table`, so the storage format is configuration, not code
+(SURVEY.md §7's "Iceberg is config" claim, made real).
+
+Formats:
+
+* ``parquet`` (default) — ``{location}/{name}.parquet``, what the sandbox
+  test data provides.
+* ``iceberg`` / any catalog format — ``spark.table(f"{namespace}.{name}")``.
+  On a production cluster with an Iceberg catalog configured
+  (``spark.sql.catalog.* = org.apache.iceberg.spark.SparkCatalog``), set
+  ``spark.conf.set("hg64spark.io.format", "iceberg")`` and
+  ``hg64spark.io.namespace`` and every query in this package reads the
+  catalog tables instead — partition pruning, hidden-partitioning, and
+  snapshot isolation come from the catalog; nothing else in the package
+  changes.
+
+The per-session Spark conf is the switch (falls back to the
+``HG64SPARK_IO_FORMAT`` / ``HG64SPARK_IO_NAMESPACE`` env vars), so a
+spark-submit job flips format with ``--conf hg64spark.io.format=iceberg``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+FORMAT_CONF = "hg64spark.io.format"
+NAMESPACE_CONF = "hg64spark.io.namespace"
+
+
+def _conf(spark: SparkSession, key: str, env: str, default: str) -> str:
+    try:
+        v = spark.conf.get(key)
+        if v:
+            return v
+    except Exception:
+        pass
+    return os.environ.get(env, default)
+
+
+def read_table(spark: SparkSession, location: str, name: str) -> DataFrame:
+    """Read the named input table (``events``, ``documents``, ...) from
+    ``location`` under the configured table format.
+
+    For ``parquet``, ``location`` is the sf directory and the table is the
+    file ``{location}/{name}.parquet``.  For catalog formats (``iceberg``),
+    ``location`` is ignored in favor of the configured namespace and the
+    read goes through ``spark.table`` — the catalog owns layout, pruning and
+    snapshots."""
+    fmt = _conf(spark, FORMAT_CONF, "HG64SPARK_IO_FORMAT", "parquet").lower()
+    if fmt == "parquet":
+        return spark.read.parquet(f"{location}/{name}.parquet")
+    if fmt == "iceberg":
+        ns = _conf(spark, NAMESPACE_CONF, "HG64SPARK_IO_NAMESPACE", "")
+        return spark.table(f"{ns}.{name}" if ns else name)
+    # any other registered DataSourceV2 format: directory-per-table layout
+    return spark.read.format(fmt).load(f"{location}/{name}")

@@ -14,17 +14,22 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hg64spark import io  # noqa: A004 (shadows stdlib io only inside the package)
 from hg64spark import agg, sqloracle, transcripts
 from hg64spark.hg64 import HG64
 from hg64spark.sketches import HLL, CMS, Bloom, KLL
 
 # the reference harness's quantile sweep shape (`/root/reference/test.c:245-256`),
-# clipped of q=0/1 (q=0 is the documented low-rank interpolation artifact,
-# SURVEY.md §7; q=1 returns UINT64_MAX which has no int64 SQL representation)
-QSWEEP = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 0.9999]
+# INCLUDING its deep-tail probes 0.99999/0.999999 (population edges exercise
+# the oracle's rank math where floor(q*pop) lands on the last occupied
+# buckets), clipped of q=0/1 (q=0 is the documented low-rank interpolation
+# artifact, SURVEY.md §7; q=1 returns UINT64_MAX which has no int64 SQL
+# representation)
+QSWEEP = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999, 0.9999, 0.99999, 0.999999]
 
 SIGBITS = 5
 
@@ -38,7 +43,7 @@ _RANK_PROBES = [100, 5_000, 40_000, 123_456, 300_000, 480_000]
 
 
 def _events_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = io.read_table(spark, sf_dir, "events")
     return ev.select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
 
 
@@ -147,16 +152,21 @@ def q_hg64_downsample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-precision merge (`/root/reference/test.c:159-168`): sketch at
     sigbits=8, downsample to 4 (pure re-keying — exact), explode buckets.
     Oracle: direct sigbits=4 bucketing of the same values."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = io.read_table(spark, sf_dir, "lineitem")
     vals = li.select((F.floor(F.col("l_extendedprice") * 100)).cast("long").alias("v"))
     fine = agg.sketch_agg(vals, "v", [], lambda: HG64(8), HG64.deserialize)
 
-    def downsample_blob(blob: bytes) -> bytes:
-        return HG64.deserialize(blob).downsample(4).serialize()
-
     from pyspark.sql.types import BinaryType
-    ds_udf = F.udf(downsample_blob, BinaryType())
-    coarse = fine.select(ds_udf(F.col("sketch")).alias("sketch"))
+
+    @F.pandas_udf(BinaryType())
+    def downsample_blob(blobs: "pd.Series") -> "pd.Series":
+        # Arrow-batched like every other sketch UDF (udfs.py) — row-at-a-time
+        # F.udf would serialize per row; null-in/null-out per SQL convention
+        return blobs.map(
+            lambda b: None if b is None else HG64.deserialize(bytes(b)).downsample(4).serialize()
+        )
+
+    coarse = fine.select(downsample_blob(F.col("sketch")).alias("sketch"))
     return agg.hg64_buckets(coarse, [])
 
 
@@ -166,7 +176,7 @@ def q_hg64_weighted_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed weighted counts plus bucket bounds, all Catalyst expressions."""
     from hg64spark import relational
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = io.read_table(spark, sf_dir, "lineitem").select(
         F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
         F.col("l_quantity").cast("long").alias("w"),
     )
@@ -192,7 +202,7 @@ def q_hg64_weighted_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct(user_id) per event_type vs exact count(distinct):
     |est - exact| <= 3 sigma, sigma = 1.04/sqrt(2^p)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    ev = io.read_table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = agg.sketch_agg(ev, "user_id", ["event_type"], lambda: HLL(14), HLL.deserialize)
     ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in sk.collect()}
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
@@ -213,7 +223,7 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cms_top_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters: for the exact top-10 o_custkey, the CMS
     estimate must satisfy exact <= est <= exact + eps*N (eps = e/width)."""
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    od = io.read_table(spark, sf_dir, "orders").select("o_custkey")
     sk = agg.sketch_agg(od, "o_custkey", [], lambda: CMS(4096, 5), CMS.deserialize)
     cms = CMS.deserialize(sk.collect()[0]["sketch"])
     top = (
@@ -240,11 +250,11 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom built over o_custkey; probed with every customer key.  The
     no-false-negative guarantee makes the per-key check exact: every key that
     IS in orders must test positive."""
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    od = io.read_table(spark, sf_dir, "orders").select("o_custkey")
     sk = agg.sketch_agg(od, "o_custkey", [], lambda: Bloom(1 << 17, 7), Bloom.deserialize)
     blob = sk.collect()[0]["sketch"]
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    cust = io.read_table(spark, sf_dir, "customer").select("c_custkey")
     in_orders = od.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn("in_ord", F.lit(True))
     probe = cust.join(F.broadcast(in_orders), "c_custkey", "left").select(
         "c_custkey", F.coalesce("in_ord", F.lit(False)).alias("in_orders_exact")
@@ -281,7 +291,7 @@ def q_hll_distinct_users_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_hll_distinct_users, exercising the scale path end to end."""
     from hg64spark import relational
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "user_id")
+    ev = io.read_table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = relational.hll_agg_relational(ev, "user_id", ["event_type"], 14)
     ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in sk.collect()}
     exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
@@ -304,11 +314,11 @@ def q_bloom_membership_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hg64spark.sketches import Bloom
 
     n_bits, k = 1 << 17, 7
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    od = io.read_table(spark, sf_dir, "orders").select("o_custkey")
     blob = relational.bloom_agg_relational(od, "o_custkey", n_bits, k).collect()[0]["sketch"]
     words = relational.bloom_words_df(spark, Bloom.deserialize(blob))
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    cust = io.read_table(spark, sf_dir, "customer").select("c_custkey")
     in_orders = od.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn("in_ord", F.lit(True))
     probe = cust.join(F.broadcast(in_orders), "c_custkey", "left").select(
         "c_custkey", F.coalesce("in_ord", F.lit(False)).alias("in_orders_exact")
@@ -327,7 +337,7 @@ def q_cms_top_custkeys_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hg64spark import relational
     from hg64spark.sketches import CMS
 
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey")
+    od = io.read_table(spark, sf_dir, "orders").select("o_custkey")
     blob = relational.cms_agg_relational(od, "o_custkey", 4096, 5).collect()[0]["sketch"]
     cms = CMS.deserialize(blob)
     top = (
@@ -349,6 +359,82 @@ def q_cms_top_custkeys_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("cms_estimate") <= F.col("exact_count") + F.lit(eps * n))
             ).alias("cms_ok"),
         )
+    )
+
+
+def q_cms_top_tools_by_role_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP heavy hitters on the scale path: one CMS per role built with
+    the grouped relational aggregation (pure Catalyst until the tiny fold),
+    probed relationally per group — 'top tools per cohort', the first heavy-
+    hitter query a transcript user runs.  Blobs round-trip through serde;
+    the estimate join is a broadcast against <= roles*width*depth cells."""
+    from pyspark.sql import Window
+
+    from hg64spark import relational
+
+    width, depth = 1024, 5
+    t = transcripts.transcripts_from_events(spark, sf_dir).select("role", "tool")
+    sks = relational.cms_agg_relational(t, "tool", width, depth, group_cols=["role"]).collect()
+    per_role = {r["role"]: CMS.deserialize(bytes(r["sketch"])) for r in sks}
+    counts = None
+    for role in sorted(per_role):
+        cdf = relational.cms_counts_df(spark, per_role[role]).withColumn("role", F.lit(role))
+        counts = cdf if counts is None else counts.unionByName(cdf)
+    exact = t.groupBy("role", "tool").agg(F.count("*").alias("exact_count"))
+    w = Window.partitionBy("role").orderBy(F.desc("exact_count"), F.asc("tool"))
+    top = exact.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= 3).drop("__rk")
+    est = relational.cms_estimate_relational(
+        top.select("role", "tool"), "tool", counts, width, depth, group_cols=["role"]
+    )
+    eps = next(iter(per_role.values())).epsilon()
+    tot_df = spark.createDataFrame(
+        [(role, cms.total) for role, cms in per_role.items()], "role string, n long"
+    )
+    return (
+        top.join(est, ["role", "tool"])
+        .join(F.broadcast(tot_df), "role")
+        .select(
+            "role",
+            "tool",
+            "exact_count",
+            (
+                (F.col("cms_estimate") >= F.col("exact_count"))
+                & (
+                    F.col("cms_estimate").cast("double")
+                    <= F.col("exact_count").cast("double") + F.col("n").cast("double") * F.lit(eps)
+                )
+            ).alias("cms_ok"),
+        )
+    )
+
+
+def q_bloom_tools_by_role_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Bloom membership on the scale path: one filter per role
+    (grouped BIT_OR build), every (role x tool) combination probed against
+    its role's filter via the grouped broadcast join.  Gate: exact
+    no-false-negative."""
+    from hg64spark import relational
+
+    n_bits, k = 1 << 12, 5
+    t = transcripts.transcripts_from_events(spark, sf_dir).select("role", "tool")
+    sks = relational.bloom_agg_relational(t, "tool", n_bits, k, group_cols=["role"]).collect()
+    words = None
+    for r in sorted(sks, key=lambda r: r["role"]):
+        wdf = relational.bloom_words_df(spark, Bloom.deserialize(bytes(r["sketch"]))).withColumn(
+            "role", F.lit(r["role"])
+        )
+        words = wdf if words is None else words.unionByName(wdf)
+    pairs = t.distinct()
+    probes = pairs.select("role").distinct().crossJoin(pairs.select("tool").distinct())
+    probe = probes.join(pairs.withColumn("__in", F.lit(True)), ["role", "tool"], "left").select(
+        "role", "tool", F.coalesce("__in", F.lit(False)).alias("in_role_exact")
+    )
+    checked = relational.bloom_contains_relational(probe, "tool", words, n_bits, k, group_cols=["role"])
+    return checked.select(
+        "role",
+        "tool",
+        "in_role_exact",
+        (~F.col("in_role_exact") | F.col("bloom_contains")).alias("bloom_no_false_negative"),
     )
 
 
@@ -440,6 +526,8 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_rel": q_hll_distinct_users_rel,
         "bloom_membership_rel": q_bloom_membership_rel,
         "cms_top_custkeys_rel": q_cms_top_custkeys_rel,
+        "cms_top_tools_by_role_rel": q_cms_top_tools_by_role_rel,
+        "bloom_tools_by_role_rel": q_bloom_tools_by_role_rel,
         "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
         "textlen_quantiles_cube": q_textlen_quantiles_cube,
     }
@@ -510,6 +598,20 @@ def _core_oracles() -> dict[str, str]:
             "SELECT o_custkey, count(*) AS exact_count, true AS cms_ok "
             "FROM orders GROUP BY o_custkey "
             "ORDER BY exact_count DESC, o_custkey ASC LIMIT 10"
+        ),
+        "cms_top_tools_by_role_rel": (
+            f"SELECT role, tool, exact_count, true AS cms_ok FROM ("
+            f"SELECT role, tool, count(*) AS exact_count, "
+            f"row_number() OVER (PARTITION BY role ORDER BY count(*) DESC, tool ASC) AS rk "
+            f"FROM ({transcripts.TRANSCRIPTS_SQL}) GROUP BY role, tool) WHERE rk <= 3"
+        ),
+        "bloom_tools_by_role_rel": (
+            f"WITH t AS (SELECT DISTINCT role, tool FROM ({transcripts.TRANSCRIPTS_SQL})) "
+            f"SELECT r.role AS role, tl.tool AS tool, (p.role IS NOT NULL) AS in_role_exact, "
+            f"true AS bloom_no_false_negative "
+            f"FROM (SELECT DISTINCT role FROM t) r "
+            f"CROSS JOIN (SELECT DISTINCT tool FROM t) tl "
+            f"LEFT JOIN t p ON p.role = r.role AND p.tool = tl.tool"
         ),
         "tdigest_latency_by_tool": (
             f"SELECT tool, CAST(q AS DOUBLE) AS q, true AS within_bound "

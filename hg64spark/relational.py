@@ -167,53 +167,75 @@ def _bloom_positions(value_col: str, n_bits: int, n_hashes: int) -> Column:
 
 
 def bloom_agg_relational(
-    df: DataFrame, value_col: str, n_bits: int = 1 << 20, n_hashes: int = 7
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """(sketch): Bloom filter built with Catalyst — bit positions exploded,
-    words = grouped BIT_OR of shifted ones.  <= n_bits/64 rows reach Python."""
+    """(group..., sketch): Bloom filter built with Catalyst — bit positions
+    exploded, words = grouped BIT_OR of shifted ones.  <= n_bits/64 rows per
+    group reach Python (one filter per group with ``group_cols``)."""
     from hg64spark.sketches.bloom import HASH_XXHASH64, Bloom
 
+    group_cols = list(group_cols)
     pos = (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.explode(_bloom_positions(value_col, n_bits, n_hashes)).alias("pos"))
+        .select(*group_cols, F.explode(_bloom_positions(value_col, n_bits, n_hashes)).alias("pos"))
     )
     words = (
         pos.select(
+            *group_cols,
             F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
             F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
         )
-        .groupBy("word_idx")
+        .groupBy(*group_cols, "word_idx")
         .agg(F.bit_or("bit").alias("word"))
     )
+    fields = [f for f in words.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+    grouped = words if group_cols else words.withColumn(_GLOBAL, F.lit(0))
+    keys = group_cols or [_GLOBAL]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = Bloom(n_bits, n_hashes, hash_family=HASH_XXHASH64)
         sk.words[pdf["word_idx"].to_numpy()] = pdf["word"].to_numpy().view(np.uint64)
-        return pd.DataFrame({"sketch": [sk.serialize()]})
+        out = {g: [pdf[g].iloc[0]] for g in group_cols}
+        out["sketch"] = [sk.serialize()]
+        return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    out_schema = StructType([StructField("sketch", BinaryType(), False)])
-    return words.withColumn(_GLOBAL, F.lit(0)).groupBy(_GLOBAL).applyInPandas(fold, out_schema)
+    return grouped.groupBy(*keys).applyInPandas(fold, out_schema)
 
 
 def bloom_contains_relational(
-    probes: DataFrame, probe_col: str, words: DataFrame, n_bits: int, n_hashes: int
+    probes: DataFrame,
+    probe_col: str,
+    words: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Membership check without deserializing the filter: explode probe bit
     positions, broadcast-join the words table, AND the bits back together.
     Returns the probe rows plus ``bloom_contains`` boolean.  At cluster scale
     this is a broadcast hash join against <= n_bits/64 rows — no driver
-    round-trip of the filter."""
+    round-trip of the filter.  With ``group_cols`` the probe checks each row
+    against ITS group's filter (``words`` must carry the group columns)."""
+    group_cols = list(group_cols)
     pid = F.monotonically_increasing_id()
     p = probes.withColumn("__pid", pid)
     pos = p.select(
-        "__pid", F.posexplode(_bloom_positions(probe_col, n_bits, n_hashes)).alias("__i", "pos")
+        "__pid",
+        *group_cols,
+        F.posexplode(_bloom_positions(probe_col, n_bits, n_hashes)).alias("__i", "pos"),
     ).select(
         "__pid",
+        *group_cols,
         F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
         F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
     )
     hit = (
-        pos.join(F.broadcast(words), "word_idx", "left")
+        pos.join(F.broadcast(words), [*group_cols, "word_idx"], "left")
         .select(
             "__pid",
             (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias("bit_set"),
@@ -301,25 +323,38 @@ def _cms_indices(value_col: str, width: int, depth: int) -> Column:
     )
 
 
-def cms_agg_relational(df: DataFrame, value_col: str, width: int = 4096, depth: int = 5) -> DataFrame:
-    """(sketch): count-min built with Catalyst — per-row indices exploded,
-    grouped count per (row, index).  <= width*depth rows reach Python."""
+def cms_agg_relational(
+    df: DataFrame,
+    value_col: str,
+    width: int = 4096,
+    depth: int = 5,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(group..., sketch): count-min built with Catalyst — per-row indices
+    exploded, grouped count per (group, row, index).  <= width*depth rows
+    per group reach Python (one sketch per group with ``group_cols``)."""
     from hg64spark.sketches.cms import CMS, HASH_XXHASH64
 
+    group_cols = list(group_cols)
     cells = (
         df.filter(F.col(value_col).isNotNull())
-        .select(F.posexplode(_cms_indices(value_col, width, depth)).alias("row_j", "idx"))
-        .groupBy("row_j", "idx")
+        .select(*group_cols, F.posexplode(_cms_indices(value_col, width, depth)).alias("row_j", "idx"))
+        .groupBy(*group_cols, "row_j", "idx")
         .agg(F.count("*").alias("cnt"))
     )
+    fields = [f for f in cells.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+    grouped = cells if group_cols else cells.withColumn(_GLOBAL, F.lit(0))
+    keys = group_cols or [_GLOBAL]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = CMS(width, depth, hash_family=HASH_XXHASH64)
         sk.counts[pdf["row_j"].to_numpy(), pdf["idx"].to_numpy()] = pdf["cnt"].to_numpy()
-        return pd.DataFrame({"sketch": [sk.serialize()]})
+        out = {g: [pdf[g].iloc[0]] for g in group_cols}
+        out["sketch"] = [sk.serialize()]
+        return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    out_schema = StructType([StructField("sketch", BinaryType(), False)])
-    return cells.withColumn(_GLOBAL, F.lit(0)).groupBy(_GLOBAL).applyInPandas(fold, out_schema)
+    return grouped.groupBy(*keys).applyInPandas(fold, out_schema)
 
 
 def cms_counts_df(spark, cms) -> DataFrame:
@@ -333,18 +368,28 @@ def cms_counts_df(spark, cms) -> DataFrame:
 
 
 def cms_estimate_relational(
-    probes: DataFrame, probe_col: str, counts: DataFrame, width: int, depth: int
+    probes: DataFrame,
+    probe_col: str,
+    counts: DataFrame,
+    width: int,
+    depth: int,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Point-frequency estimates (min over rows) as a broadcast join — the
     probe values are hashed by the same JVM xxhash64 family that built the
-    sketch.  Returns probe rows plus ``cms_estimate``."""
+    sketch.  Returns probe rows plus ``cms_estimate``.  With ``group_cols``
+    each probe row is estimated against ITS group's sketch (``counts`` must
+    carry the group columns)."""
+    group_cols = list(group_cols)
     exploded = probes.select(
-        F.col(probe_col), F.posexplode(_cms_indices(probe_col, width, depth)).alias("row_j", "idx")
+        *group_cols,
+        F.col(probe_col),
+        F.posexplode(_cms_indices(probe_col, width, depth)).alias("row_j", "idx"),
     )
     return (
-        exploded.join(F.broadcast(counts), ["row_j", "idx"], "left")
-        .select(probe_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
-        .groupBy(probe_col)
+        exploded.join(F.broadcast(counts), [*group_cols, "row_j", "idx"], "left")
+        .select(*group_cols, probe_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(*group_cols, probe_col)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
 

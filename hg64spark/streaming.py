@@ -26,10 +26,53 @@ import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from hg64spark import agg
 from hg64spark.hg64 import HG64
+
+
+def windowed_hg64_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "10 seconds",
+    sigbits: int = 5,
+) -> DataFrame:
+    """Watermarked EVENT-TIME tumbling-window sketch build: the hg64 bucket
+    key composes with ``F.window`` exactly like any other group column, so
+    the streaming aggregation is Catalyst's own stateful HashAggregate over
+    (window, group..., hg64_key) — no Python, and state per open window is
+    bounded by #groups x <= 1920 keys regardless of row rate.
+
+    The watermark gives the streaming semantics the batch path can't:
+    * late rows within ``watermark_delay`` still land in their (event-time)
+      window;
+    * rows later than the watermark are dropped by the state store, which is
+      what lets Spark evict closed windows instead of keeping every window
+      forever (the unbounded-state hazard of event-time aggs);
+    * in append output mode a window's counts are emitted exactly once, when
+      the watermark passes its end — at which point they are final and the
+      (window, key, count) rows ARE the serialized-free relational sketch
+      (fold with :func:`hg64spark.relational.hg64_from_counts` or feed
+      ``agg.hg64_buckets``-style finalizers).
+
+    Returns the streaming DataFrame; callers attach their sink
+    (``writeStream.outputMode("append")``)."""
+    from hg64spark import relational
+
+    group_cols = list(group_cols)
+    keyed = relational.with_hg64_key(
+        stream_df.withWatermark(ts_col, watermark_delay).select(ts_col, *group_cols, value_col),
+        value_col,
+        sigbits,
+    )
+    return keyed.groupBy(
+        F.window(F.col(ts_col), window_duration), *group_cols, "hg64_key"
+    ).agg(F.count("*").alias("count"))
 
 
 def sketch_stream_stateful(

@@ -23,11 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hg64spark import io
+
 
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the events table onto the transcript schema, 1:1 with
     ``TRANSCRIPTS_SQL`` below (same expressions, same tie-breaks)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = io.read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.format_string("conv_%04d", F.col("user_id")).alias("conv_id"),

@@ -147,3 +147,73 @@ def test_compaction_crash_window_does_not_double_count(spark, tmp_path, source):
 
     got = {r["event_type"]: HG64.deserialize(r["sketch"]) for r in ss.result(spark).collect()}
     assert got == want  # resurrected dir is tombstoned, not double-counted
+
+
+def test_windowed_watermark_drops_late_rows_and_emits_final_counts(spark, tmp_path):
+    """Watermarked event-time windows: (a) a window's keyed counts are
+    emitted exactly once (append mode) when the watermark passes its end and
+    match the batch hg64 bucketing of the on-time rows; (b) a row arriving
+    later than the watermark is DROPPED, not retro-added (the state-eviction
+    semantics that bound state over an unbounded stream).  The watermark is
+    recovered from the checkpoint across the two availableNow runs."""
+    import datetime
+
+    import numpy as np
+
+    from hg64spark import keymath as km
+    from hg64spark.streaming import windowed_hg64_counts
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "wckpt")
+    schema = StructType(
+        [StructField("ts", __import__("pyspark.sql.types", fromlist=["TimestampType"]).TimestampType()),
+         StructField("v", LongType())]
+    )
+
+    def ts(sec):
+        return datetime.datetime(2026, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=sec)
+
+    out_dir = str(tmp_path / "wout")
+
+    def run(prev_rows):
+        # file sink, not memory: only file-based sinks support resuming from
+        # the checkpoint (which this test needs to carry the watermark across
+        # the two availableNow runs); emissions accumulate, so each run's new
+        # rows are all-rows minus the previous run's
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        counts = windowed_hg64_counts(stream, "ts", "v", window_duration="10 seconds",
+                                      watermark_delay="10 seconds", sigbits=5)
+        flat = counts.select(F.col("window.start").alias("wstart"), "hg64_key", "count")
+        q = (flat.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        rows = [(r["wstart"], r["hg64_key"], r["count"]) for r in spark.read.parquet(out_dir).collect()]
+        new = list(rows)
+        for r in prev_rows:
+            new.remove(r)
+        return rows, new
+
+    # run 1: on-time rows in window [10,20) plus a far-future row that pushes
+    # the watermark to 100-10=90s, closing (and emitting) the first window
+    on_time = [11, 13, 13, 17, 19]
+    spark.createDataFrame([(ts(s), s * 100) for s in on_time] + [(ts(100), 42)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    all1, rows1 = run([])
+    got1 = {(w.second + w.minute * 60, k): c for w, k, c in rows1}
+    keys = km.value_to_key(np.array([s * 100 for s in on_time], dtype=np.uint64), 5)
+    want1 = {}
+    for k in keys.tolist():
+        want1[(10, int(k))] = want1.get((10, int(k)), 0) + 1
+    assert got1 == want1, (got1, want1)
+
+    # run 2: a late row for the closed window (12s < watermark 90s -> must be
+    # dropped) plus a pusher that closes the [100,110) window
+    spark.createDataFrame([(ts(12), 1200), (ts(300), 7)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    _, rows2 = run(all1)
+    starts2 = {w.second + w.minute * 60 for w, _, _ in rows2}
+    assert 10 not in starts2, f"late row retro-opened a closed window: {rows2}"
+    # the [100,110) window (the run-1 pusher) is finalized in run 2 with count 1
+    assert (100 in starts2) and sum(c for w, _, c in rows2 if w.second + w.minute * 60 == 100) == 1
