@@ -512,6 +512,98 @@ def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.expr(_SCALE).alias("se"))
 
 
+# ------------------------------------------------- embedding-cosine dedup
+
+#: cosine threshold for embedding near-dup: planted copies sit at ~0.9999,
+#: the max NATURAL pair cosine in the synthetic isotropic embeddings is ~0.51
+#: (measured at every sf), so 0.9 separates totally and the oracle's
+#: exhaustive scan must agree exactly
+COSDUP_TAU = 0.9
+
+
+def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point embeddings plus a planted near-duplicate of each vector
+    (vec_id+100000, each component nudged by v % 97 — ~1e-4 relative), the
+    embedding analogue of the text corpus's planted near-dups, identical
+    expression in the DuckDB oracle."""
+    e = _scaled(spark, sf_dir)
+    copies = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr("transform(se, v -> v + (v % 97))").alias("se"),
+    )
+    return e.unionAll(copies)
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: pairs with cosine >= 0.9.
+
+    Scale shape: candidates come from the banded random-hyperplane LSH codes
+    (equi-join on (band, code) — near-identical vectors agree on almost every
+    sign bit, so every >=tau pair shares >=1 band with overwhelming margin);
+    ONLY candidates get the exact verification.  The cosine test is done in
+    integer/fixed-point arithmetic lifted to one double compare —
+    dot^2 >= tau^2 * |a|^2 * |b|^2 with identical IEEE op order in Spark and
+    DuckDB — so the exhaustive-scan oracle matches bit-for-bit.  No
+    theta-join anywhere (plan asserted in tests)."""
+    e = _aug_embeddings(spark, sf_dir)
+    bands = e.select("vec_id", F.posexplode(F.expr(_lsh_band_codes_expr())).alias("band", "code"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "code"])
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    norms = e.select("vec_id", F.expr("aggregate(se, 0L, (a, v) -> a + v * v)").alias("n2"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("se").alias("sa"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("se").alias("sb"))
+    dots = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.explode(F.arrays_zip("sa", "sb")).alias("z"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("z.sa") * F.col("z.sb")).alias("dot"))
+    )
+    tau2 = repr(COSDUP_TAU * COSDUP_TAU)
+    return (
+        dots.join(norms.select(F.col("vec_id").alias("vec_a"), F.col("n2").alias("na2")), "vec_a")
+        .join(norms.select(F.col("vec_id").alias("vec_b"), F.col("n2").alias("nb2")), "vec_b")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double") * F.col("dot").cast("double")
+                >= F.expr(f"{tau2} * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)")
+            )
+        )
+        .select("vec_a", "vec_b", "dot")
+    )
+
+
+_AUG_EMB_SQL = f"""
+    SELECT vec_id, {_SCALE_SQL.replace("embedding", "embedding")} AS se FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, [v + (v % 97) FOR v IN se] AS se
+    FROM (SELECT vec_id, {_SCALE_SQL} AS se FROM embeddings)
+"""
+
+Q_DEDUP_EMB_COSINE_SQL = f"""
+WITH e AS ({_AUG_EMB_SQL}),
+pairs AS (
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           CAST((SELECT sum(a * b) FROM (SELECT unnest(x.se) AS a, unnest(y.se) AS b)) AS BIGINT) AS dot,
+           CAST((SELECT sum(a * a) FROM (SELECT unnest(x.se) AS a)) AS BIGINT) AS na2,
+           CAST((SELECT sum(b * b) FROM (SELECT unnest(y.se) AS b)) AS BIGINT) AS nb2
+    FROM e x JOIN e y ON x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b, dot FROM pairs
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {COSDUP_TAU * COSDUP_TAU!r} * CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)
+"""
+
+
+
+
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k neighbors by dot product for the first N_PROBES
     vectors, in fixed point (floor(x*1e6+0.5) int64) so Spark and DuckDB
@@ -557,15 +649,10 @@ LSH_PLANE_BANDS = 8  # 8 bands x 2 planes: recall-leaning (measured 9-10/10
 # selectivity — the gate here certifies recall, the knob is per-job
 
 
-def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (random-hyperplane signatures, banded) with
-    self-certified recall: for each probe, candidates = vectors sharing at
-    least one 4-plane band; recall@10 against the exact brute-force top-10
-    must be >= 0.5.  Hyperplane weights are +-1 from xxhash64(plane, dim) —
-    deterministic, integer dot products.  Scale shape: signatures are one
-    narrow projection; the candidate join is an equi-join on (band, code);
-    only candidates get exact scoring."""
-    e = _scaled(spark, sf_dir)
+def _lsh_band_codes_expr() -> str:
+    """SQL expression (over a column ``se``) for the array of per-band
+    hyperplane codes: sign bit of the dot against each +-1 hyperplane
+    (weights from xxhash64(plane, dim) — deterministic), packed per band."""
     bits = []
     for p in range(LSH_PLANES):
         w = f"transform(sequence(0, size(se)-1), j -> CASE WHEN pmod(xxhash64({p}, j), 2) = 0 THEN 1 ELSE -1 END)"
@@ -576,7 +663,19 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(" + " + ".join(f"{bits[b * r + j]} * {1 << j}" for j in range(r)) + ")"
         for b in range(LSH_PLANE_BANDS)
     ]
-    sig = e.select("vec_id", "se", F.expr("array(" + ",".join(band_codes) + ")").alias("codes"))
+    return "array(" + ",".join(band_codes) + ")"
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane signatures, banded) with
+    self-certified recall: for each probe, candidates = vectors sharing at
+    least one 4-plane band; recall@10 against the exact brute-force top-10
+    must be >= 0.5.  Hyperplane weights are +-1 from xxhash64(plane, dim) —
+    deterministic, integer dot products.  Scale shape: signatures are one
+    narrow projection; the candidate join is an equi-join on (band, code);
+    only candidates get exact scoring."""
+    e = _scaled(spark, sf_dir)
+    sig = e.select("vec_id", "se", F.expr(_lsh_band_codes_expr()).alias("codes"))
     bands = sig.select("vec_id", "se", F.posexplode("codes").alias("band", "code"))
 
     probes = bands.filter(F.col("vec_id") < N_PROBES).select(
@@ -780,6 +879,7 @@ def dataops_queries():
         "dedup_ngram_topk": q_dedup_ngram_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -797,6 +897,7 @@ def dataops_oracles():
         "dedup_ngram_topk": Q_DEDUP_NGRAM_SQL,
         "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
         "dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+        "dedup_embedding_cosine": Q_DEDUP_EMB_COSINE_SQL,
         "ann_brute_topk": Q_ANN_BRUTE_SQL,
         "ann_lsh_recall": Q_ANN_LSH_SQL,
         "ann_ivf_recall": Q_ANN_IVF_SQL,

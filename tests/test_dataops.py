@@ -172,3 +172,16 @@ def test_hot_shingle_df_cap_bounds_the_join(spark):
     # without the cap this would contain ~n^2/2 stop-phrase pairs
     assert (10_000, 10_001) in got
     assert all(a >= 10_000 for a, _ in got), f"stop-phrase pairs leaked: {sorted(got)[:5]}"
+
+
+def test_embedding_cosine_dedup_finds_exactly_planted_pairs(spark):
+    """Every planted embedding near-dup (vec, vec+100000) is found, nothing
+    else clears tau=0.9 (max natural cosine ~0.51), and the candidate plan is
+    the banded equi-join (no cartesian/BNLJ)."""
+    df = dataops.q_dedup_embedding_cosine(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    rows = df.collect()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
+    assert pairs == {(i, i + 100000) for i in range(n_vecs)}
