@@ -66,22 +66,25 @@ AUGMENTED_SQL = """
 """
 
 
+def raw_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Word k-gram shingles per doc WITHOUT the distinct: the input for
+    consumers that are duplicate-insensitive (min-hash signatures) — skipping
+    the distinct skips a full shuffle of the shingle stream."""
+    toks = F.split(F.col("text"), " ")
+    return corpus.filter(F.size(toks) >= k).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text,' ')) - {k - 1}),"
+                f" i -> array_join(slice(split(text,' '), i, {k}), ' '))"
+            )
+        ).alias("sh"),
+    )
+
+
 def shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """Distinct word k-gram shingles per doc: (doc_id, sh)."""
-    toks = F.split(F.col("text"), " ")
-    return (
-        corpus.filter(F.size(toks) >= k)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(split(text,' ')) - {k - 1}),"
-                    f" i -> array_join(slice(split(text,' '), i, {k}), ' '))"
-                )
-            ).alias("sh"),
-        )
-        .distinct()
-    )
+    return raw_shingles(corpus, k).distinct()
 
 
 def _shingles_sql(base: str, k: int = SHINGLE_K) -> str:
@@ -101,14 +104,19 @@ def _shingles_sql(base: str, k: int = SHINGLE_K) -> str:
 SHINGLE_DF_CAP = 256
 
 
+def rare_shingle_set(corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """The shingles whose document frequency is within the cap — the
+    semi-join filter every skew-sensitive consumer applies."""
+    s = shingles(corpus, k)
+    return s.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).select("sh")
+
+
 def capped_shingles(corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Shingles minus those appearing in more than ``df_cap`` documents —
     the skew-safe input to every shingle self-join.  One extra groupBy over
     the shingle stream (partial-aggregated map-side), then a semi-join that
     Catalyst plans on the same shingle key as the pair join itself."""
-    s = shingles(corpus, k)
-    rare = s.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).select("sh")
-    return s.join(rare, "sh", "left_semi")
+    return shingles(corpus, k).join(rare_shingle_set(corpus, k, df_cap), "sh", "left_semi")
 
 
 def _capped_shingles_sql(base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> str:
@@ -345,11 +353,19 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-aggregate instead of 64 wide agg expressions — a 64-column agg
     # generates enormous codegen classes that fill the JVM code cache and
     # progressively disable JIT (measured 24s -> 125s over three calls);
-    # the long shape partial-aggregates to #docs x 64 rows before the shuffle
-    hashes = s.select(
+    # the long shape partial-aggregates to #docs x 64 rows before the shuffle.
+    # Two deliberate deviations from the verification branch, both exploiting
+    # that MIN is duplicate-insensitive: (a) NO distinct on the signature
+    # shingle stream (skips a full shuffle); (b) the shingle STRING is hashed
+    # once (h0) and the 64 family members rehash the 8-byte h0 instead of
+    # re-hashing the ~5-word string 64x.  Correctness is unaffected either
+    # way: candidates are verified against the exact Jaccard.
+    sig_shingles = raw_shingles(corpus).join(rare_shingle_set(corpus), "sh", "left_semi")
+    h0 = sig_shingles.select("doc_id", F.xxhash64("sh").alias("h0"))
+    hashes = h0.select(
         "doc_id",
         F.posexplode(
-            F.expr(f"transform(sequence(0, {MINHASH_N - 1}), i -> xxhash64(sh, i))")
+            F.expr(f"transform(sequence(0, {MINHASH_N - 1}), i -> xxhash64(h0, i))")
         ).alias("i", "h"),
     )
     sig_long = hashes.groupBy("doc_id", (F.col("i") / r).cast("int").alias("band"), "i").agg(
