@@ -528,6 +528,88 @@ def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.expr(_SCALE).alias("se"))
 
 
+# ------------------------------------------------------------- winnowing
+
+WINNOW_W = 4  # window (in k-grams) per Schleimer/Wilkerson/Aiken winnowing
+
+
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    the MOSS scheme): hash every word-k-gram by position, slide a window of
+    WINNOW_W consecutive hashes, keep the window minimum — the selected
+    distinct hashes are the fingerprint set, guaranteeing any shared run of
+    >= k+W-1 tokens between two documents shares >= 1 fingerprint.
+
+    Scale shape: one frame-window min per document (shuffle by doc_id,
+    ordered scan within — documents are bounded-length, so no skew), then a
+    distinct.  Identical frame semantics in the DuckDB oracle."""
+    k = SHINGLE_K
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    sh = d.filter(F.size(toks) >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(split(text,' ')) - {k - 1}),"
+                f" i -> array_join(slice(split(text,' '), i, {k}), ' '))"
+            )
+        ).alias("pos", "sh"),
+    )
+    h = sh.select("doc_id", "pos", _tokhash_spark(F.col("sh")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    wm = h.select("doc_id", F.min("h").over(w).alias("fp"), F.count("*").over(w).alias("cnt"))
+    return wm.filter(F.col("cnt") == WINNOW_W).select("doc_id", "fp").distinct()
+
+
+Q_TEXT_WINNOW_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, u.pos AS pos, u.sh AS sh
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i, 'sh': array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')}}
+                       FOR i IN range(1, len(l) - {SHINGLE_K - 2})]) AS u
+        FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents
+              WHERE len(string_split(text,' ')) >= {SHINGLE_K}))
+),
+h AS (SELECT doc_id, pos, {_TOKHASH_SQL.format(x="sh")} AS h FROM sh),
+wm AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS cnt
+  FROM h)
+SELECT DISTINCT doc_id, fp FROM wm WHERE cnt = {WINNOW_W}
+"""
+
+
+# --------------------------------------------------------- token counting
+
+#: BPE-ish pre-tokenizer: letter runs / digit runs / single non-alnum marks —
+#: the GPT-2-style split that approximates subword token counts far better
+#: than whitespace for budgeting.  regexp_extract_all has identical semantics
+#: in Spark (Java regex) and DuckDB (RE2) for this pattern class (verified).
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token budgets: whitespace tokens vs BPE-ish regex tokens
+    — both pure codegen built-ins, no shuffle."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+Q_TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ------------------------------------------------- embedding-cosine dedup
 
 #: cosine threshold for embedding near-dup: planted copies sit at ~0.9999,
@@ -890,7 +972,9 @@ def dataops_queries():
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_winnow": q_text_winnow,
         "token_count_hist": q_token_count_hist,
+        "token_count_bpe": q_token_count_bpe,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_topk": q_dedup_ngram_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -908,7 +992,9 @@ def dataops_oracles():
         "text_quality": Q_TEXT_QUALITY_SQL,
         "text_langid": Q_TEXT_LANGID_SQL,
         "text_fingerprint": Q_TEXT_FINGERPRINT_SQL,
+        "text_winnow": Q_TEXT_WINNOW_SQL,
         "token_count_hist": token_count_hist_sql(),
+        "token_count_bpe": Q_TOKEN_COUNT_BPE_SQL,
         "dedup_exact": Q_DEDUP_EXACT_SQL,
         "dedup_ngram_topk": Q_DEDUP_NGRAM_SQL,
         "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,

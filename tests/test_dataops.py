@@ -185,3 +185,42 @@ def test_embedding_cosine_dedup_finds_exactly_planted_pairs(spark):
     n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
     assert pairs == {(i, i + 100000) for i in range(n_vecs)}
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's published guarantee: two documents sharing a token run of
+    length >= k + W - 1 share at least one fingerprint."""
+    import pyspark.sql.functions as FF
+
+    k, w = dataops.SHINGLE_K, dataops.WINNOW_W
+    run = " ".join(f"shared{i}" for i in range(k + w - 1))
+    rows = [
+        (1, f"prefix one two three {run} tail1 tail2 tail3 tail4"),
+        (2, f"{run} completely different suffix here okay fine"),
+        (3, "nothing in common with the others at all whatsoever truly"),
+    ]
+    # build fingerprints over a constructed corpus via the same expressions
+    import hg64spark.dataops as dd
+
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = FF.split(FF.col("text"), " ")
+    sh = d.filter(FF.size(toks) >= k).select(
+        "doc_id",
+        FF.posexplode(
+            FF.expr(
+                f"transform(sequence(1, size(split(text,' ')) - {k - 1}),"
+                f" i -> array_join(slice(split(text,' '), i, {k}), ' '))"
+            )
+        ).alias("pos", "sh"),
+    )
+    h = sh.select("doc_id", "pos", dd._tokhash_spark(FF.col("sh")).alias("h"))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    wm = h.select("doc_id", FF.min("h").over(win).alias("fp"), FF.count("*").over(win).alias("cnt"))
+    fps = wm.filter(FF.col("cnt") == w).select("doc_id", "fp").distinct().collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share >= 1 fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
