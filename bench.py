@@ -218,11 +218,23 @@ def scaling_probe_child(cpus: int) -> None:
     d = generated_stream(spark, SCALING_N, cpus)
     # warm-up: JIT + plan compile on a small prefix
     relational.hg64_counts(generated_stream(spark, 1_000_000, cpus), "latency_us", ["tool_id"], 5).collect()
-    best = None
+    best, rows = None, None
     for _ in range(3):
-        sec, _ = timed(lambda: relational.hg64_counts(d, "latency_us", ["tool_id"], 5).collect())
+        sec, rows = timed(lambda: relational.hg64_counts(d, "latency_us", ["tool_id"], 5).collect())
         best = sec if best is None else min(best, sec)
-    print(json.dumps({"cpus": cpus, "sec": best, "rows": SCALING_N, "rows_per_sec": SCALING_N / best}))
+    # north_rule: "reproducing identical sketch estimates at both sizes" —
+    # hash the full sorted result so the parent can assert N and 4N computed
+    # the SAME sketch, not just comparable throughput
+    import hashlib
+
+    digest = hashlib.sha256(
+        repr(sorted((r["tool_id"], r["hg64_key"], r["count"]) for r in rows)).encode()
+    ).hexdigest()[:16]
+    print(
+        json.dumps(
+            {"cpus": cpus, "sec": best, "rows": SCALING_N, "rows_per_sec": SCALING_N / best, "result_sha": digest}
+        )
+    )
     spark.stop()
 
 
@@ -301,7 +313,11 @@ def scaling_probe() -> dict:
         for cpus in SCALING_CPUS:
             run_child(cpus)
     hw = _hw_percore_calibration(n, n4)
+    shas = {out[c].get("result_sha") for c in (n, n4)}
     return {
+        # identical sketch at both cluster sizes (north_rule) — hard assert
+        "results_identical": len(shas) == 1 and None not in shas,
+        "result_sha": out[n].get("result_sha"),
         f"local{n}_rows_per_sec": round(out[n]["rows_per_sec"], 1),
         f"local{n4}_rows_per_sec": round(out[n4]["rows_per_sec"], 1),
         f"local{n}_sec": round(out[n]["sec"], 3),

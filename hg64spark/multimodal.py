@@ -107,6 +107,85 @@ def extract_features(items: DataFrame, payload_col: str = "payload") -> DataFram
     return items.select("item_id", "modality", payload_col).mapInPandas(run, out_schema)
 
 
+def fake_resize(payload: bytes, height: int, width: int) -> bytes:
+    """Deterministic stand-in for decode+resize: interprets the payload as a
+    square 1-channel byte matrix (side = ceil(sqrt(n)), zero-padded) and
+    nearest-neighbor-resamples it to height x width bytes.  A real Pillow
+    ``Image.resize`` drops in here without touching the Spark plumbing."""
+    raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+    side = max(1, int(np.ceil(np.sqrt(raw.size))))
+    padded = np.zeros(side * side, dtype=np.uint8)
+    padded[: raw.size] = raw
+    img = padded.reshape(side, side)
+    ri = (np.arange(height) * side // height).clip(0, side - 1)
+    ci = (np.arange(width) * side // width).clip(0, side - 1)
+    return img[np.ix_(ri, ci)].tobytes()
+
+
+def resize_items(items: DataFrame, height: int = 16, width: int = 16, payload_col: str = "payload") -> DataFrame:
+    """(item_id, modality, payload) -> (item_id, modality, payload resized,
+    out_h, out_w): the image-resize stage as an Arrow-batched ``mapInPandas``
+    — payload bytes enter Python once per batch, the resized bytes flow back
+    as a binary column ready for the feature stage."""
+    out_schema = StructType(
+        [
+            StructField("item_id", LongType(), False),
+            StructField("modality", StringType(), False),
+            StructField("payload", BinaryType(), False),
+            StructField("out_h", LongType(), False),
+            StructField("out_w", LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf["item_id"],
+                    "modality": pdf["modality"],
+                    "payload": [fake_resize(b, height, width) for b in pdf[payload_col]],
+                    "out_h": height,
+                    "out_w": width,
+                }
+            )
+
+    return items.select("item_id", "modality", payload_col).mapInPandas(run, out_schema)
+
+
+FRAME_BYTES = 64  # stand-in fixed frame size for the pseudo-container format
+
+
+def sample_frames(items: DataFrame, every_n: int = 4, payload_col: str = "payload") -> DataFrame:
+    """Video frame sampling as a row-EXPLODING ``mapInPandas``: each payload
+    is treated as a sequence of fixed-size pseudo-frames (FRAME_BYTES chunks
+    — a real demuxer slots in here) and every ``every_n``-th frame is emitted
+    as its own row (item_id, frame_idx, frame).  This is the batch shape that
+    matters for real video: one input row fans out to many output rows inside
+    the same Arrow batch, without ever materializing all frames of all videos
+    driver-side."""
+    out_schema = StructType(
+        [
+            StructField("item_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("frame", BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for item_id, b in zip(pdf["item_id"], pdf[payload_col]):
+                raw = bytes(b)
+                n_frames = max(1, (len(raw) + FRAME_BYTES - 1) // FRAME_BYTES)
+                for f in range(0, n_frames, every_n):
+                    ids.append(item_id)
+                    idxs.append(f)
+                    frames.append(raw[f * FRAME_BYTES : (f + 1) * FRAME_BYTES])
+            yield pd.DataFrame({"item_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return items.select("item_id", payload_col).mapInPandas(run, out_schema)
+
+
 def items_from_documents(docs: DataFrame) -> DataFrame:
     """Build a multimodal item table from the documents table (text payloads
     encoded to bytes) — the stand-in source used by tests and queries."""

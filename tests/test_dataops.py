@@ -224,3 +224,29 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared run must share >= 1 fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    from hg64spark import multimodal
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    items = multimodal.items_from_documents(docs)
+
+    resized = multimodal.resize_items(items, height=8, width=8).collect()
+    assert len(resized) == docs.count()
+    assert all(len(r["payload"]) == 64 and r["out_h"] == 8 and r["out_w"] == 8 for r in resized)
+    # deterministic: same payload -> same resized bytes
+    assert multimodal.fake_resize(b"hello world" * 10, 8, 8) == multimodal.fake_resize(b"hello world" * 10, 8, 8)
+
+    frames = multimodal.sample_frames(items, every_n=3).collect()
+    one = docs.select("doc_id", "text").first()
+    raw = one["text"].encode()
+    n_frames = max(1, (len(raw) + multimodal.FRAME_BYTES - 1) // multimodal.FRAME_BYTES)
+    mine = sorted((r["frame_idx"], bytes(r["frame"])) for r in frames if r["item_id"] == one["doc_id"])
+    want = sorted(
+        (f, raw[f * multimodal.FRAME_BYTES : (f + 1) * multimodal.FRAME_BYTES])
+        for f in range(0, n_frames, 3)
+    )
+    assert mine == want
+    # every item contributes at least one frame
+    assert {r["item_id"] for r in frames} == {r["item_id"] for r in items.select("item_id").collect()}
