@@ -13,7 +13,7 @@ DuckDB oracle — with the math arranged so both produce bit-identical results:
 * similarity uses fixed-point embeddings (``floor(x*1e6 + 0.5)`` -> int64),
   so dot products are exact integer arithmetic in both engines;
 * the corpus for near-dup operators is augmented with deterministic planted
-  near-duplicates (each doc re-emitted at doc_id+100000 with its last 3
+  near-duplicates (each doc re-emitted at doc_id+2^40 with its last 3
   tokens dropped, built with identical expressions in both engines) because
   the synthetic documents have no natural near-dups.
 
@@ -31,6 +31,10 @@ from pyspark.sql import functions as F
 from hg64spark import io
 
 SHINGLE_K = 5
+#: id offset for planted near-duplicates in the augmented test corpora —
+#: far above any real doc_id/vec_id (a +100000 offset would collide with
+#: genuine ids once a table passes 100k rows)
+PLANT_OFFSET = 1 << 40
 NEARDUP_TAU = 0.5
 MINHASH_N = 64
 # r = 2 rows per band: the banding threshold (1/b)^(1/r) ~ 0.18, so pairs at
@@ -48,19 +52,19 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents plus a planted near-duplicate of every doc (last 3 tokens
-    dropped, doc_id+100000)."""
+    dropped, doc_id+PLANT_OFFSET)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     copies = d.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
         F.expr("array_join(slice(split(text,' '), 1, size(split(text,' '))-3), ' ')").alias("text"),
     )
     return d.unionAll(copies)
 
 
-AUGMENTED_SQL = """
+AUGMENTED_SQL = f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + 100000 AS doc_id,
+    SELECT doc_id + {PLANT_OFFSET} AS doc_id,
            array_to_string(l[1:len(l)-3], ' ') AS text
     FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 """
@@ -330,7 +334,7 @@ ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (64 hashes) + LSH banding (16 bands x 4 rows) near-dup
+    """MinHash (64 hashes) + LSH banding (32 bands x 2 rows) near-dup
     detection, verified: candidate pairs from band collisions are checked
     against the exact shingle Jaccard and emitted iff >= tau.  The oracle is
     the exhaustive exact-Jaccard pair set at the same tau, so the gate
@@ -621,12 +625,12 @@ COSDUP_TAU = 0.9
 
 def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point embeddings plus a planted near-duplicate of each vector
-    (vec_id+100000, each component nudged by v % 97 — ~1e-4 relative), the
+    (vec_id+PLANT_OFFSET, each component nudged by v % 97 — ~1e-4 relative), the
     embedding analogue of the text corpus's planted near-dups, identical
     expression in the DuckDB oracle."""
     e = _scaled(spark, sf_dir)
     copies = e.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
         F.expr("transform(se, v -> v + (v % 97))").alias("se"),
     )
     return e.unionAll(copies)
@@ -678,9 +682,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AUG_EMB_SQL = f"""
-    SELECT vec_id, {_SCALE_SQL.replace("embedding", "embedding")} AS se FROM embeddings
+    SELECT vec_id, {_SCALE_SQL} AS se FROM embeddings
     UNION ALL
-    SELECT vec_id + 100000 AS vec_id, [v + (v % 97) FOR v IN se] AS se
+    SELECT vec_id + 1099511627776 AS vec_id, [v + (v % 97) FOR v IN se] AS se
     FROM (SELECT vec_id, {_SCALE_SQL} AS se FROM embeddings)
 """
 

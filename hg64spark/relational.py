@@ -243,7 +243,15 @@ def bloom_contains_relational(
         .groupBy("__pid")
         .agg(F.min("bit_set").alias("bloom_contains"))
     )
-    return p.join(hit, "__pid").drop("__pid")
+    # LEFT join + false default: a NULL probe value produces no exploded
+    # positions and hence no hit row — an inner join would silently DROP that
+    # probe row, breaking the 'returns the probe rows' contract (and
+    # desyncing from a SQL oracle that keeps the row)
+    return (
+        p.join(hit, "__pid", "left")
+        .withColumn("bloom_contains", F.coalesce("bloom_contains", F.lit(False)))
+        .drop("__pid")
+    )
 
 
 def minval_col(key: str, sigbits: int) -> Column:

@@ -52,8 +52,16 @@ class KLL:
             if self._seed is not None:
                 s = self._seed
             else:
-                lv0 = self.levels[0][:16] if self.levels else np.empty(0)
-                s = zlib.crc32(np.ascontiguousarray(lv0, dtype=np.float64).tobytes(), self.n & 0xFFFFFFFF)
+                # mix up to 16 values from EVERY level (level 0 can be empty
+                # right after a merge of compacted partials, and clustered
+                # data can share a level-0 prefix — either would degenerate a
+                # level-0-only seed to a function of n alone)
+                crc = self.n & 0xFFFFFFFF
+                for lv in self.levels:
+                    if lv.size:
+                        crc = zlib.crc32(np.ascontiguousarray(lv[:16], dtype=np.float64).tobytes(), crc)
+                    crc = zlib.crc32(lv.size.to_bytes(8, "little"), crc)
+                s = crc
             self._rng = np.random.default_rng((s << 17) ^ 0xD1CE ^ self.k)
         return int(self._rng.integers(2))
 
@@ -157,8 +165,13 @@ class KLL:
 
     # ----------------------------------------------------------------- serde
 
+    _NO_SEED = (1 << 64) - 1  # header sentinel: data-derived (lazy) seeding
+
     def serialize(self) -> bytes:
-        header = struct.pack("<HIQ", self.k, len(self.levels), self.n)
+        # the explicit seed travels in the header so KLL(k, seed=s) keeps its
+        # coin stream through the library's serialize->merge Spark path
+        seed = self._NO_SEED if self._seed is None else self._seed & ((1 << 64) - 1)
+        header = struct.pack("<HIQQ", self.k, len(self.levels), self.n, seed)
         parts = []
         for lv in self.levels:
             parts.append(struct.pack("<I", lv.size))
@@ -168,9 +181,9 @@ class KLL:
     @classmethod
     def deserialize(cls, buf: bytes) -> "KLL":
         _, header, payload = serde.expect(buf, serde.TYPE_KLL)
-        if len(header) != 14:
+        if len(header) != 22:
             raise ValueError("corrupt KLL header")
-        k, n_levels, n = struct.unpack("<HIQ", header)
+        k, n_levels, n, seed = struct.unpack("<HIQQ", header)
         levels = []
         off = 0
         for _ in range(n_levels):
@@ -183,4 +196,4 @@ class KLL:
                 raise ValueError("corrupt KLL payload")
             levels.append(np.frombuffer(payload, dtype="<f8", count=sz, offset=off).astype(np.float64))
             off = end
-        return cls(k, levels, n)
+        return cls(k, levels, n, seed=None if seed == cls._NO_SEED else seed)

@@ -12,12 +12,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_planted_neardups_found_with_full_recall(spark):
-    """Every planted near-duplicate pair (doc, doc+100000) must be found by
+    """Every planted near-duplicate pair (doc, doc+PLANT_OFFSET) must be found by
     the MinHash+LSH pipeline, and nothing else at tau."""
     found = dataops.q_dedup_minhash_lsh(spark, SF_DIR).collect()
     pairs = {(r["doc_a"], r["doc_b"]) for r in found}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    planted = {(i, i + 100000) for i in range(n_docs)}
+    planted = {(i, i + dataops.PLANT_OFFSET) for i in range(n_docs)}
     missing = planted - pairs
     assert not missing, f"LSH missed planted pairs: {sorted(missing)[:5]}"
     extras = pairs - planted
@@ -31,7 +31,7 @@ def test_simhash_separates_planted_pairs(spark):
     rows = dataops.q_dedup_simhash(spark, SF_DIR).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    planted_found = sum((i, i + 100000) in pairs for i in range(n_docs))
+    planted_found = sum((i, i + dataops.PLANT_OFFSET) in pairs for i in range(n_docs))
     # dropping 3 tokens barely moves the simhash: most planted pairs at <= 8
     assert planted_found >= 0.8 * n_docs
 
@@ -175,7 +175,7 @@ def test_hot_shingle_df_cap_bounds_the_join(spark):
 
 
 def test_embedding_cosine_dedup_finds_exactly_planted_pairs(spark):
-    """Every planted embedding near-dup (vec, vec+100000) is found, nothing
+    """Every planted embedding near-dup (vec, vec+PLANT_OFFSET) is found, nothing
     else clears tau=0.9 (max natural cosine ~0.51), and the candidate plan is
     the banded equi-join (no cartesian/BNLJ)."""
     df = dataops.q_dedup_embedding_cosine(spark, SF_DIR)
@@ -184,7 +184,7 @@ def test_embedding_cosine_dedup_finds_exactly_planted_pairs(spark):
     rows = df.collect()
     n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     pairs = {(r["vec_a"], r["vec_b"]) for r in rows}
-    assert pairs == {(i, i + 100000) for i in range(n_vecs)}
+    assert pairs == {(i, i + dataops.PLANT_OFFSET) for i in range(n_vecs)}
 
 
 def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
