@@ -286,3 +286,51 @@ def test_property_cms_bloom_split_invariance(values, seed):
         mb.merge(Bloom(1 << 10, 3).add_values(part))
     assert mc == CMS(256, 3).add_values(arr)
     assert mb == Bloom(1 << 10, 3).add_values(arr)
+
+
+def test_kll_explicit_seed_survives_serde():
+    """An explicit compaction seed must keep its coin stream through the
+    serialize->merge path (every Spark partial round-trips through bytes)."""
+    import numpy as np
+
+    from hg64spark.sketches import KLL
+
+    a = KLL(64, seed=7)
+    a.add_values(np.arange(10_000, dtype=np.float64))
+    blob = a.serialize()
+    b, c = KLL.deserialize(blob), KLL.deserialize(blob)
+    assert b._seed == 7 and c._seed == 7
+    # two resumed copies replay the identical coin stream (the RNG *position*
+    # is not persisted — only the seed — so a resumed copy restarts the
+    # stream; what matters is that resumption is reproducible)
+    b.add_values(np.arange(10_000, 20_000, dtype=np.float64))
+    c.add_values(np.arange(10_000, 20_000, dtype=np.float64))
+    assert b.serialize() == c.serialize()
+
+
+def test_kll_data_derived_seeds_decorrelate_partials():
+    """Two partials over different data must not share a coin stream, and an
+    empty level 0 after a merge must not degenerate the seed to f(n)."""
+    import numpy as np
+
+    from hg64spark.sketches import KLL
+
+    a = KLL(64).add_values(np.arange(5_000, dtype=np.float64))
+    b = KLL(64).add_values(np.arange(5_000, 10_000, dtype=np.float64))
+    a._coin(), b._coin()
+    assert a._rng.bit_generator.state != b._rng.bit_generator.state
+
+
+def test_bloom_contains_keeps_null_probe_rows(spark):
+    """A NULL probe value yields bloom_contains=false, not a dropped row."""
+    from hg64spark import relational
+    from hg64spark.sketches import Bloom
+
+    n_bits, k = 1 << 10, 3
+    vals = spark.createDataFrame([("x",), ("y",)], "v string")
+    blob = relational.bloom_agg_relational(vals, "v", n_bits, k).collect()[0]["sketch"]
+    words = relational.bloom_words_df(spark, Bloom.deserialize(bytes(blob)))
+    probes = spark.createDataFrame([("x",), (None,), ("zzz",)], "v string")
+    out = relational.bloom_contains_relational(probes, "v", words, n_bits, k).collect()
+    got = {r["v"]: r["bloom_contains"] for r in out}
+    assert len(out) == 3 and got["x"] is True and got[None] is False
