@@ -438,6 +438,59 @@ def q_bloom_tools_by_role_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gap threshold for session splits (µs) — ~p75 of the synthetic inter-turn
+#: latency distribution, so conversations genuinely split
+SESSION_GAP_US = 50_000_000_000
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts at each conversation's
+    first turn and wherever the inter-turn latency exceeds SESSION_GAP_US —
+    the cumulative-sum-of-boundaries window idiom.  One shuffle by conv_id
+    (shared with the latency derive), bounded per-conv state."""
+    from pyspark.sql import Window
+
+    lat = _latency(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    is_new = F.when(
+        F.col("latency_us").isNull() | (F.col("latency_us") > SESSION_GAP_US), 1
+    ).otherwise(0)
+    return lat.withColumn("session_idx", (F.sum(is_new).over(w) - F.lit(1)).cast("long"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session summary rows: (conv_id, session_idx, n_turns, first_turn,
+    last_turn) — the transcript-pipeline operator that turns raw turns into
+    analysis units."""
+    return _sessions(spark, sf_dir).groupBy("conv_id", "session_idx").agg(
+        F.count("*").alias("n_turns"),
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+    SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_turns, min(turn_idx) AS first_turn, max(turn_idx) AS last_turn
+    FROM (
+        SELECT conv_id, turn_idx,
+               sum(CASE WHEN latency_us IS NULL OR latency_us > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS session_idx
+        FROM ({_LATENCY_BASE_SQL})
+    )
+    GROUP BY 1, 2
+"""
+
+
+def q_session_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization composed with the sketch library: hg64 bucket histogram
+    of session lengths (turns per session)."""
+    d = q_sessionize(spark, sf_dir).select(F.col("n_turns").alias("v"))
+    sk = agg.hg64_agg(d, "v", [], SIGBITS)
+    return agg.hg64_buckets(sk, [])
+
+
 KLL_QS = [0.1, 0.5, 0.9, 0.99]
 
 
@@ -528,6 +581,8 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_custkeys_rel": q_cms_top_custkeys_rel,
         "cms_top_tools_by_role_rel": q_cms_top_tools_by_role_rel,
         "bloom_tools_by_role_rel": q_bloom_tools_by_role_rel,
+        "sessionize": q_sessionize,
+        "session_length_hist": q_session_length_hist,
         "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
         "textlen_quantiles_cube": q_textlen_quantiles_cube,
     }
@@ -604,6 +659,10 @@ def _core_oracles() -> dict[str, str]:
             f"SELECT role, tool, count(*) AS exact_count, "
             f"row_number() OVER (PARTITION BY role ORDER BY count(*) DESC, tool ASC) AS rk "
             f"FROM ({transcripts.TRANSCRIPTS_SQL}) GROUP BY role, tool) WHERE rk <= 3"
+        ),
+        "sessionize": _SESSIONIZE_SQL,
+        "session_length_hist": sqloracle.buckets_sql(
+            f"SELECT n_turns AS v FROM ({_SESSIONIZE_SQL})", "v", SIGBITS
         ),
         "bloom_tools_by_role_rel": (
             f"WITH t AS (SELECT DISTINCT role, tool FROM ({transcripts.TRANSCRIPTS_SQL})) "
