@@ -394,6 +394,25 @@ def hg64_ranks(
     return _explode(sketch_df, group_cols, HG64.deserialize, extra, per_sketch)
 
 
+def hg64_qov(
+    sketch_df: DataFrame, group_cols: Sequence[str], probes: Sequence[int]
+) -> DataFrame:
+    """(group..., probe, q) — `hg64s_quantile_of_value`
+    (`/root/reference/hg64.c:438-442`): rank_of_value / population, the FP
+    division being the only non-integer op (so a SQL oracle agrees bitwise)."""
+    parr = np.asarray(list(probes), dtype=np.uint64)
+
+    def per_sketch(sk: HG64, gvals: dict) -> dict:
+        snap = sk.snapshot()
+        out = {c: [v] * parr.size for c, v in gvals.items()}
+        out["probe"] = parr.astype(np.int64)
+        out["q"] = snap.quantile_of_value(parr)
+        return out
+
+    extra = [StructField("probe", LongType(), False), StructField("q", DoubleType(), False)]
+    return _explode(sketch_df, group_cols, HG64.deserialize, extra, per_sketch)
+
+
 def hg64_stats(sketch_df: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     """(group..., population, mean, variance) from integer-exact midpoint sums
     (FP only in the final two scalar ops, so a SQL oracle agrees bitwise)."""

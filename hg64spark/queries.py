@@ -70,6 +70,14 @@ def q_hg64_ranks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_ranks(sk, [], _RANK_PROBES)
 
 
+def q_hg64_qov_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantile_of_value (`hg64.c:438-442`) for the rank probes — the inverse
+    direction of the quantile sweep, driver-gated (previously only C-parity
+    covered)."""
+    sk = agg.hg64_agg(_events_values(spark, sf_dir), "v", [], SIGBITS)
+    return agg.hg64_qov(sk, [], _RANK_PROBES)
+
+
 def q_hg64_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = agg.hg64_agg(_events_values(spark, sf_dir), "v", ["event_type"], SIGBITS)
     return agg.hg64_stats(sk, ["event_type"])
@@ -565,6 +573,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hg64_buckets_events": q_hg64_buckets_events,
         "hg64_quantiles_events": q_hg64_quantiles_events,
         "hg64_ranks_events": q_hg64_ranks_events,
+        "hg64_qov_events": q_hg64_qov_events,
         "hg64_stats_events": q_hg64_stats_events,
         "latency_quantiles_by_tool": q_latency_quantiles_by_tool,
         "latency_quantiles_by_tool_rel": q_latency_quantiles_by_tool_rel,
@@ -604,6 +613,11 @@ def _core_oracles() -> dict[str, str]:
             _EVENTS_VALUE_SQL, "v", SIGBITS, QSWEEP, ["event_type"]
         ),
         "hg64_ranks_events": sqloracle.ranks_sql(_EVENTS_VALUE_SQL, "v", SIGBITS, _RANK_PROBES),
+        "hg64_qov_events": (
+            f"WITH r AS ({sqloracle.ranks_sql(_EVENTS_VALUE_SQL, 'v', SIGBITS, _RANK_PROBES)}),\n"
+            f"pop AS (SELECT count(*) AS pop FROM ({_EVENTS_VALUE_SQL}) WHERE v IS NOT NULL)\n"
+            f"SELECT probe, CAST(rank AS DOUBLE) / CAST(pop AS DOUBLE) AS q FROM r CROSS JOIN pop"
+        ),
         "hg64_stats_events": sqloracle.stats_sql(_EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]),
         "latency_quantiles_by_tool": sqloracle.quantiles_sql(
             _LATENCY_BASE_SQL, "latency_us", SIGBITS, QSWEEP, ["tool"]
