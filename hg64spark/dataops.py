@@ -339,12 +339,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact shingle Jaccard and emitted iff >= tau.  The oracle is
     the exhaustive exact-Jaccard pair set at the same tau, so the gate
     requires the LSH pipeline to achieve 100% recall AND the verification to
-    kill every false candidate — deterministic given the fixed hash seeds.
+    kill every false candidate — deterministic given the fixed hash seeds."""
+    return minhash_neardup_pairs(augmented_corpus(spark, sf_dir))
+
+
+def minhash_neardup_pairs(corpus: DataFrame, tau: float | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard >= tau) over any (doc_id, text) corpus — the
+    library form used by the driver query and by ``jobs/dedup_corpus.py``.
 
     Scale shape: signatures are one groupBy over (doc, shingle) rows; band
     join shuffles (band_id, band_hash) keys; candidate verification touches
     only candidate pairs, never the O(n^2) cross join."""
-    corpus = augmented_corpus(spark, sf_dir)
+    tau = NEARDUP_TAU if tau is None else tau
     # NOTE: the shingle set feeds signatures, verification, and sizes; it is
     # recomputed per branch on purpose — measured faster than .persist()
     # (row-format caching breaks the codegen pipeline and costs more than the
@@ -411,7 +417,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return verified.filter(F.col("jaccard") >= NEARDUP_TAU)
+    return verified.filter(F.col("jaccard") >= tau)
 
 
 Q_DEDUP_MINHASH_SQL = f"""

@@ -1,0 +1,70 @@
+"""Production job: near-duplicate detection over a document corpus, runnable
+via spark-submit on any cluster size:
+
+    zip -r hg64spark.zip hg64spark
+    spark-submit --master <cluster> \\
+        --py-files hg64spark.zip \\
+        jobs/dedup_corpus.py \\
+        --input  s3://bucket/documents/        # parquet with (doc_id, text)
+        --method minhash                       # minhash | exact
+        --tau 0.8                              # jaccard threshold (minhash)
+        --df-cap 256                           # hot-shingle skew cap
+        --output /path/out
+
+Emits the duplicate table plus a one-line JSON summary.  Scale shape (see
+hg64spark/dataops.py docstrings): the MinHash pair search is a banded
+equi-join with candidate-only exact-Jaccard verification — never an O(n^2)
+cross join — and the document-frequency cap keeps one stop-phrase shingle
+from skewing a join partition.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir (doc_id, text)")
+    ap.add_argument("--method", default="minhash", choices=["minhash", "exact"])
+    ap.add_argument("--tau", type=float, default=None, help="jaccard threshold (minhash)")
+    ap.add_argument("--df-cap", type=int, default=None, help="shingle document-frequency cap")
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName(f"hg64spark-dedup-{args.method}").getOrCreate()
+
+    from hg64spark import dataops
+
+    if args.df_cap is not None:
+        dataops.SHINGLE_DF_CAP = args.df_cap
+
+    corpus = spark.read.parquet(args.input).select("doc_id", "text")
+
+    t0 = time.perf_counter()
+    if args.method == "exact":
+        from pyspark.sql import Window, functions as F
+
+        w = Window.partitionBy(F.md5("text"))
+        out = corpus.select("doc_id", F.count("*").over(w).alias("dup_count")).filter(
+            "dup_count > 1"
+        )
+    else:
+        out = dataops.minhash_neardup_pairs(corpus, tau=args.tau)
+
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {"job": "dedup_corpus", "method": args.method, "rows_out": n, "sec": round(time.perf_counter() - t0, 2)}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

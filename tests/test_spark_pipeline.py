@@ -418,3 +418,27 @@ def test_grouped_fold_pandas_and_arrow_byte_identical(spark):
     a = {r["g"]: bytes(r["sketch"]) for r in relational.hg64_agg_relational(df, "v", ["g"], 5, fold="arrow").collect()}
     p = {r["g"]: bytes(r["sketch"]) for r in relational.hg64_agg_relational(df, "v", ["g"], 5, fold="pandas").collect()}
     assert a == p and set(a) == {"a", "b", None}
+
+
+def test_scans_are_pruned_and_filters_pushed(spark):
+    """The brief's 'push down and prune' criterion, mechanically asserted:
+    parquet scans read ONLY the referenced columns (ReadSchema) and probe
+    predicates reach the scan (PushedFilters) — a scan reading all columns
+    for a 2-column projection would be wrong at 100 TB."""
+    from hg64spark import dataops
+
+    sf = "/root/testdata/sf0.001"
+    plan = dataops.q_ann_brute_topk(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan
+    for s in scans:
+        cols = s.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names <= {"vec_id", "embedding"}, names
+    assert any("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]" in s for s in scans), scans
+
+    plan2 = dataops.q_dedup_exact(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    for s in [l for l in plan2.splitlines() if "FileScan parquet" in l]:
+        cols = s.split("FileScan parquet [", 1)[1].split("]", 1)[0]
+        names = {c.split("#")[0] for c in cols.split(",")}
+        assert names <= {"doc_id", "text"}, names
