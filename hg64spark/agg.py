@@ -59,7 +59,9 @@ def _group_schema(df: DataFrame, group_cols: Sequence[str]) -> list[StructField]
 _NAN = float("nan")
 
 
-def segment_record_batch(rb: pa.RecordBatch, n_group_cols: int) -> list[tuple[tuple, np.ndarray]]:
+def segment_record_batch(
+    rb: pa.RecordBatch, n_group_cols: int, _force_lexsort: bool = False
+) -> list[tuple[tuple, np.ndarray]]:
     """Group the first ``n_group_cols`` columns of an Arrow batch without
     creating per-row Python objects: dictionary-encode each group column,
     fuse the codes into one mixed-radix int, argsort, and cut segments.
@@ -83,6 +85,8 @@ def segment_record_batch(rb: pa.RecordBatch, n_group_cols: int) -> list[tuple[tu
     radix = 1
     for d in dicts:
         radix = radix * len(d) if radix <= (1 << 62) // len(d) else 0
+    if _force_lexsort:
+        radix = 0
     if radix:
         fused = None
         for d, codes in zip(dicts, codes_list):

@@ -442,3 +442,38 @@ def test_scans_are_pruned_and_filters_pushed(spark):
         cols = s.split("FileScan parquet [", 1)[1].split("]", 1)[0]
         names = {c.split("#")[0] for c in cols.split(",")}
         assert names <= {"doc_id", "text"}, names
+
+
+def test_segment_record_batch_lexsort_fallback_matches_fused_path():
+    """The int64-radix-overflow fallback (np.lexsort over per-column codes)
+    must segment identically to the fused fast path, including NULL and NaN
+    group values and zero rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from hg64spark.agg import segment_record_batch
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(rng.choice(["a", "b", None, "c"], n).tolist()),
+            pa.array([None if x > 0.9 else float(int(x * 5)) for x in rng.random(n)]),
+            pa.array(rng.integers(0, 7, n)),
+        ],
+        names=["g1", "g2", "g3"],
+    )
+
+    def norm(segs):
+        out = {}
+        for key, idx in segs:
+            key = tuple("NaN" if isinstance(v, float) and v != v else v for v in key)
+            out[key] = np.sort(idx).tolist()
+        return out
+
+    fast = norm(segment_record_batch(rb, 3))
+    slow = norm(segment_record_batch(rb, 3, _force_lexsort=True))
+    assert fast == slow and len(fast) > 10
+
+    empty = pa.RecordBatch.from_arrays([pa.array([], type=pa.string())], names=["g1"])
+    assert segment_record_batch(empty, 1, _force_lexsort=True) == []
