@@ -343,7 +343,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_neardup_pairs(augmented_corpus(spark, sf_dir))
 
 
-def minhash_neardup_pairs(corpus: DataFrame, tau: float | None = None) -> DataFrame:
+def minhash_neardup_pairs(
+    corpus: DataFrame, tau: float | None = None, df_cap: int | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard >= tau) over any (doc_id, text) corpus — the
     library form used by the driver query and by ``jobs/dedup_corpus.py``.
 
@@ -351,12 +353,13 @@ def minhash_neardup_pairs(corpus: DataFrame, tau: float | None = None) -> DataFr
     join shuffles (band_id, band_hash) keys; candidate verification touches
     only candidate pairs, never the O(n^2) cross join."""
     tau = NEARDUP_TAU if tau is None else tau
+    df_cap = SHINGLE_DF_CAP if df_cap is None else df_cap
     # NOTE: the shingle set feeds signatures, verification, and sizes; it is
     # recomputed per branch on purpose — measured faster than .persist()
     # (row-format caching breaks the codegen pipeline and costs more than the
     # re-explosion at this shape).  DF-capped so one stop-phrase shingle
     # can't skew either the signature build or the verification join.
-    s = capped_shingles(corpus)
+    s = capped_shingles(corpus, df_cap=df_cap)
     r = MINHASH_N // LSH_BANDS
     assert r == 2, "band assembly below is written for r=2 rows per band"
     # signatures in LONG format: explode the hash index and run ONE narrow
@@ -370,7 +373,9 @@ def minhash_neardup_pairs(corpus: DataFrame, tau: float | None = None) -> DataFr
     # once (h0) and the 64 family members rehash the 8-byte h0 instead of
     # re-hashing the ~5-word string 64x.  Correctness is unaffected either
     # way: candidates are verified against the exact Jaccard.
-    sig_shingles = raw_shingles(corpus).join(rare_shingle_set(corpus), "sh", "left_semi")
+    sig_shingles = raw_shingles(corpus).join(
+        rare_shingle_set(corpus, df_cap=df_cap), "sh", "left_semi"
+    )
     h0 = sig_shingles.select("doc_id", F.xxhash64("sh").alias("h0"))
     hashes = h0.select(
         "doc_id",
@@ -690,7 +695,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUG_EMB_SQL = f"""
     SELECT vec_id, {_SCALE_SQL} AS se FROM embeddings
     UNION ALL
-    SELECT vec_id + 1099511627776 AS vec_id, [v + (v % 97) FOR v IN se] AS se
+    SELECT vec_id + {PLANT_OFFSET} AS vec_id, [v + (v % 97) FOR v IN se] AS se
     FROM (SELECT vec_id, {_SCALE_SQL} AS se FROM embeddings)
 """
 

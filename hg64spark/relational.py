@@ -220,37 +220,45 @@ def bloom_contains_relational(
     Returns the probe rows plus ``bloom_contains`` boolean.  At cluster scale
     this is a broadcast hash join against <= n_bits/64 rows — no driver
     round-trip of the filter.  With ``group_cols`` the probe checks each row
-    against ITS group's filter (``words`` must carry the group columns)."""
+    against ITS group's filter (``words`` must carry the group columns).
+
+    Shape: ONE linear pipeline — the probe row rides through the explode as a
+    struct and a generated id disambiguates duplicate rows.  (The obvious
+    p-join-hit shape would evaluate the probes subtree twice, and
+    monotonically_increasing_id is only consistent within one evaluation:
+    nondeterministic input ordering or a task retry could pair a probe with
+    another row's verdict.)"""
     group_cols = list(group_cols)
-    pid = F.monotonically_increasing_id()
-    p = probes.withColumn("__pid", pid)
-    pos = p.select(
+    out_cols = probes.columns
+    base = probes.select(
+        F.monotonically_increasing_id().alias("__pid"),
+        F.struct(*out_cols).alias("__row"),
+        F.col(probe_col).alias("__pv"),
+    )
+    pos = base.select(
         "__pid",
-        *group_cols,
-        F.posexplode(_bloom_positions(probe_col, n_bits, n_hashes)).alias("__i", "pos"),
+        "__row",
+        F.posexplode(_bloom_positions("__pv", n_bits, n_hashes)).alias("__i", "pos"),
     ).select(
         "__pid",
-        *group_cols,
+        "__row",
         F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
         F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        *[F.col(f"__row.{c}").alias(c) for c in group_cols],
     )
-    hit = (
+    return (
         pos.join(F.broadcast(words), [*group_cols, "word_idx"], "left")
         .select(
             "__pid",
-            (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias("bit_set"),
+            "__row",
+            (
+                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.coalesce(F.col("bit"), F.lit(0)))
+                != 0
+            ).alias("bit_set"),
         )
-        .groupBy("__pid")
-        .agg(F.min("bit_set").alias("bloom_contains"))
-    )
-    # LEFT join + false default: a NULL probe value produces no exploded
-    # positions and hence no hit row — an inner join would silently DROP that
-    # probe row, breaking the 'returns the probe rows' contract (and
-    # desyncing from a SQL oracle that keeps the row)
-    return (
-        p.join(hit, "__pid", "left")
-        .withColumn("bloom_contains", F.coalesce("bloom_contains", F.lit(False)))
-        .drop("__pid")
+        .groupBy("__pid", "__row")
+        .agg(F.min(F.coalesce(F.col("bit_set"), F.lit(False))).alias("bloom_contains"))
+        .select(*[F.col(f"__row.{c}").alias(c) for c in out_cols], "bloom_contains")
     )
 
 

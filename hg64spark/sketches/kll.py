@@ -35,6 +35,10 @@ class KLL:
     ):
         if not 8 <= k <= 65535:
             raise ValueError(f"KLL k must be in [8, 65535], got {k}")
+        if seed is not None and not 0 <= seed < (1 << 64) - 1:
+            # 2^64-1 is the wire sentinel for "no explicit seed"; negatives
+            # would silently alias into it through the serde mask
+            raise ValueError(f"KLL seed must be in [0, 2^64-2], got {seed}")
         self.k = k
         self.levels = levels if levels is not None else [np.empty(0, dtype=np.float64)]
         self.n = n
@@ -170,7 +174,7 @@ class KLL:
     def serialize(self) -> bytes:
         # the explicit seed travels in the header so KLL(k, seed=s) keeps its
         # coin stream through the library's serialize->merge Spark path
-        seed = self._NO_SEED if self._seed is None else self._seed & ((1 << 64) - 1)
+        seed = self._NO_SEED if self._seed is None else self._seed
         header = struct.pack("<HIQQ", self.k, len(self.levels), self.n, seed)
         parts = []
         for lv in self.levels:
@@ -181,9 +185,15 @@ class KLL:
     @classmethod
     def deserialize(cls, buf: bytes) -> "KLL":
         _, header, payload = serde.expect(buf, serde.TYPE_KLL)
-        if len(header) != 22:
+        if len(header) == 22:
+            k, n_levels, n, seed = struct.unpack("<HIQQ", header)
+        elif len(header) == 14:
+            # legacy layout (pre-seed): valid v1 blobs must load, not be
+            # reported as corruption
+            k, n_levels, n = struct.unpack("<HIQ", header)
+            seed = cls._NO_SEED
+        else:
             raise ValueError("corrupt KLL header")
-        k, n_levels, n, seed = struct.unpack("<HIQQ", header)
         levels = []
         off = 0
         for _ in range(n_levels):

@@ -40,21 +40,22 @@ def main() -> None:
 
     from hg64spark import dataops
 
-    if args.df_cap is not None:
-        dataops.SHINGLE_DF_CAP = args.df_cap
-
     corpus = spark.read.parquet(args.input).select("doc_id", "text")
 
     t0 = time.perf_counter()
     if args.method == "exact":
         from pyspark.sql import Window, functions as F
 
+        # NULL text would hash to NULL and cluster every text-less doc into
+        # one giant fake duplicate group — exclude them
         w = Window.partitionBy(F.md5("text"))
-        out = corpus.select("doc_id", F.count("*").over(w).alias("dup_count")).filter(
-            "dup_count > 1"
+        out = (
+            corpus.filter(F.col("text").isNotNull())
+            .select("doc_id", F.count("*").over(w).alias("dup_count"))
+            .filter("dup_count > 1")
         )
     else:
-        out = dataops.minhash_neardup_pairs(corpus, tau=args.tau)
+        out = dataops.minhash_neardup_pairs(corpus, tau=args.tau, df_cap=args.df_cap)
 
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

@@ -310,7 +310,8 @@ def test_kll_explicit_seed_survives_serde():
 
 def test_kll_data_derived_seeds_decorrelate_partials():
     """Two partials over different data must not share a coin stream, and an
-    empty level 0 after a merge must not degenerate the seed to f(n)."""
+    empty level 0 (the state right after a merge of already-compacted
+    partials) with EQUAL n must not degenerate the seed to f(n)."""
     import numpy as np
 
     from hg64spark.sketches import KLL
@@ -319,6 +320,42 @@ def test_kll_data_derived_seeds_decorrelate_partials():
     b = KLL(64).add_values(np.arange(5_000, 10_000, dtype=np.float64))
     a._coin(), b._coin()
     assert a._rng.bit_generator.state != b._rng.bit_generator.state
+
+    # the degenerate path the fix targets: empty level 0, same n, different
+    # upper-level data -> seeds must still differ
+    e = np.empty(0, dtype=np.float64)
+    c = KLL(64, levels=[e.copy(), np.arange(100, dtype=np.float64)], n=200)
+    d = KLL(64, levels=[e.copy(), np.arange(100, 200, dtype=np.float64)], n=200)
+    c._coin(), d._coin()
+    assert c._rng.bit_generator.state != d._rng.bit_generator.state
+
+
+def test_kll_seed_validation_and_legacy_header():
+    """Seeds aliasing the wire sentinel are rejected up front; legacy
+    14-byte (pre-seed) headers still load instead of reading as corrupt."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from hg64spark import serde
+    from hg64spark.sketches import KLL
+
+    with pytest.raises(ValueError):
+        KLL(64, seed=-1)
+    with pytest.raises(ValueError):
+        KLL(64, seed=(1 << 64) - 1)
+
+    sk = KLL(64).add_values(np.arange(1_000, dtype=np.float64))
+    header = struct.pack("<HIQ", sk.k, len(sk.levels), sk.n)
+    parts = []
+    for lv in sk.levels:
+        parts.append(struct.pack("<I", lv.size))
+        parts.append(lv.astype("<f8").tobytes())
+    legacy = serde.pack(serde.TYPE_KLL, header, b"".join(parts))
+    back = KLL.deserialize(legacy)
+    assert back.n == sk.n and back._seed is None
+    assert [l.tolist() for l in back.levels] == [l.tolist() for l in sk.levels]
 
 
 def test_bloom_contains_keeps_null_probe_rows(spark):
