@@ -647,19 +647,35 @@ def _aug_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.unionAll(copies)
 
 
+#: banding for the cosine-dedup SELF-join: WIDE bands (16 sign bits each), not
+#: the ANN probe banding (2 bits) — a self-join on a c-bit code collides
+#: ~N^2 * bands / 2^c random pairs, so c must grow ~log2(N) for the candidate
+#: set to stay near-linear (here 2^16 code space vs N~10^3 test vectors, and
+#: the production rule is planes_per_band ≈ log2(N) + margin).  Near-dup
+#: pairs (cosine ≈ 1) agree on ~99.6% of sign bits, so a 16-bit band still
+#: matches with p ≈ 0.93 and 8 bands miss with p ≈ 6e-10.
+COSDUP_PLANES = 128
+COSDUP_BANDS = 8
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs with cosine >= 0.9.
 
-    Scale shape: candidates come from the banded random-hyperplane LSH codes
-    (equi-join on (band, code) — near-identical vectors agree on almost every
-    sign bit, so every >=tau pair shares >=1 band with overwhelming margin);
-    ONLY candidates get the exact verification.  The cosine test is done in
+    Scale shape: candidates come from banded random-hyperplane codes with
+    WIDE bands sized for a self-join (see COSDUP_PLANES note — near-identical
+    vectors agree on almost every sign bit, so every near-dup pair shares
+    >= 1 of the 8 sixteen-bit bands with overwhelming probability, while
+    random near-orthogonal pairs collide at ~2^-16 per band); ONLY candidates
+    get the exact verification.  The cosine test is done in
     integer/fixed-point arithmetic lifted to one double compare —
     dot^2 >= tau^2 * |a|^2 * |b|^2 with identical IEEE op order in Spark and
     DuckDB — so the exhaustive-scan oracle matches bit-for-bit.  No
     theta-join anywhere (plan asserted in tests)."""
     e = _aug_embeddings(spark, sf_dir)
-    bands = e.select("vec_id", F.posexplode(F.expr(_lsh_band_codes_expr())).alias("band", "code"))
+    bands = e.select(
+        "vec_id",
+        F.posexplode(F.expr(_lsh_band_codes_expr(COSDUP_PLANES, COSDUP_BANDS))).alias("band", "code"),
+    )
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "code"])
@@ -762,19 +778,20 @@ LSH_PLANE_BANDS = 8  # 8 bands x 2 planes: recall-leaning (measured 9-10/10
 # selectivity — the gate here certifies recall, the knob is per-job
 
 
-def _lsh_band_codes_expr() -> str:
+def _lsh_band_codes_expr(planes: int = LSH_PLANES, bands: int = LSH_PLANE_BANDS) -> str:
     """SQL expression (over a column ``se``) for the array of per-band
     hyperplane codes: sign bit of the dot against each +-1 hyperplane
-    (weights from xxhash64(plane, dim) — deterministic), packed per band."""
+    (weights from xxhash64(plane, dim) — deterministic), packed per band
+    (``planes // bands`` sign bits per code)."""
     bits = []
-    for p in range(LSH_PLANES):
+    for p in range(planes):
         w = f"transform(sequence(0, size(se)-1), j -> CASE WHEN pmod(xxhash64({p}, j), 2) = 0 THEN 1 ELSE -1 END)"
         dot = f"aggregate(zip_with(se, {w}, (x, s) -> x * s), 0L, (acc, v) -> acc + v)"
         bits.append(f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END)")
-    r = LSH_PLANES // LSH_PLANE_BANDS
+    r = planes // bands
     band_codes = [
         "(" + " + ".join(f"{bits[b * r + j]} * {1 << j}" for j in range(r)) + ")"
-        for b in range(LSH_PLANE_BANDS)
+        for b in range(bands)
     ]
     return "array(" + ",".join(band_codes) + ")"
 
