@@ -219,14 +219,30 @@ FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 """
 
 
+#: language-model vocabulary cap: top-K tokens per language by frequency
+#: (deterministic tiebreak), so the broadcast model stays bounded no matter
+#: how large the training corpus grows — an uncapped vocab over a 100 TB
+#: corpus would not be broadcastable
+LANGID_VOCAB_K = 4096
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained token-frequency language ID: score(doc, lang) = sum
     over doc tokens (with multiplicity) of that token's frequency in lang's
-    corpus; predict the argmax (integer scores — exactly reproducible).
-    Joins are broadcastable (vocab x 5 langs is tiny)."""
+    corpus (model capped to the top LANGID_VOCAB_K tokens per language);
+    predict the argmax (integer scores — exactly reproducible).  Joins are
+    broadcastable because the cap bounds the model at K x #langs rows."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
-    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt")).withColumnRenamed("lang", "cand")
+    w_v = Window.partitionBy("cand").orderBy(F.desc("cnt"), F.asc("tok"))
+    freq = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumnRenamed("lang", "cand")
+        .withColumn("__rk", F.row_number().over(w_v))
+        .filter(F.col("__rk") <= LANGID_VOCAB_K)
+        .drop("__rk")
+    )
     scored = (
         toks.select("doc_id", "tok")
         .join(F.broadcast(freq), "tok")
@@ -241,11 +257,17 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_TEXT_LANGID_SQL = """
+Q_TEXT_LANGID_SQL = f"""
 WITH toks AS (
     SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
-freq AS (SELECT lang AS cand, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+freq AS (
+    SELECT cand, tok, cnt FROM (
+        SELECT lang AS cand, tok, count(*) AS cnt,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) AS rk
+        FROM toks GROUP BY lang, tok
+    ) WHERE rk <= {LANGID_VOCAB_K}
+),
 scored AS (
     SELECT t.doc_id, f.cand, sum(f.cnt) AS score
     FROM toks t JOIN freq f ON t.tok = f.tok
