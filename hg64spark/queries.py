@@ -123,25 +123,25 @@ CUBE_QS = [0.5, 0.9]
 
 def q_textlen_quantiles_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (tool, role): hg64 text-length quantiles for every grouping
-    cell — (tool, role), (tool), (role), and global — expressed as explicit
-    grouping-set unions so the Spark and SQL null-padding semantics are
-    identical by construction.  Each cell reuses the same relational sketch
-    plan; at scale the four groupings share one scan via Spark's cache or a
-    grouping-sets pushdown (cells here are cheap enough to recompute)."""
+    cell — (tool, role), (tool), (role), and global — as ONE scan: the
+    relational keyed counts are aggregated with GROUPING SETS (Catalyst
+    expands the sets map-side, so the input is read once, vs the 4-scan
+    union this replaced), then the shared cumulative-rank/interpolation
+    finalizer runs per cell.  Grouping-set NULL markers are unambiguous
+    because tool/role are never NULL in the transcript schema."""
+    from hg64spark import relational
+
     t = transcripts.transcripts_from_events(spark, sf_dir)
     base = t.select("tool", "role", F.length("text").alias("v"))
-    pieces = []
-    for cols in (["tool", "role"], ["tool"], ["role"], []):
-        sk = agg.hg64_agg(base, "v", cols, SIGBITS)
-        qd = agg.hg64_quantiles(sk, cols, CUBE_QS)
-        for missing in ("tool", "role"):
-            if missing not in cols:
-                qd = qd.withColumn(missing, F.lit(None).cast("string"))
-        pieces.append(qd.select("tool", "role", "q", "value"))
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionAll(p)
-    return out
+    keyed = relational.with_hg64_key(base, "v", SIGBITS)
+    counts = keyed.groupingSets(
+        [["tool", "role", "hg64_key"], ["tool", "hg64_key"], ["role", "hg64_key"], ["hg64_key"]],
+        "tool",
+        "role",
+        "hg64_key",
+    ).agg(F.count("*").alias("count"))
+    qd = relational.hg64_quantiles_from_counts(counts, CUBE_QS, ["tool", "role"], SIGBITS)
+    return qd.select("tool", "role", "q", "value")
 
 
 def _cube_oracle() -> str:

@@ -301,6 +301,25 @@ def hg64_quantiles_relational(
         )
     group_cols = list(group_cols)
     counts = hg64_counts(df, value_col, group_cols, sigbits)
+    return hg64_quantiles_from_counts(counts, qs, group_cols, sigbits)
+
+
+def hg64_quantiles_from_counts(
+    counts: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    sigbits: int = 5,
+) -> DataFrame:
+    """The quantile finalizer over a precomputed (group..., hg64_key, count)
+    frame — lets callers supply counts from any build (plain groupBy,
+    GROUPING SETS / cube cells, streaming window output) and share the
+    identical rank/interpolation math."""
+    from pyspark.sql import Window
+
+    qs = [float(q) for q in qs]
+    if any(q < 0.0 or q >= 1.0 for q in qs):
+        raise ValueError("hg64_quantiles_from_counts requires 0 <= q < 1")
+    group_cols = list(group_cols)
     wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))
     cum = counts.withColumn("cum_incl", F.sum("count").over(wpart.orderBy("hg64_key"))).withColumn(
         "pop", F.sum("count").over(wpart)
