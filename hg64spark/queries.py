@@ -446,6 +446,26 @@ def q_bloom_tools_by_role_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mg_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent items over the transcript tool column — the
+    underestimate-side heavy-hitter companion (CMS brackets from above, MG
+    from below).  Gate: every tool's exact count with the MG bracket check
+    true - n/(k+1) <= est <= true; with k=16 > #distinct tools the sketch is
+    exact, so the gate is deterministic."""
+    from hg64spark.sketches import MG
+
+    t = transcripts.transcripts_from_events(spark, sf_dir).select("tool")
+    sk = agg.sketch_agg(t, "tool", [], lambda: MG(16), MG.deserialize)
+    mg = MG.deserialize(bytes(sk.collect()[0]["sketch"]))
+    bound = mg.error_bound()
+    exact = t.groupBy("tool").agg(F.count("*").alias("exact_count")).collect()
+    out = []
+    for r in exact:
+        est = int(mg.estimate([r["tool"]])[0])
+        out.append((r["tool"], r["exact_count"], bool(r["exact_count"] - bound <= est <= r["exact_count"])))
+    return spark.createDataFrame(out, "tool string, exact_count long, mg_ok boolean")
+
+
 #: gap threshold for session splits (µs) — ~p75 of the synthetic inter-turn
 #: latency distribution, so conversations genuinely split
 SESSION_GAP_US = 50_000_000_000
@@ -590,6 +610,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_custkeys_rel": q_cms_top_custkeys_rel,
         "cms_top_tools_by_role_rel": q_cms_top_tools_by_role_rel,
         "bloom_tools_by_role_rel": q_bloom_tools_by_role_rel,
+        "mg_top_tools": q_mg_top_tools,
         "sessionize": q_sessionize,
         "session_length_hist": q_session_length_hist,
         "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
@@ -673,6 +694,10 @@ def _core_oracles() -> dict[str, str]:
             f"SELECT role, tool, count(*) AS exact_count, "
             f"row_number() OVER (PARTITION BY role ORDER BY count(*) DESC, tool ASC) AS rk "
             f"FROM ({transcripts.TRANSCRIPTS_SQL}) GROUP BY role, tool) WHERE rk <= 3"
+        ),
+        "mg_top_tools": (
+            f"SELECT tool, count(*) AS exact_count, true AS mg_ok "
+            f"FROM ({transcripts.TRANSCRIPTS_SQL}) GROUP BY tool"
         ),
         "sessionize": _SESSIONIZE_SQL,
         "session_length_hist": sqloracle.buckets_sql(

@@ -32,6 +32,7 @@ TYPE_CMS = 3
 TYPE_BLOOM = 4
 TYPE_KLL = 5
 TYPE_TDIGEST = 6
+TYPE_MG = 7
 
 _ENV = struct.Struct("<4sBBH")
 

@@ -10,5 +10,6 @@ from hg64spark.sketches.cms import CMS
 from hg64spark.sketches.bloom import Bloom
 from hg64spark.sketches.kll import KLL
 from hg64spark.sketches.tdigest import TDigest
+from hg64spark.sketches.mg import MG
 
-__all__ = ["HLL", "CMS", "Bloom", "KLL", "TDigest"]
+__all__ = ["HLL", "CMS", "Bloom", "KLL", "TDigest", "MG"]

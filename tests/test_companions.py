@@ -371,3 +371,65 @@ def test_bloom_contains_keeps_null_probe_rows(spark):
     out = relational.bloom_contains_relational(probes, "v", words, n_bits, k).collect()
     got = {r["v"]: r["bloom_contains"] for r in out}
     assert len(out) == 3 and got["x"] is True and got[None] is False
+
+
+# ----------------------------------------------------------------- MG
+
+
+def test_mg_bounds_and_no_missed_heavy_hitter():
+    """Published guarantees under real decrements: estimates never exceed the
+    true count, undercount by at most n/(k+1), and every item above the
+    threshold is tracked."""
+    from hg64spark.sketches import MG
+
+    r = rng()
+    vals = (r.zipf(1.5, 100_000) % 5_000).astype(np.int64)
+    k = 32
+    mg = MG(k)
+    for chunk in np.array_split(vals, 10):
+        mg.add_values(chunk)
+    assert mg.n == vals.size
+    assert len(mg.counters) <= k
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = mg.estimate(uniq)
+    bound = mg.error_bound()
+    assert np.all(est <= true_counts)
+    assert np.all(est >= true_counts - bound)
+    heavy = uniq[true_counts > bound]
+    assert all(str(h) in mg.counters for h in heavy), "heavy hitter missed"
+
+
+def test_mg_merge_bound_holds_across_splits():
+    from hg64spark.sketches import MG
+
+    r = rng()
+    vals = (r.zipf(1.3, 200_000) % 2_000).astype(np.int64)
+    k = 64
+    merged = MG(k)
+    for part in np.array_split(vals, 16):
+        merged.merge(MG(k).add_values(part))
+    assert merged.n == vals.size
+    uniq, true_counts = np.unique(vals, return_counts=True)
+    est = merged.estimate(uniq)
+    assert np.all(est <= true_counts)
+    assert np.all(est >= true_counts - merged.error_bound())
+
+
+def test_mg_exact_when_distinct_fits_and_serde():
+    from hg64spark.sketches import MG
+
+    vals = np.array(["a"] * 5 + ["b"] * 3 + ["c"] * 2, dtype=object)
+    mg = MG(16).add_values(vals)
+    assert mg.top() == [("a", 5), ("b", 3), ("c", 2)]
+    assert mg.error_bound() == 0
+    back = MG.deserialize(mg.serialize())
+    assert back == mg
+    # weighted, merge k-mismatch, corrupt input
+    w = MG(8).add_values(np.array(["x", "y"]), weights=np.array([7, 2]))
+    assert w.estimate(["x"])[0] == 7 and w.n == 9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MG(8).merge(MG(16))
+    with _pytest.raises(ValueError):
+        MG.deserialize(mg.serialize()[:12])
