@@ -157,7 +157,14 @@ def sketch_partials(
             valid = None
             if vcol.null_count:
                 valid = vcol.is_valid().to_numpy(zero_copy_only=False)
-                vcol = vcol.fill_null(0)
+                # numeric arrays must be null-FILLED before to_numpy (nulls
+                # would silently convert the array to float NaN); string /
+                # binary arrays must NOT be (fill_null(0) raises
+                # ArrowTypeError on them — to_numpy gives object arrays where
+                # None rows are dropped by the valid mask anyway)
+                if not (pa.types.is_string(vcol.type) or pa.types.is_large_string(vcol.type)
+                        or pa.types.is_binary(vcol.type) or pa.types.is_large_binary(vcol.type)):
+                    vcol = vcol.fill_null(0)
             varr = vcol.to_numpy(zero_copy_only=False)
             if valid is not None:
                 keep = np.flatnonzero(valid)

@@ -251,9 +251,16 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
     pred = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    # LEFT join from the docs side: a doc whose tokens all fall outside the
+    # capped vocabulary still gets a row (predicted 'und'), preserving the
+    # one-prediction-per-document contract the cap would otherwise break
     return (
-        pred.join(d.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", F.col("cand").alias("predicted_lang"), F.col("lang").alias("actual_lang"))
+        d.select("doc_id", "lang").join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cand"), F.lit("und")).alias("predicted_lang"),
+            F.col("lang").alias("actual_lang"),
+        )
     )
 
 
@@ -278,9 +285,8 @@ pred AS (
            row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn
     FROM scored
 )
-SELECT p.doc_id, p.cand AS predicted_lang, d.lang AS actual_lang
-FROM pred p JOIN documents d ON p.doc_id = d.doc_id
-WHERE p.rn = 1
+SELECT d.doc_id, coalesce(p.cand, 'und') AS predicted_lang, d.lang AS actual_lang
+FROM documents d LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p ON p.doc_id = d.doc_id
 """
 
 
@@ -680,6 +686,47 @@ COSDUP_PLANES = 128
 COSDUP_BANDS = 8
 
 
+def _band_codes_df(e: DataFrame, planes: int, bands: int) -> DataFrame:
+    """(vec_id, band, code): hyperplane band codes via ONE posexplode pass
+    over each vector + a broadcast (plane, dim) weights join + two grouped
+    integer aggregations — all whole-stage codegen.  Equivalent to (and
+    hash-compatible with) the `_lsh_band_codes_expr` expression form, which
+    evaluates `planes` interpreted aggregate-lambdas per row and only stays
+    cheap for small plane counts; this is the shape that scales to the wide
+    bands the cosine-dedup self-join needs."""
+    spark = e.sparkSession
+    dim = len(e.select("se").first()["se"])
+    r = planes // bands
+    weights = (
+        spark.range(planes * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("plane"),
+            F.pmod(F.col("id"), F.lit(dim)).cast("int").alias("j"),
+        )
+        .select(
+            "plane",
+            "j",
+            # same +-1 family as the expression form: xxhash64 over INT
+            # (plane, dim) pairs — parity verified by the planted-pair gate
+            F.when(F.pmod(F.xxhash64(F.col("plane"), F.col("j")), F.lit(2)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("w"),
+        )
+    )
+    ve = e.select("vec_id", F.posexplode("se").alias("j", "x"))
+    dots = (
+        ve.join(F.broadcast(weights), "j")
+        .groupBy("vec_id", "plane")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
+    )
+    contrib = F.expr("CASE WHEN dot > 0 THEN shiftleft(1, int(pmod(plane, " + str(r) + "))) ELSE 0 END")
+    return (
+        dots.select("vec_id", (F.col("plane") / r).cast("int").alias("band"), contrib.alias("c"))
+        .groupBy("vec_id", "band")
+        .agg(F.sum("c").cast("int").alias("code"))
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs with cosine >= 0.9.
 
@@ -694,10 +741,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — so the exhaustive-scan oracle matches bit-for-bit.  No
     theta-join anywhere (plan asserted in tests)."""
     e = _aug_embeddings(spark, sf_dir)
-    bands = e.select(
-        "vec_id",
-        F.posexplode(F.expr(_lsh_band_codes_expr(COSDUP_PLANES, COSDUP_BANDS))).alias("band", "code"),
-    )
+    bands = _band_codes_df(e, COSDUP_PLANES, COSDUP_BANDS)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "code"])

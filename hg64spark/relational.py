@@ -235,10 +235,19 @@ def bloom_contains_relational(
         F.struct(*out_cols).alias("__row"),
         F.col(probe_col).alias("__pv"),
     )
+    # NULL probe value => DEFINED not-contained, not the filter's verdict on
+    # hash-of-nothing: Spark's xxhash64(NULL) returns the seed, so without
+    # this guard a NULL probe would test the seed-hash positions and could
+    # report true at the filter's normal FP rate.  Empty position array +
+    # posexplode_outer keeps the row (one null-position child) and the
+    # coalesce chain below resolves it to false.
+    guarded = F.when(F.col("__pv").isNull(), F.array().cast("array<bigint>")).otherwise(
+        _bloom_positions("__pv", n_bits, n_hashes)
+    )
     pos = base.select(
         "__pid",
         "__row",
-        F.posexplode(_bloom_positions("__pv", n_bits, n_hashes)).alias("__i", "pos"),
+        F.posexplode_outer(guarded).alias("__i", "pos"),
     ).select(
         "__pid",
         "__row",
@@ -290,8 +299,6 @@ def hg64_quantiles_relational(
     Bit-identical to the numpy finalizer (`HG64Snapshot.value_at_quantile`):
     same IEEE-754 ops in the same order (rank = trunc(q*pop),
     value = min + trunc(span * (rank_in/cnt)))."""
-    from pyspark.sql import Window
-
     qs = [float(q) for q in qs]
     if any(q < 0.0 or q >= 1.0 for q in qs):
         raise ValueError(
@@ -299,8 +306,7 @@ def hg64_quantiles_relational(
             "sentinel has no BIGINT representation in a relational result "
             "(the sketch-object path returns it wrapped as -1)"
         )
-    group_cols = list(group_cols)
-    counts = hg64_counts(df, value_col, group_cols, sigbits)
+    counts = hg64_counts(df, value_col, list(group_cols), sigbits)
     return hg64_quantiles_from_counts(counts, qs, group_cols, sigbits)
 
 

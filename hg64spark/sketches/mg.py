@@ -69,6 +69,11 @@ class MG:
             cnt = np.bincount(inv, weights=w).astype(np.int64)
         for it, c in zip(uniq.tolist(), cnt.tolist()):
             if c:
+                if len(it) > 16_383 and len(it.encode("utf-8")) > 0xFFFF:
+                    # the wire format length-prefixes items with u16 — fail at
+                    # ADD time with a clear message, not struct.error deep in
+                    # a Spark task at serialize time
+                    raise ValueError(f"MG item exceeds 65535 UTF-8 bytes: {it[:50]!r}...")
                 self.counters[it] = self.counters.get(it, 0) + int(c)
         self.n += int(cnt.sum())
         self._shrink()
@@ -112,6 +117,8 @@ class MG:
         parts = []
         for it, c in sorted(self.counters.items()):
             b = it.encode("utf-8")
+            if len(b) > 0xFFFF:
+                raise ValueError(f"MG item exceeds 65535 UTF-8 bytes: {it[:50]!r}...")
             parts.append(struct.pack("<Hq", len(b), c))
             parts.append(b)
         return serde.pack(serde.TYPE_MG, header, b"".join(parts))

@@ -100,7 +100,7 @@ def test_langid_is_deterministic_and_total(spark):
     rows = dataops.q_text_langid(spark, SF_DIR).collect()
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(rows) == n_docs
-    assert all(r["predicted_lang"] in ("en", "es", "de", "fr", "zh") for r in rows)
+    assert all(r["predicted_lang"] in ("en", "es", "de", "fr", "zh", "und") for r in rows)
 
 
 def test_simhash_plan_has_no_cartesian_or_bnlj(spark):

@@ -435,7 +435,10 @@ def test_scans_are_pruned_and_filters_pushed(spark):
         cols = s.split("FileScan parquet [", 1)[1].split("]", 1)[0]
         names = {c.split("#")[0] for c in cols.split(",")}
         assert names <= {"vec_id", "embedding"}, names
-    assert any("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]" in s for s in scans), scans
+    assert any(
+        f"PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,{dataops.N_PROBES})]" in s
+        for s in scans
+    ), scans
 
     plan2 = dataops.q_dedup_exact(spark, sf)._jdf.queryExecution().executedPlan().toString()
     for s in [l for l in plan2.splitlines() if "FileScan parquet" in l]:
