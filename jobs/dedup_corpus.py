@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 
@@ -55,7 +56,24 @@ def main() -> None:
             .filter("dup_count > 1")
         )
     else:
-        out = dataops.minhash_neardup_pairs(corpus, tau=args.tau, df_cap=args.df_cap)
+        tau = dataops.NEARDUP_TAU if args.tau is None else args.tau
+        # the banding (32 bands x 2 rows) is tuned for tau >= ~0.5; at lower
+        # thresholds the candidate stage starts missing just-above-threshold
+        # pairs — surface the miss probability instead of silently losing
+        # recall (fix: more hashes/bands, re-tune r for the chosen tau)
+        miss_p = (1.0 - tau**2) ** dataops.LSH_BANDS
+        if miss_p > 0.01:
+            print(
+                json.dumps(
+                    {
+                        "warning": "LSH banding recall at this tau",
+                        "tau": tau,
+                        "pair_miss_probability_at_tau": round(miss_p, 4),
+                    }
+                ),
+                file=sys.stderr,
+            )
+        out = dataops.minhash_neardup_pairs(corpus, tau=tau, df_cap=args.df_cap)
 
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()
