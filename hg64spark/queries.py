@@ -466,6 +466,26 @@ def q_mg_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "tool string, exact_count long, mg_ok boolean")
 
 
+def q_mg_top_tools_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP Misra-Gries: one frequent-items summary per role through the
+    generic grouped sketch protocol (mapInArrow partials + applyInPandas
+    merge — the first string-valued sketch through that path), bracket-gated
+    per (role, tool) against the exact counts."""
+    from hg64spark.sketches import MG
+
+    t = transcripts.transcripts_from_events(spark, sf_dir).select("role", "tool")
+    sks = agg.sketch_agg(t, "tool", ["role"], lambda: MG(16), MG.deserialize).collect()
+    per_role = {r["role"]: MG.deserialize(bytes(r["sketch"])) for r in sks}
+    exact = t.groupBy("role", "tool").agg(F.count("*").alias("exact_count")).collect()
+    out = []
+    for r in exact:
+        mg = per_role[r["role"]]
+        est = int(mg.estimate([r["tool"]])[0])
+        ok = r["exact_count"] - mg.error_bound() <= est <= r["exact_count"]
+        out.append((r["role"], r["tool"], r["exact_count"], bool(ok)))
+    return spark.createDataFrame(out, "role string, tool string, exact_count long, mg_ok boolean")
+
+
 #: gap threshold for session splits (µs) — ~p75 of the synthetic inter-turn
 #: latency distribution, so conversations genuinely split
 SESSION_GAP_US = 50_000_000_000
@@ -611,6 +631,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_tools_by_role_rel": q_cms_top_tools_by_role_rel,
         "bloom_tools_by_role_rel": q_bloom_tools_by_role_rel,
         "mg_top_tools": q_mg_top_tools,
+        "mg_top_tools_by_role": q_mg_top_tools_by_role,
         "sessionize": q_sessionize,
         "session_length_hist": q_session_length_hist,
         "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
@@ -698,6 +719,10 @@ def _core_oracles() -> dict[str, str]:
         "mg_top_tools": (
             f"SELECT tool, count(*) AS exact_count, true AS mg_ok "
             f"FROM ({transcripts.TRANSCRIPTS_SQL}) GROUP BY tool"
+        ),
+        "mg_top_tools_by_role": (
+            f"SELECT role, tool, count(*) AS exact_count, true AS mg_ok "
+            f"FROM ({transcripts.TRANSCRIPTS_SQL}) GROUP BY role, tool"
         ),
         "sessionize": _SESSIONIZE_SQL,
         "session_length_hist": sqloracle.buckets_sql(
