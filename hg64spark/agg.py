@@ -117,6 +117,7 @@ def sketch_partials(
     group_cols: Sequence[str],
     make_sketch: Callable[[], object],
     with_metrics: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Stage 1: one serialized partial sketch per (partition x group).
 
@@ -142,7 +143,7 @@ def sketch_partials(
             StructField("m_sketch_bytes", LongType(), False),
         ]
     out_schema = StructType(fields)
-    narrow = df.select(*group_cols, value_col)
+    narrow = df.select(*group_cols, value_col, *([weight_col] if weight_col else []))
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         sketches: dict[tuple, object] = {}
@@ -166,6 +167,16 @@ def sketch_partials(
                         or pa.types.is_binary(vcol.type) or pa.types.is_large_binary(vcol.type)):
                     vcol = vcol.fill_null(0)
             varr = vcol.to_numpy(zero_copy_only=False)
+            warr = None
+            if weight_col is not None:
+                # null weight contributes nothing (matches SQL sum(weight)
+                # semantics in the relational weighted path): fill to 0,
+                # sketches treat weight-0 rows as no-ops
+                warr = (
+                    rb.column(len(group_cols) + 1)
+                    .fill_null(0)
+                    .to_numpy(zero_copy_only=False)
+                )
             if valid is not None:
                 keep = np.flatnonzero(valid)
                 if keep.size == 0:
@@ -179,7 +190,13 @@ def sketch_partials(
                 if sk is None:
                     sk = sketches[()] = make_sketch()
                     key_rows[()] = 0
-                sk.add_values(varr if keep is None else varr[keep])
+                if warr is None:
+                    sk.add_values(varr if keep is None else varr[keep])
+                else:
+                    sk.add_values(
+                        varr if keep is None else varr[keep],
+                        weights=warr if keep is None else warr[keep],
+                    )
                 key_rows[()] += n_valid
                 continue
             valid_mask = valid  # row-aligned null mask for the value column
@@ -192,7 +209,10 @@ def sketch_partials(
                 if sk is None:
                     sk = sketches[key] = make_sketch()
                     key_rows[key] = 0
-                sk.add_values(varr[idx])
+                if warr is None:
+                    sk.add_values(varr[idx])
+                else:
+                    sk.add_values(varr[idx], weights=warr[idx])
                 key_rows[key] += idx.size
         if not sketches:
             return
@@ -243,9 +263,10 @@ def sketch_agg(
     group_cols: Sequence[str] = (),
     make_sketch: Callable[[], object] = HG64,
     deserialize: Callable[[bytes], object] = HG64.deserialize,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Full pipeline: (group_cols..., sketch binary), one row per group."""
-    partials = sketch_partials(df, value_col, group_cols, make_sketch)
+    partials = sketch_partials(df, value_col, group_cols, make_sketch, weight_col=weight_col)
     return merge_sketches(partials, group_cols, deserialize)
 
 

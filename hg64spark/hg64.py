@@ -279,8 +279,14 @@ class HG64Snapshot:
         return self.value_at_rank(ranks)
 
     def quantile_of_value(self, values) -> np.ndarray:
-        """`hg64s_quantile_of_value` (`hg64.c:438-442`)."""
+        """`hg64s_quantile_of_value` (`hg64.c:438-442`).
+
+        Empty sketch: the reference would divide by zero; here every probe
+        maps to NaN silently (matching the rest of the API's explicit edge
+        handling — NaN is a valid double, not a NULL)."""
         ranks = self.rank_of_value(values).astype(np.float64)
+        if self.population == 0:
+            return np.full(ranks.shape, np.nan)
         return ranks / float(self.population)
 
     def mean_variance(self) -> tuple[float, float]:

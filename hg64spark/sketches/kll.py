@@ -10,8 +10,16 @@ Merge is level-wise concatenation + re-compaction.  KLL is a *randomized*
 sketch: unlike hg64/HLL/CMS/Bloom, its merge is associative only in
 distribution — different partition splits give different (all valid) sketches
 whose answers stay within the published rank-error bound.  Compaction
-randomness is drawn from a per-sketch deterministic generator so a given
-execution order is reproducible.
+randomness is drawn per sketch from the level contents PLUS the Spark
+partition id (so equal-content partials on different partitions flip
+independent coins, as the error proof assumes); consequence: KLL outputs are
+*bound-gated*, not bit-reproducible across partitionings — pass an explicit
+``seed`` where bit reproducibility matters more than independence.
+
+Weighted ingest (hg64's ``add(value, inc)``, `/root/reference/hg64.c:251-254`)
+decomposes each integer weight in binary and inserts the value directly at
+level b for every set bit b (level-b items carry weight 2^b) — exactly the
+repeat-insert stream without materializing it.
 """
 
 from __future__ import annotations
@@ -25,6 +33,19 @@ import numpy as np
 from hg64spark import serde
 
 _C = 2.0 / 3.0
+
+
+def _partition_component() -> int:
+    """Spark partition id when running inside a task, else 0 — mixed into
+    lazily-derived compaction seeds so equal-content partials on different
+    partitions draw independent coin streams."""
+    try:
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        return -1 if tc is None else int(tc.partitionId())
+    except Exception:
+        return -1
 
 
 class KLL:
@@ -59,8 +80,17 @@ class KLL:
                 # mix up to 16 values from EVERY level (level 0 can be empty
                 # right after a merge of compacted partials, and clustered
                 # data can share a level-0 prefix — either would degenerate a
-                # level-0-only seed to a function of n alone)
+                # level-0-only seed to a function of n alone) PLUS a
+                # partition-unique component: identical data prefixes across
+                # partitions (near-constant columns) would otherwise
+                # re-correlate the coin streams the KLL error proof assumes
+                # independent.  Inside a Spark task that component is the
+                # partition id (deterministic for a given partitioning); on
+                # the driver it is 0.  Consequence, documented in the module
+                # docstring: KLL outputs are bound-gated, not bit-reproducible
+                # across different partitionings.
                 crc = self.n & 0xFFFFFFFF
+                crc = zlib.crc32(_partition_component().to_bytes(8, "little", signed=True), crc)
                 for lv in self.levels:
                     if lv.size:
                         crc = zlib.crc32(np.ascontiguousarray(lv[:16], dtype=np.float64).tobytes(), crc)
@@ -104,13 +134,57 @@ class KLL:
 
     def add_values(self, values: np.ndarray, weights=None) -> "KLL":
         if weights is not None:
-            raise NotImplementedError("KLL does not support weighted updates")
+            return self._add_weighted(values, weights)
         values = np.asarray(values, dtype=np.float64)
         if values.size == 0:
             return self
-        self.levels[0] = np.concatenate([self.levels[0], values])
-        self.n += values.size
-        self._compress()
+        # ingest in ~capacity-sized chunks: concatenating a whole 262k-row
+        # Arrow batch into level 0 before compacting makes every compaction
+        # sort O(batch) instead of O(k) — chunking bounds the per-compaction
+        # sort at the sketch's own capacity (same distribution: streaming KLL
+        # is defined one insert at a time; batching is only an optimization)
+        chunk = max(self._total_cap(len(self.levels)), 4 * self.k)
+        for lo in range(0, values.size, chunk):
+            part = values[lo : lo + chunk]
+            self.levels[0] = np.concatenate([self.levels[0], part])
+            self.n += part.size
+            self._compress()
+        return self
+
+    def _add_weighted(self, values: np.ndarray, weights) -> "KLL":
+        """Integer-weighted ingest matching hg64's ``add(value, inc)``
+        (`/root/reference/hg64.c:251-254`): a weight w decomposes in binary
+        and the value is inserted once per set bit b directly at level b
+        (where items carry weight 2^b) — exactly equivalent to w repeat
+        inserts in the one-at-a-time stream model, without materializing
+        them.  Zero weights are no-ops, negative weights rejected."""
+        values = np.asarray(values, dtype=np.float64)
+        w = np.asarray(weights)
+        if w.dtype.kind == "f":
+            if not bool(np.isfinite(w).all()) or bool((np.mod(w, 1) != 0).any()):
+                raise ValueError("KLL weights must be non-negative integers")
+        w = w.astype(np.int64)
+        if w.shape != values.shape:
+            raise ValueError("weights must match values shape")
+        if bool((w < 0).any()):
+            raise ValueError("KLL weights must be non-negative")
+        if values.size == 0 or not bool((w > 0).any()):
+            return self
+        total = int(w.sum())
+        maxbit = int(w.max()).bit_length()
+        for b in range(maxbit):
+            sel = values[(w >> b) & 1 == 1]
+            if not sel.size:
+                continue
+            while len(self.levels) <= b:
+                self.levels.append(np.empty(0, dtype=np.float64))
+            # chunk like the unweighted path so one huge weighted batch
+            # can't force an O(batch) sort in a single compaction
+            chunk = max(self._total_cap(len(self.levels)), 4 * self.k)
+            for lo in range(0, sel.size, chunk):
+                self.levels[b] = np.concatenate([self.levels[b], sel[lo : lo + chunk]])
+                self._compress()
+        self.n += total
         return self
 
     def merge(self, other: "KLL") -> "KLL":

@@ -66,7 +66,11 @@ class MG:
                 raise ValueError("MG weights must be non-negative")
             sv = values.astype(str)
             uniq, inv = np.unique(sv, return_inverse=True)
-            cnt = np.bincount(inv, weights=w).astype(np.int64)
+            # integer-exact accumulation: bincount(weights=...) sums in
+            # float64, which silently loses precision above 2^53 and would
+            # break the never-overestimate guarantee for extreme weights
+            cnt = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(cnt, inv, w)
         for it, c in zip(uniq.tolist(), cnt.tolist()):
             if c:
                 if len(it) > 16_383 and len(it.encode("utf-8")) > 0xFFFF:
@@ -141,4 +145,13 @@ class MG:
                 raise ValueError("corrupt MG payload")
             counters[payload[off:end].decode("utf-8")] = c
             off = end
+        # invariant checks, matching the other sketches' corruption handling:
+        # a crafted blob must not load into a sketch whose error_bound and
+        # estimates are silently wrong
+        if len(counters) > k:
+            raise ValueError(f"corrupt MG payload: {len(counters)} counters > k={k}")
+        if any(c <= 0 for c in counters.values()):
+            raise ValueError("corrupt MG payload: non-positive counter")
+        if sum(counters.values()) > n:
+            raise ValueError("corrupt MG payload: counters exceed stream length n")
         return cls(k, counters, n)

@@ -36,7 +36,7 @@ class TDigest:
         self.delta = delta
         self.means = np.empty(0, dtype=np.float64)
         self.weights = np.empty(0, dtype=np.int64)
-        self._buf: list[np.ndarray] = []
+        self._buf: list[tuple[np.ndarray, np.ndarray]] = []
         self.vmin = math.inf
         self.vmax = -math.inf
         self.n = 0
@@ -44,16 +44,35 @@ class TDigest:
     # ------------------------------------------------------------- protocol
 
     def add_values(self, values: np.ndarray, weights=None) -> "TDigest":
-        if weights is not None:
-            raise NotImplementedError("TDigest.add_values does not support weighted updates")
+        """Ingest, optionally weighted: an integer weight w enters the buffer
+        as a single w-weight point (exactly what w repeat inserts collapse to
+        under the merging-digest construction — centroid means are weighted
+        averages), matching hg64's ``add(value, inc)``
+        (`/root/reference/hg64.c:251-254`)."""
         values = np.asarray(values, dtype=np.float64)
         if values.size == 0:
             return self
-        self._buf.append(values)
-        self.n += values.size
+        if weights is None:
+            w = np.ones(values.size, dtype=np.int64)
+        else:
+            w = np.asarray(weights)
+            if w.dtype.kind == "f":
+                if not bool(np.isfinite(w).all()) or bool((np.mod(w, 1) != 0).any()):
+                    raise ValueError("t-digest weights must be non-negative integers")
+            w = w.astype(np.int64)
+            if w.shape != values.shape:
+                raise ValueError("weights must match values shape")
+            if bool((w < 0).any()):
+                raise ValueError("t-digest weights must be non-negative")
+            keep = w > 0
+            values, w = values[keep], w[keep]
+            if values.size == 0:
+                return self
+        self._buf.append((values, w))
+        self.n += int(w.sum())
         self.vmin = min(self.vmin, float(values.min()))
         self.vmax = max(self.vmax, float(values.max()))
-        if sum(b.size for b in self._buf) >= 20 * self.delta:
+        if sum(v.size for v, _ in self._buf) >= 20 * self.delta:
             self._compress()
         return self
 
@@ -74,10 +93,11 @@ class TDigest:
 
     def _compress(self, force: bool = False) -> None:
         if self._buf:
-            bvals = np.concatenate(self._buf)
+            bvals = np.concatenate([v for v, _ in self._buf])
+            bw = np.concatenate([w for _, w in self._buf])
             self._buf = []
             all_means = np.concatenate([self.means, bvals])
-            all_w = np.concatenate([self.weights, np.ones(bvals.size, dtype=np.int64)])
+            all_w = np.concatenate([self.weights, bw])
         elif force:
             all_means, all_w = self.means, self.weights
         else:

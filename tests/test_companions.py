@@ -245,13 +245,67 @@ def test_cross_family_probing_refused():
         cms.add_values(np.array([1]))
 
 
-def test_kll_tdigest_reject_weights():
+def test_kll_weighted_matches_repeat_semantics():
+    """Weighted ingest == repeat inserts, checked against exact weighted
+    quantiles within the published rank bound (both paths are randomized, so
+    the check is bound-based, not bitwise)."""
+    rng_ = np.random.default_rng(7)
+    vals = rng_.uniform(0, 1000, 5_000)
+    w = rng_.integers(1, 20, 5_000)
+    sk = KLL(200, seed=3).add_values(vals, weights=w)
+    assert sk.n == int(w.sum())
+    expanded = np.repeat(vals, w)
+    eps = KLL.rank_error_bound(200) + 0.01
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = float(sk.value_at_quantile(q)[0])
+        true_rank = float((expanded <= est).mean())
+        assert abs(true_rank - q) <= eps, (q, est, true_rank)
+
+
+def test_kll_weighted_merge_invariance():
+    """Partitioned weighted ingest + merge answers like one weighted ingest
+    (in bound, and with exactly the same total weight n)."""
+    rng_ = np.random.default_rng(11)
+    vals = rng_.uniform(0, 100, 3_000)
+    w = rng_.integers(0, 9, 3_000)  # include zero weights (no-ops)
+    whole = KLL(128, seed=5).add_values(vals, weights=w)
+    merged = KLL(128, seed=6)
+    for part in np.array_split(np.arange(3_000), 7):
+        merged.merge(KLL(128, seed=int(part[0])).add_values(vals[part], weights=w[part]))
+    assert merged.n == whole.n == int(w.sum())
+    expanded = np.repeat(vals, w)
+    eps = KLL.rank_error_bound(128) + 0.02
+    for q in (0.25, 0.5, 0.75, 0.95):
+        for sk in (whole, merged):
+            est = float(sk.value_at_quantile(q)[0])
+            assert abs(float((expanded <= est).mean()) - q) <= eps
+
+
+def test_tdigest_weighted_matches_repeat_semantics():
     from hg64spark.sketches.tdigest import TDigest
 
-    with pytest.raises(NotImplementedError):
-        KLL(64).add_values(np.array([1.0]), weights=np.array([2]))
-    with pytest.raises(NotImplementedError):
-        TDigest(100).add_values(np.array([1.0]), weights=np.array([2]))
+    rng_ = np.random.default_rng(13)
+    vals = rng_.uniform(0, 1000, 4_000)
+    w = rng_.integers(1, 16, 4_000)
+    td = TDigest(100).add_values(vals, weights=w)
+    assert td.n == int(w.sum())
+    expanded = np.sort(np.repeat(vals, w))
+    for q in (0.01, 0.5, 0.99):
+        est = float(td.value_at_quantile(q)[0])
+        true_rank = float((expanded <= est).mean())
+        assert abs(true_rank - q) <= 0.03, (q, est, true_rank)
+
+
+def test_weighted_ingest_rejects_bad_weights():
+    from hg64spark.sketches.tdigest import TDigest
+
+    for sk in (KLL(64), TDigest(100)):
+        with pytest.raises(ValueError):
+            sk.add_values(np.array([1.0]), weights=np.array([-1]))
+        with pytest.raises(ValueError):
+            sk.add_values(np.array([1.0]), weights=np.array([0.5]))
+        with pytest.raises(ValueError):
+            sk.add_values(np.array([1.0, 2.0]), weights=np.array([1]))
 
 
 # --------------------------------------------- property tests (merge laws)
@@ -433,3 +487,37 @@ def test_mg_exact_when_distinct_fits_and_serde():
         MG(8).merge(MG(16))
     with _pytest.raises(ValueError):
         MG.deserialize(mg.serialize()[:12])
+
+
+def test_mg_deserialize_rejects_invariant_violations():
+    """A well-framed blob whose content breaks the MG invariants (more than k
+    counters / non-positive counts / counters exceeding n) must not load into
+    a sketch with silently-wrong bounds."""
+    import pytest as _pytest
+
+    from hg64spark.sketches import MG
+
+    def blob(k, n, counters):
+        fake = MG(1_000_000)  # big k so serialize() doesn't shrink
+        fake.counters = dict(counters)
+        fake.n = n
+        fake.k = k  # forged header k
+        return fake.serialize()
+
+    with _pytest.raises(ValueError, match="counters > k"):
+        MG.deserialize(blob(2, 10, {"a": 1, "b": 1, "c": 1}))
+    with _pytest.raises(ValueError, match="non-positive"):
+        MG.deserialize(blob(8, 10, {"a": 0}))
+    with _pytest.raises(ValueError, match="exceed stream length"):
+        MG.deserialize(blob(8, 3, {"a": 5}))
+    # exact integer accumulation near 2^53: float64 bincount would round
+    big = 1 << 53
+    w = MG(8).add_values(np.array(["x", "x"]), weights=np.array([big + 1, big + 3], dtype=np.uint64))
+    assert int(w.estimate(["x"])[0]) == 2 * big + 4
+
+
+def test_hg64_qov_empty_sketch_is_nan():
+    from hg64spark.hg64 import HG64
+
+    q = HG64(5).snapshot().quantile_of_value([0, 5, 100])
+    assert np.isnan(q).all()
