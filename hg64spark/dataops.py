@@ -224,6 +224,28 @@ FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 #: how large the training corpus grows — an uncapped vocab over a 100 TB
 #: corpus would not be broadcastable
 LANGID_VOCAB_K = 4096
+#: salt fan-out for the two-phase per-language top-K vocabulary cut: the
+#: global ranking window sees at most LANGID_SALTS x LANGID_VOCAB_K rows per
+#: language instead of the language's full distinct-token set
+LANGID_SALTS = 32
+
+
+def topk_tokens_per_lang(counts: DataFrame, k: int = LANGID_VOCAB_K) -> DataFrame:
+    """Exact top-k (cnt desc, tok asc) rows per ``cand`` from a
+    (cand, tok, cnt) frame, without a serial per-language sort."""
+    salted = counts.withColumn("__salt", (F.abs(F.xxhash64("tok")) % LANGID_SALTS).cast("int"))
+    w_local = Window.partitionBy("cand", "__salt").orderBy(F.desc("cnt"), F.asc("tok"))
+    survivors = (
+        salted.withColumn("__rk", F.row_number().over(w_local))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__salt")
+    )
+    w_global = Window.partitionBy("cand").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        survivors.withColumn("__rk", F.row_number().over(w_global))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,15 +256,21 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable because the cap bounds the model at K x #langs rows."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
-    w_v = Window.partitionBy("cand").orderBy(F.desc("cnt"), F.asc("tok"))
-    freq = (
+    # two-phase exact top-K per language: a single `row_number OVER
+    # (PARTITION BY lang)` would sort a language's ENTIRE distinct-token set
+    # on one task (10^8+ rows at web scale — the one serial stage in this
+    # family).  Instead: local top-K per (lang, salt-of-token), then global
+    # top-K over <= LANGID_SALTS x K survivors per language.  Exact, because
+    # any token in the global top-K is necessarily in its salt-group's local
+    # top-K; the global window now sorts a BOUNDED set regardless of corpus
+    # size.  Result is identical to the naive single window (tested), so the
+    # oracle keeps the straightforward form.
+    counts = (
         toks.groupBy("lang", "tok")
         .agg(F.count("*").alias("cnt"))
         .withColumnRenamed("lang", "cand")
-        .withColumn("__rk", F.row_number().over(w_v))
-        .filter(F.col("__rk") <= LANGID_VOCAB_K)
-        .drop("__rk")
     )
+    freq = topk_tokens_per_lang(counts, LANGID_VOCAB_K)
     scored = (
         toks.select("doc_id", "tok")
         .join(F.broadcast(freq), "tok")
@@ -361,13 +389,64 @@ ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50
 """
 
 
+def hashed_shingles(
+    corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """(distinct per-doc 60-bit shingle hashes, df-capped rare-key set).
+
+    Every downstream shuffle and self-join then carries an 8-byte BIGINT key
+    instead of a ~5-word shingle string — at 100 TB the verification join's
+    shuffle volume drops ~5x.  The hash is the md5-prefix ``_tokhash_spark``,
+    reproduced exactly by the DuckDB oracle, so similarity is *defined* over
+    the hashed shingle space identically in both engines (a 60-bit collision
+    — ~|S|^2/2^61, negligible — merges the same two shingles in both)."""
+    hdist = (
+        raw_shingles(corpus, k)
+        .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
+        .distinct()
+    )
+    rare = (
+        hdist.groupBy("hh").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).select("hh")
+    )
+    return hdist, rare
+
+
+def _hashed_capped_sql(base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> str:
+    hs = (
+        f"SELECT DISTINCT doc_id, {_TOKHASH_SQL.format(x='sh')} AS hh "
+        f"FROM ({_shingles_sql(base, k)})"
+    )
+    return f"""
+    SELECT doc_id, hh FROM ({hs})
+    WHERE hh IN (SELECT hh FROM ({hs}) GROUP BY hh HAVING count(*) <= {df_cap})
+    """
+
+
+def _hashed_jaccard_pairs_sql(base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> str:
+    return f"""
+    WITH s AS ({_hashed_capped_sql(base, k, df_cap)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+        FROM s x JOIN s y ON x.hh = y.hh AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (64 hashes) + LSH banding (32 bands x 2 rows) near-dup
     detection, verified: candidate pairs from band collisions are checked
-    against the exact shingle Jaccard and emitted iff >= tau.  The oracle is
-    the exhaustive exact-Jaccard pair set at the same tau, so the gate
-    requires the LSH pipeline to achieve 100% recall AND the verification to
-    kill every false candidate — deterministic given the fixed hash seeds."""
+    against the exact hashed-shingle Jaccard and emitted iff >= tau.  The
+    oracle is the exhaustive exact-Jaccard pair set (same hashed shingle
+    space, same tau), so the gate requires the LSH pipeline to achieve 100%
+    recall AND the verification to kill every false candidate —
+    deterministic given the fixed hash seeds."""
     return minhash_neardup_pairs(augmented_corpus(spark, sf_dir))
 
 
@@ -382,12 +461,16 @@ def minhash_neardup_pairs(
     only candidate pairs, never the O(n^2) cross join."""
     tau = NEARDUP_TAU if tau is None else tau
     df_cap = SHINGLE_DF_CAP if df_cap is None else df_cap
-    # NOTE: the shingle set feeds signatures, verification, and sizes; it is
-    # recomputed per branch on purpose — measured faster than .persist()
-    # (row-format caching breaks the codegen pipeline and costs more than the
-    # re-explosion at this shape).  DF-capped so one stop-phrase shingle
-    # can't skew either the signature build or the verification join.
-    s = capped_shingles(corpus, df_cap=df_cap)
+    # Everything downstream runs over 60-bit HASHED shingles (8-byte join
+    # keys; similarity is defined over the hashed space, oracle-mirrored —
+    # see hashed_shingles).  ONE rare-key set feeds both the signature and
+    # verification branches: identical subplans, so Spark's ReuseExchange
+    # dedupes the build inside the single executed plan.  The streams
+    # themselves are recomputed per branch on purpose — measured faster than
+    # .persist() (row-format caching breaks the codegen pipeline and costs
+    # more than the re-explosion at this shape).
+    hdist, rare = hashed_shingles(corpus, df_cap=df_cap)
+    s = hdist.join(rare, "hh", "left_semi")
     r = MINHASH_N // LSH_BANDS
     assert r == 2, "band assembly below is written for r=2 rows per band"
     # signatures in LONG format: explode the hash index and run ONE narrow
@@ -397,28 +480,28 @@ def minhash_neardup_pairs(
     # the long shape partial-aggregates to #docs x 64 rows before the shuffle.
     # Two deliberate deviations from the verification branch, both exploiting
     # that MIN is duplicate-insensitive: (a) NO distinct on the signature
-    # shingle stream (skips a full shuffle); (b) the shingle STRING is hashed
-    # once (h0) and the 64 family members rehash the 8-byte h0 instead of
-    # re-hashing the ~5-word string 64x.  Correctness is unaffected either
-    # way: candidates are verified against the exact Jaccard.
-    sig_shingles = raw_shingles(corpus).join(
-        rare_shingle_set(corpus, df_cap=df_cap), "sh", "left_semi"
+    # shingle stream (skips a full shuffle); (b) the 64 family members rehash
+    # the 8-byte hh instead of re-hashing the ~5-word string 64x.
+    # Correctness is unaffected either way: candidates are verified against
+    # the exact (hashed-space) Jaccard.
+    sig_stream = (
+        raw_shingles(corpus)
+        .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
+        .join(rare, "hh", "left_semi")
     )
-    h0 = sig_shingles.select("doc_id", F.xxhash64("sh").alias("h0"))
-    hashes = h0.select(
+    hashes = sig_stream.select(
         "doc_id",
         F.posexplode(
-            F.expr(f"transform(sequence(0, {MINHASH_N - 1}), i -> xxhash64(h0, i))")
+            F.expr(f"transform(sequence(0, {MINHASH_N - 1}), i -> xxhash64(hh, i))")
         ).alias("i", "h"),
     )
-    sig_long = hashes.groupBy("doc_id", (F.col("i") / r).cast("int").alias("band"), "i").agg(
-        F.min("h").alias("m")
-    )
+    # ONE shuffle builds the band hashes: min over (doc, band, parity-of-i)
+    # equals the per-i minhash because band i-range is {2*band, 2*band+1}
     bands = (
-        sig_long.groupBy("doc_id", "band")
+        hashes.groupBy("doc_id", (F.col("i") / r).cast("int").alias("band"))
         .agg(
-            F.min(F.when(F.col("i") % r == 0, F.col("m"))).alias("m0"),
-            F.min(F.when(F.col("i") % r == 1, F.col("m"))).alias("m1"),
+            F.min(F.when(F.col("i") % r == 0, F.col("h"))).alias("m0"),
+            F.min(F.when(F.col("i") % r == 1, F.col("h"))).alias("m1"),
         )
         .select("doc_id", "band", F.xxhash64("m0", "m1", "band").alias("bh"))
     )
@@ -435,7 +518,7 @@ def minhash_neardup_pairs(
     sizes = s.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(s.alias("xs"), F.col("doc_a") == F.col("xs.doc_id"))
-        .join(s.alias("ys"), (F.col("doc_b") == F.col("ys.doc_id")) & (F.col("xs.sh") == F.col("ys.sh")))
+        .join(s.alias("ys"), (F.col("doc_b") == F.col("ys.doc_id")) & (F.col("xs.hh") == F.col("ys.hh")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
@@ -454,7 +537,7 @@ def minhash_neardup_pairs(
 
 
 Q_DEDUP_MINHASH_SQL = f"""
-SELECT doc_a, doc_b, jaccard FROM ({_jaccard_pairs_sql(AUGMENTED_SQL)})
+SELECT doc_a, doc_b, jaccard FROM ({_hashed_jaccard_pairs_sql(AUGMENTED_SQL)})
 WHERE jaccard >= {NEARDUP_TAU}
 """
 

@@ -27,6 +27,31 @@ def test_planted_neardups_found_with_full_recall(spark):
     assert all(j >= dataops.NEARDUP_TAU for j in jac.values())
 
 
+def test_topk_tokens_per_lang_exact_with_huge_vocab(spark):
+    """The salted two-phase vocabulary cut must return exactly the naive
+    single-window top-K, including at a planted vocabulary far larger than K
+    and than any one salt bucket (the web-scale shape the two-phase form
+    exists for), with count ties broken identically."""
+    from pyspark.sql import Window
+
+    n = 9_000
+    counts = spark.range(n).select(
+        F.when(F.col("id") < 8_000, F.lit("big")).otherwise(F.lit("small")).alias("cand"),
+        F.concat(F.lit("tok"), F.col("id")).alias("tok"),
+        # heavy tie mass: only 50 distinct counts across 8000 tokens
+        (F.col("id") % 50 + 1).cast("long").alias("cnt"),
+    )
+    k = 100
+    got = dataops.topk_tokens_per_lang(counts, k).collect()
+    w = Window.partitionBy("cand").orderBy(F.desc("cnt"), F.asc("tok"))
+    naive = (
+        counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk").collect()
+    )
+    key = lambda r: (r["cand"], r["tok"], r["cnt"])
+    assert sorted(map(key, got)) == sorted(map(key, naive))
+    assert len(got) == k + min(k, 1_000)
+
+
 def test_simhash_separates_planted_pairs(spark):
     rows = dataops.q_dedup_simhash(spark, SF_DIR).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
