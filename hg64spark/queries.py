@@ -12,6 +12,7 @@ columns by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -600,6 +601,198 @@ def q_kll_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked
 
 
+# ------------------------------------------------------------- streaming
+#
+# NOTE on inputs: Spark's file streaming source requires a DIRECTORY, and the
+# test tables are single parquet files — the gates stream from a temp dir
+# holding a symlink to the table (read-only; nothing under the data dir is
+# touched).  The streaming gates read parquet directly rather than through
+# io.read_table: the file-source contract is format-specific by nature.
+
+
+def _stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, str, "object"]:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="hg64s_stream_gate_")
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    src_dir = os.path.join(base, "src")
+    os.makedirs(src_dir)
+    os.symlink(os.path.abspath(ev_path), os.path.join(src_dir, "events.parquet"))
+    schema = spark.read.parquet(ev_path).schema
+    return base, src_dir, schema
+
+
+# The reference is a one-pass streaming summary (`/root/reference/README.md:
+# 15-17`); these gates make the Structured Streaming surface oracle-checked
+# per round by running an availableNow stream over the same parquet the
+# batch oracle reads, so "the streaming path computes the batch answer" is a
+# driver-gated bit-for-bit fact, not a test-only claim.
+
+
+def q_streaming_hg64_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch state-store streaming build (readStream -> per-batch
+    partials -> idempotent state dir -> associative merge), finalized to the
+    same bucket export as the batch path.  Oracle: direct batch bucketing of
+    the same values — the merge's exact associativity makes the streaming
+    result independent of micro-batch boundaries."""
+    from hg64spark.streaming import StreamingSketch
+
+    base, src_dir, schema = _stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
+    )
+    ss = StreamingSketch(os.path.join(base, "state"), "v", ["event_type"])
+    q = ss.start(stream, os.path.join(base, "ckpt"), available_now=True)
+    q.awaitTermination()
+    return agg.hg64_buckets(ss.result(spark), ["event_type"])
+
+
+#: windowed streaming gate shape: tumbling event-time windows sized so the
+#: 30-day events table yields a meaningful set of windows, with a watermark
+#: that leaves the last (still-open) window unemitted — exactly the append-
+#: mode semantics the oracle mirrors
+_STREAM_WINDOW_S = 86_400
+_STREAM_DELAY_S = 3_600
+
+
+def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time tumbling-window hg64 counts (Catalyst stateful
+    HashAggregate over (window, hg64_key) — no Python), availableNow over the
+    events parquet, append-mode parquet sink.  Emitted rows are exactly the
+    windows whose end the final watermark (max event time - delay) has
+    passed; the oracle reproduces that set relationally."""
+    from hg64spark.streaming import windowed_hg64_counts
+
+    base, src_dir, schema = _stream_source(spark, sf_dir)
+    # parquet ts loads as TIMESTAMP_NTZ, but watermarks require TIMESTAMP —
+    # and a plain cast would shift by the session timezone.  Timezone-proof
+    # instead: NTZ-diff to integer microseconds (tz-free), rebuild the
+    # instant with timestamp_micros (tz-free), and export window starts with
+    # unix_micros (tz-free) — the oracle mirrors in pure integer µs.
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select(
+            F.timestamp_micros(us).alias("tse"),
+            F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        )
+    )
+    counts = windowed_hg64_counts(
+        stream,
+        "tse",
+        "v",
+        window_duration=f"{_STREAM_WINDOW_S} seconds",
+        watermark_delay=f"{_STREAM_DELAY_S} seconds",
+        sigbits=SIGBITS,
+    )
+    flat = counts.select(
+        F.unix_micros(F.col("window.start")).alias("wstart_us"),
+        F.col("hg64_key").cast("long").alias("key"),
+        F.col("count").cast("long").alias("count"),
+    )
+    out = os.path.join(base, "out")
+    q = (
+        flat.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
+def _streaming_windowed_oracle() -> str:
+    w_us = _STREAM_WINDOW_S * 1_000_000
+    d_us = _STREAM_DELAY_S * 1_000_000
+    return f"""
+    WITH src AS (
+        SELECT epoch_us(ts) AS us, CAST(floor(value * 1000) AS BIGINT) AS v FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    wm AS (SELECT max(us) - {d_us} AS wmark FROM src)
+    SELECT (us // {w_us}) * {w_us} AS wstart_us,
+           {sqloracle.key_expr("v", SIGBITS)} AS key,
+           count(*) AS count
+    FROM src CROSS JOIN wm
+    WHERE (us // {w_us}) * {w_us} + {w_us} <= wmark
+    GROUP BY 1, 2
+    """
+
+
+def _weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return io.read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("double").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+
+
+def _weighted_quantile_gate(
+    spark: SparkSession, sf_dir: str, make_sketch, deserialize, eps: float
+) -> DataFrame:
+    """Shared self-certifying gate for weighted quantile companions: sketch
+    quantity-weighted price quantiles per returnflag, then check each
+    estimate's TRUE weighted rank (exact Spark aggregation: sum of weights at
+    or below the estimate over total weight) against the rank-error bound —
+    the weighted analogue of the kll/tdigest latency gates, exercising
+    hg64-`add(value, inc)` parity (`/root/reference/hg64.c:251-254`) across
+    the quantile companions."""
+    import numpy as np
+
+    li = _weighted_lineitem(spark, sf_dir)
+    sk = agg.sketch_agg(li, "v", ["l_returnflag"], make_sketch, deserialize, weight_col="w")
+    qarr = np.array(KLL_QS)
+    ests = []
+    for r in sk.collect():
+        est = deserialize(r["sketch"]).value_at_quantile(qarr)
+        for q, v in zip(KLL_QS, est.tolist()):
+            ests.append((r["l_returnflag"], float(q), float(v)))
+    est_df = spark.createDataFrame(ests, "l_returnflag string, q double, est double")
+    return (
+        li.join(F.broadcast(est_df), "l_returnflag")
+        .groupBy("l_returnflag", "q")
+        .agg(
+            (
+                F.sum(F.when(F.col("v") <= F.col("est"), F.col("w")).otherwise(F.lit(0)))
+                / F.sum("w")
+            ).alias("rank_true")
+        )
+        .select(
+            "l_returnflag", "q", (F.abs(F.col("rank_true") - F.col("q")) <= eps).alias("within_bound")
+        )
+    )
+
+
+def q_kll_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted KLL price quantiles per returnflag, bound-gated
+    against the exact weighted ranks."""
+    return _weighted_quantile_gate(
+        spark, sf_dir, lambda: KLL(200), KLL.deserialize, KLL.rank_error_bound(200) + 0.02
+    )
+
+
+def q_tdigest_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted t-digest price quantiles per returnflag, bound-gated
+    against the exact weighted ranks."""
+    from hg64spark.sketches import TDigest
+
+    return _weighted_quantile_gate(
+        spark, sf_dir, lambda: TDigest(100), TDigest.deserialize, 0.03
+    )
+
+
+_WEIGHTED_GATE_ORACLE = (
+    f"SELECT l_returnflag, CAST(q AS DOUBLE) AS q, true AS within_bound "
+    f"FROM (SELECT DISTINCT l_returnflag FROM lineitem) "
+    f"CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in KLL_QS)}]) AS q)"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from hg64spark.dataops import dataops_queries
 
@@ -636,6 +829,10 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_length_hist": q_session_length_hist,
         "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
         "textlen_quantiles_cube": q_textlen_quantiles_cube,
+        "kll_weighted_lineitem": q_kll_weighted_lineitem,
+        "tdigest_weighted_lineitem": q_tdigest_weighted_lineitem,
+        "streaming_hg64_by_type": q_streaming_hg64_by_type,
+        "streaming_windowed_hg64": q_streaming_windowed_hg64,
     }
 
 
@@ -742,4 +939,10 @@ def _core_oracles() -> dict[str, str]:
             f"CROSS JOIN (SELECT unnest([{', '.join(repr(q) for q in KLL_QS)}]) AS q)"
         ),
         "textlen_quantiles_cube": _cube_oracle(),
+        "kll_weighted_lineitem": _WEIGHTED_GATE_ORACLE,
+        "tdigest_weighted_lineitem": _WEIGHTED_GATE_ORACLE,
+        "streaming_hg64_by_type": sqloracle.buckets_sql(
+            _EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]
+        ),
+        "streaming_windowed_hg64": _streaming_windowed_oracle(),
     }
