@@ -179,6 +179,29 @@ def q_hg64_downsample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_buckets(coarse, [])
 
 
+def q_hg64_upsample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-precision merge in the COARSE->FINE direction (`test.c:234-237`
+    exercises 5 -> 6..10): sketch at sigbits=4, upsample to 8 — the FP
+    pro-rata `put` branch (`hg64.c:134-137,256-270`), unlike the exact
+    re-keying of the downsample gate.  The oracle reproduces the carried-
+    remainder float allocation exactly (``sqloracle.upsample_buckets_sql``),
+    making this gate bit-for-bit too."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    vals = li.select((F.floor(F.col("l_extendedprice") * 100)).cast("long").alias("v"))
+    coarse = agg.sketch_agg(vals, "v", [], lambda: HG64(4), HG64.deserialize)
+
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def upsample_blob(blobs: "pd.Series") -> "pd.Series":
+        return blobs.map(
+            lambda b: None if b is None else HG64.deserialize(bytes(b)).downsample(8).serialize()
+        )
+
+    fine = coarse.select(upsample_blob(F.col("sketch")).alias("sketch"))
+    return agg.hg64_buckets(fine, [])
+
+
 def q_hg64_weighted_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted ingest (`hg64_add(value, inc)`, `hg64.c:251-254`) fully
     relationally: extendedprice-cent buckets weighted by line quantity —
@@ -813,6 +836,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textlen_buckets_by_role": q_textlen_buckets_by_role,
         "turncount_quantiles": q_turncount_quantiles,
         "hg64_downsample_lineitem": q_hg64_downsample_lineitem,
+        "hg64_upsample_lineitem": q_hg64_upsample_lineitem,
         "hg64_weighted_buckets": q_hg64_weighted_buckets,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_top_custkeys": q_cms_top_custkeys,
@@ -869,6 +893,7 @@ def _core_oracles() -> dict[str, str]:
             _TURNS_BASE_SQL, "v", SIGBITS, [0.1, 0.5, 0.9, 0.99]
         ),
         "hg64_downsample_lineitem": sqloracle.buckets_sql(li_sql, "v", 4),
+        "hg64_upsample_lineitem": sqloracle.upsample_buckets_sql(li_sql, "v", 4, 8),
         "hg64_weighted_buckets": sqloracle.buckets_sql(
             "SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS v, "
             "CAST(l_quantity AS BIGINT) AS w FROM lineitem",

@@ -85,6 +85,55 @@ FROM keyed
 """
 
 
+def upsample_buckets_sql(
+    base_sql: str, value_col: str, from_sigbits: int, to_sigbits: int
+) -> str:
+    """Oracle for the coarse->fine cross-precision merge — the FP pro-rata
+    branch of `hg64_merge`/`put` (`hg64.c:256-270,297-305`, exercised by the
+    reference at `test.c:234-237`).
+
+    Reproduces the carried-remainder allocation EXACTLY: a recursive CTE
+    walks each coarse bucket's spanned fine keys in order, carrying
+    (running vmin, remaining count), and computes each key's increment with
+    the same IEEE-754 double ops in the same order as the Python/C loop
+    (``int(float(count) * (some / rest))`` == ``trunc(remaining::DOUBLE *
+    (some::DOUBLE / rest::DOUBLE))``) — so the driver's value-hash gate on
+    the upsampled buckets is bit-for-bit, not bound-based.  Recursion depth
+    per coarse bucket is at most 2^(to-from)."""
+    assert to_sigbits > from_sigbits
+    bmax = maxval_expr("key", to_sigbits)
+    inc = (
+        f"CAST(trunc(CAST(remaining AS DOUBLE) * "
+        f"(CAST(least({bmax}, vmax) - vmin + 1 AS DOUBLE) "
+        f"/ CAST(vmax - vmin + 1 AS DOUBLE))) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE
+coarse AS (
+    SELECT bucket_min AS vmin, bucket_max AS vmax, count AS cnt
+    FROM ({buckets_sql(base_sql, value_col, from_sigbits)})
+),
+steps AS (
+    SELECT CAST({key_expr("vmin", to_sigbits)} AS BIGINT) AS key,
+           vmin, vmax, cnt AS remaining
+    FROM coarse
+    UNION ALL
+    SELECT key + 1,
+           least({bmax}, vmax) + 1,
+           vmax,
+           remaining - {inc}
+    FROM steps
+    WHERE key < {key_expr("vmax", to_sigbits)}
+),
+alloc AS (SELECT key, {inc} AS inc FROM steps)
+SELECT key,
+       {minval_expr("key", to_sigbits)} AS bucket_min,
+       {maxval_expr("key", to_sigbits)} AS bucket_max,
+       CAST(sum(inc) AS BIGINT) AS count
+FROM alloc GROUP BY key HAVING sum(inc) > 0
+"""
+
+
 def quantiles_sql(
     base_sql: str,
     value_col: str,
