@@ -176,6 +176,34 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         return dataops.q_ann_brute_topk(spark, "/root/testdata/sf0.01").count()
 
+    def q_dedup_simhash():
+        from hg64spark import dataops
+
+        return dataops.q_dedup_simhash(spark, "/root/testdata/sf0.01").count()
+
+    def q_dedup_cosine():
+        from hg64spark import dataops
+
+        return dataops.q_dedup_embedding_cosine(spark, "/root/testdata/sf0.01").count()
+
+    def q_text_winnow():
+        from hg64spark import dataops
+
+        return dataops.q_text_winnow(spark, "/root/testdata/sf0.01").count()
+
+    def q_ann_ivf():
+        from hg64spark import dataops
+
+        return dataops.q_ann_ivf_recall(spark, "/root/testdata/sf0.01").count()
+
+    # untimed warm-up of the dataops plans: their first execution in a fresh
+    # session pays ~5-8s of plan compile + codegen + AQE stage scheduling
+    # (measured: minhash 10.3s cold vs 2.1-3.2s warm) — without this, even
+    # best-of-2 records compile cost as query cost when both passes land in
+    # a cold/stalled session (the round-1/2 dedup_minhash ~11s lines)
+    for warm_fn in (q_dedup_minhash, q_dedup_simhash, q_dedup_cosine, q_text_winnow, q_ann_ivf, q_ann_brute):
+        warm_fn()
+
     # best-of-2 per query: this shared-hypervisor box intermittently stalls
     # ~10-15s under sustained load (observed landing on a DIFFERENT query
     # each run — not GC [max pause 14ms, logged], not other processes [box
@@ -190,6 +218,10 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("cms_tools", q_cms_tools),
         ("kll_latency_by_tool", q_kll_latency),
         ("dedup_minhash_lsh", q_dedup_minhash),
+        ("dedup_simhash", q_dedup_simhash),
+        ("dedup_embedding_cosine", q_dedup_cosine),
+        ("text_winnow", q_text_winnow),
+        ("ann_ivf_recall", q_ann_ivf),
         ("ann_brute_topk", q_ann_brute),
         # last: its 500M-row generated scan leaves the JVM heap churned,
         # which would tax whatever query ran after it

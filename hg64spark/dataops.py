@@ -645,6 +645,10 @@ WHERE bit_count(CAST(xor(x.simhash, y.simhash) AS BIGINT)) <= {HAMMING_MAX}
 
 N_PROBES = 5
 TOPK = 10
+#: embedding dimensionality of the test tables (array columns carry no
+#: length in the Spark schema, so consumers that need it at plan time take
+#: it as a constant, guarded at execution — see _band_codes_df)
+EMB_DIM = 64
 _SCALE = "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
 _SCALE_SQL = "[CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) FOR v IN embedding]"
 
@@ -769,16 +773,31 @@ COSDUP_PLANES = 128
 COSDUP_BANDS = 8
 
 
-def _band_codes_df(e: DataFrame, planes: int, bands: int) -> DataFrame:
+def _band_codes_df(e: DataFrame, planes: int, bands: int, dim: int | None = None) -> DataFrame:
     """(vec_id, band, code): hyperplane band codes via ONE posexplode pass
     over each vector + a broadcast (plane, dim) weights join + two grouped
     integer aggregations — all whole-stage codegen.  Equivalent to (and
     hash-compatible with) the `_lsh_band_codes_expr` expression form, which
     evaluates `planes` interpreted aggregate-lambdas per row and only stays
     cheap for small plane counts; this is the shape that scales to the wide
-    bands the cosine-dedup self-join needs."""
+    bands the cosine-dedup self-join needs.
+
+    ``dim`` is a plan-time constant (array columns carry no length in the
+    schema); callers pass it (EMB_DIM for the test tables) so building the
+    query triggers NO Spark action — the old ``.first()`` fallback remains
+    for ad-hoc use.  A plan-side guard raises at execution if any vector's
+    length disagrees (a mismatched vector would otherwise silently drop or
+    zero dimensions)."""
     spark = e.sparkSession
-    dim = len(e.select("se").first()["se"])
+    if dim is None:
+        dim = len(e.select("se").first()["se"])
+    e = e.withColumn(
+        "se",
+        F.when(F.size("se") == dim, F.col("se")).otherwise(
+            F.expr(f"array(CAST(raise_error(concat('embedding dim != {dim}: ', "
+                   f"CAST(size(se) AS STRING))) AS BIGINT))")
+        ),
+    )
     r = planes // bands
     weights = (
         spark.range(planes * dim)
@@ -824,7 +843,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — so the exhaustive-scan oracle matches bit-for-bit.  No
     theta-join anywhere (plan asserted in tests)."""
     e = _aug_embeddings(spark, sf_dir)
-    bands = _band_codes_df(e, COSDUP_PLANES, COSDUP_BANDS)
+    bands = _band_codes_df(e, COSDUP_PLANES, COSDUP_BANDS, dim=EMB_DIM)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "code"])
@@ -1030,21 +1049,30 @@ def _ivf_rank(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     )
 
 
-def _ivf_train(spark: SparkSession, e: DataFrame, iters: int = IVF_LLOYD_ITERS) -> DataFrame:
+def _ivf_train(
+    spark: SparkSession, e: DataFrame, iters: int = IVF_LLOYD_ITERS, sample_mod: int = 1
+) -> DataFrame:
     """Deterministic seeded k-means (spherical Lloyd) entirely in DataFrame
     ops: seeds = every IVF_SEED_MOD-th vector; per iteration assign by
     argmax dot/|c| (broadcast join + window), recompute centroids as the
     per-dimension integer-rounded mean (posexplode + grouped avg + rebuilt
     array), keep the old centroid for empty clusters.  K centroids come back
     to the driver each iteration (K*dim ints — the same driver-loop shape
-    MLlib k-means uses), so the lineage stays shallow."""
-    cents = e.filter(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+    MLlib k-means uses), so the lineage stays shallow.
+
+    ``sample_mod`` > 1 trains on the deterministic every-``sample_mod``-th
+    subset — the documented production shape at corpus scale (a quantizer
+    trained on ~10^5-10^6 sampled vectors is standard; Lloyd passes over all
+    of 100 TB would dominate the whole job).  Assignment of the FULL corpus
+    to inverted lists is unaffected."""
+    train = e if sample_mod <= 1 else e.filter(F.col("vec_id") % sample_mod == 0)
+    cents = train.filter(F.col("vec_id") % IVF_SEED_MOD == 0).select(
         (F.col("vec_id") / IVF_SEED_MOD).cast("int").alias("cid"), F.col("se").alias("ce")
     )
     for _ in range(iters):
-        assigned = _ivf_rank(e, cents, 1).select("vec_id", "cid")
+        assigned = _ivf_rank(train, cents, 1).select("vec_id", "cid")
         means = (
-            assigned.join(e, "vec_id")
+            assigned.join(train, "vec_id")
             .select("cid", F.posexplode("se").alias("j", "x"))
             .groupBy("cid", "j")
             .agg(F.floor(F.avg("x") + F.lit(0.5)).cast("long").alias("m"))
