@@ -1176,6 +1176,92 @@ FROM documents
 
 # ------------------------------------------------------------- registration
 
+# ------------------------------------------------------ composed pipeline
+
+#: corpus-pipeline gate knobs: thresholds sit inside the test data's observed
+#: ranges (tokens 10..99, stop_ratio ~0.01..0.11) so every stage filters a
+#: real subset; the exact-dup plant offset is distinct from PLANT_OFFSET so
+#: the two augmented corpora can't collide
+PIPE_MIN_TOKENS = 20
+PIPE_MAX_STOP = 0.09
+PIPE_DUP_OFFSET = 1 << 41
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline, one composed DataFrame plan:
+    exact-dedup keep-first (over a corpus with planted exact duplicates) ->
+    quality filter (min tokens, max stopword ratio) -> language-ID ->
+    per-predicted-language token-count hg64 histogram.  Gates that the
+    operators COMPOSE — filters and joins of independently-gated stages
+    produce one Catalyst plan whose result the oracle reproduces
+    bit-for-bit.  Each per-doc stage is a hash-key groupBy or broadcast
+    join; nothing in the chain adds a scale hazard the component gates
+    don't already cover."""
+    from hg64spark import agg
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + PIPE_DUP_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = d.unionAll(dups)
+    keep = corpus.groupBy(F.md5("text").alias("__h")).agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    toks = F.split(F.col("text"), " ")
+    stopset = ",".join(f"'{s}'" for s in STOPWORDS)
+    quality = corpus.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.expr(f"size(filter(split(text,' '), x -> x IN ({stopset})))").cast("double")
+            / F.size(toks).cast("double")
+        ).alias("stop_ratio"),
+    )
+    langid = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    kept = (
+        corpus.join(keep, "doc_id", "left_semi")
+        .join(
+            quality.filter(
+                (F.col("n_tokens") >= PIPE_MIN_TOKENS) & (F.col("stop_ratio") <= PIPE_MAX_STOP)
+            ),
+            "doc_id",
+        )
+        .join(langid, "doc_id")
+    )
+    sk = agg.hg64_agg(
+        kept.select("predicted_lang", F.col("n_tokens").alias("v")), "v", ["predicted_lang"], 5
+    )
+    return agg.hg64_buckets(sk, ["predicted_lang"])
+
+
+def _corpus_pipeline_sql() -> str:
+    from hg64spark import sqloracle
+
+    stopset = ",".join(f"'{s}'" for s in STOPWORDS)
+    base = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PIPE_DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    q AS (
+        SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(l, x -> x IN ({stopset}))) AS DOUBLE)
+                   / CAST(len(l) AS DOUBLE) AS stop_ratio
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM corpus)
+    ),
+    lang AS (SELECT doc_id, predicted_lang FROM ({Q_TEXT_LANGID_SQL}))
+    SELECT lang.predicted_lang, q.n_tokens AS v
+    FROM corpus c
+    JOIN keep k ON k.doc_id = c.doc_id
+    JOIN q ON q.doc_id = c.doc_id
+         AND q.n_tokens >= {PIPE_MIN_TOKENS} AND q.stop_ratio <= {PIPE_MAX_STOP}
+    JOIN lang ON lang.doc_id = c.doc_id
+    """
+    return sqloracle.buckets_sql(base, "v", 5, ["predicted_lang"])
+
+
 def dataops_queries():
     return {
         "text_quality": q_text_quality,
@@ -1193,6 +1279,7 @@ def dataops_queries():
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "multimodal_payloads": q_multimodal_payloads,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1213,4 +1300,5 @@ def dataops_oracles():
         "ann_lsh_recall": Q_ANN_LSH_SQL,
         "ann_ivf_recall": Q_ANN_IVF_SQL,
         "multimodal_payloads": Q_MULTIMODAL_SQL,
+        "corpus_pipeline": _corpus_pipeline_sql(),
     }

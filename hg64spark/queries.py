@@ -672,6 +672,44 @@ def q_streaming_hg64_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_buckets(ss.result(spark), ["event_type"])
 
 
+def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState streaming build: per-group sketch state in
+    Spark's checkpointed streaming state store, latest emission per group
+    taken after an availableNow run, finalized to the batch bucket export.
+    Completes the streaming surface's gates: all three forms (foreachBatch
+    state dir, stateful operator, watermarked windows) are driver-checked."""
+    import uuid
+
+    from hg64spark.streaming import sketch_stream_stateful
+
+    base, src_dir, schema = _stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
+    )
+    updated = sketch_stream_stateful(stream, "v", ["event_type"])
+    qname = f"stateful_gate_{uuid.uuid4().hex[:10]}"
+    q = (
+        updated.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = (
+        spark.sql(
+            f"SELECT event_type, sketch, row_number() OVER (PARTITION BY event_type "
+            f"ORDER BY monotonically_increasing_id() DESC) AS rn FROM {qname}"
+        )
+        .filter("rn = 1")
+        .select("event_type", "sketch")
+    )
+    return agg.hg64_buckets(latest, ["event_type"])
+
+
 #: windowed streaming gate shape: tumbling event-time windows sized so the
 #: 30-day events table yields a meaningful set of windows, with a watermark
 #: that leaves the last (still-open) window unemitted — exactly the append-
@@ -857,6 +895,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_weighted_lineitem": q_tdigest_weighted_lineitem,
         "streaming_hg64_by_type": q_streaming_hg64_by_type,
         "streaming_windowed_hg64": q_streaming_windowed_hg64,
+        "streaming_stateful_hg64": q_streaming_stateful_hg64,
     }
 
 
@@ -970,4 +1009,7 @@ def _core_oracles() -> dict[str, str]:
             _EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]
         ),
         "streaming_windowed_hg64": _streaming_windowed_oracle(),
+        "streaming_stateful_hg64": sqloracle.buckets_sql(
+            _EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]
+        ),
     }
