@@ -196,12 +196,21 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         return dataops.q_ann_ivf_recall(spark, "/root/testdata/sf0.01").count()
 
-    # untimed warm-up of the dataops plans: their first execution in a fresh
-    # session pays ~5-8s of plan compile + codegen + AQE stage scheduling
-    # (measured: minhash 10.3s cold vs 2.1-3.2s warm) — without this, even
-    # best-of-2 records compile cost as query cost when both passes land in
-    # a cold/stalled session (the round-1/2 dedup_minhash ~11s lines)
-    for warm_fn in (q_dedup_minhash, q_dedup_simhash, q_dedup_cosine, q_text_winnow, q_ann_ivf, q_ann_brute):
+    dataops_lines = [
+        ("dedup_minhash_lsh", q_dedup_minhash),
+        ("dedup_simhash", q_dedup_simhash),
+        ("dedup_embedding_cosine", q_dedup_cosine),
+        ("text_winnow", q_text_winnow),
+        ("ann_ivf_recall", q_ann_ivf),
+        ("ann_brute_topk", q_ann_brute),
+    ]
+    # untimed warm-up of the dataops plans, derived from the SAME list that
+    # gets timed (an entry added to one but not the other would silently
+    # record compile cost as query cost again): their first execution in a
+    # fresh session pays ~5-8s of plan compile + codegen + AQE stage
+    # scheduling (measured: minhash 10.3s cold vs 2.1-3.2s warm) — the
+    # round-1/2 dedup_minhash ~11s lines were exactly this
+    for _, warm_fn in dataops_lines:
         warm_fn()
 
     # best-of-2 per query: this shared-hypervisor box intermittently stalls
@@ -217,12 +226,7 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("hll_distinct_convs", q_hll_distinct_convs),
         ("cms_tools", q_cms_tools),
         ("kll_latency_by_tool", q_kll_latency),
-        ("dedup_minhash_lsh", q_dedup_minhash),
-        ("dedup_simhash", q_dedup_simhash),
-        ("dedup_embedding_cosine", q_dedup_cosine),
-        ("text_winnow", q_text_winnow),
-        ("ann_ivf_recall", q_ann_ivf),
-        ("ann_brute_topk", q_ann_brute),
+        *dataops_lines,
         # last: its 500M-row generated scan leaves the JVM heap churned,
         # which would tax whatever query ran after it
         ("ingest_hg64_global", q_ingest_hg64),

@@ -123,10 +123,26 @@ def capped_shingles(corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE
     return shingles(corpus, k).join(rare_shingle_set(corpus, k, df_cap), "sh", "left_semi")
 
 
-def _capped_shingles_sql(base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> str:
+def _keyed_shingles_sql(base: str, k: int = SHINGLE_K, hashed: bool = False) -> str:
+    """Distinct per-doc shingle stream, keyed either by the raw shingle
+    string or by its 60-bit md5-prefix hash — both as a column named ``sh``
+    so every downstream generator has exactly one body (the two key spaces
+    must never drift apart)."""
+    if not hashed:
+        return _shingles_sql(base, k)
+    return (
+        f"SELECT DISTINCT doc_id, {_TOKHASH_SQL.format(x='sh')} AS sh "
+        f"FROM ({_shingles_sql(base, k)})"
+    )
+
+
+def _capped_shingles_sql(
+    base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP, hashed: bool = False
+) -> str:
+    s = _keyed_shingles_sql(base, k, hashed)
     return f"""
-    SELECT doc_id, sh FROM ({_shingles_sql(base, k)})
-    WHERE sh IN (SELECT sh FROM ({_shingles_sql(base, k)}) GROUP BY sh HAVING count(*) <= {df_cap})
+    SELECT doc_id, sh FROM ({s})
+    WHERE sh IN (SELECT sh FROM ({s}) GROUP BY sh HAVING count(*) <= {df_cap})
     """
 
 
@@ -160,9 +176,11 @@ def jaccard_pairs(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def _jaccard_pairs_sql(base: str, k: int = SHINGLE_K) -> str:
+def _jaccard_pairs_sql(
+    base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP, hashed: bool = False
+) -> str:
     return f"""
-    WITH s AS ({_capped_shingles_sql(base, k)}),
+    WITH s AS ({_capped_shingles_sql(base, k, df_cap, hashed)}),
     sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
     inter AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
@@ -411,34 +429,6 @@ def hashed_shingles(
     return hdist, rare
 
 
-def _hashed_capped_sql(base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> str:
-    hs = (
-        f"SELECT DISTINCT doc_id, {_TOKHASH_SQL.format(x='sh')} AS hh "
-        f"FROM ({_shingles_sql(base, k)})"
-    )
-    return f"""
-    SELECT doc_id, hh FROM ({hs})
-    WHERE hh IN (SELECT hh FROM ({hs}) GROUP BY hh HAVING count(*) <= {df_cap})
-    """
-
-
-def _hashed_jaccard_pairs_sql(base: str, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> str:
-    return f"""
-    WITH s AS ({_hashed_capped_sql(base, k, df_cap)}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-    inter AS (
-        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
-        FROM s x JOIN s y ON x.hh = y.hh AND x.doc_id < y.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b,
-           CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    """
-
-
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (64 hashes) + LSH banding (32 bands x 2 rows) near-dup
     detection, verified: candidate pairs from band collisions are checked
@@ -537,7 +527,7 @@ def minhash_neardup_pairs(
 
 
 Q_DEDUP_MINHASH_SQL = f"""
-SELECT doc_a, doc_b, jaccard FROM ({_hashed_jaccard_pairs_sql(AUGMENTED_SQL)})
+SELECT doc_a, doc_b, jaccard FROM ({_jaccard_pairs_sql(AUGMENTED_SQL, hashed=True)})
 WHERE jaccard >= {NEARDUP_TAU}
 """
 
@@ -1060,13 +1050,14 @@ def _ivf_train(
     to the driver each iteration (K*dim ints — the same driver-loop shape
     MLlib k-means uses), so the lineage stays shallow.
 
-    ``sample_mod`` > 1 trains on the deterministic every-``sample_mod``-th
-    subset — the documented production shape at corpus scale (a quantizer
-    trained on ~10^5-10^6 sampled vectors is standard; Lloyd passes over all
-    of 100 TB would dominate the whole job).  Assignment of the FULL corpus
-    to inverted lists is unaffected."""
+    ``sample_mod`` > 1 runs the Lloyd passes over the deterministic
+    every-``sample_mod``-th subset — the documented production shape at
+    corpus scale (a quantizer trained on ~10^5-10^6 sampled vectors is
+    standard; Lloyd passes over all of 100 TB would dominate the whole job).
+    Seeds still come from the FULL vector set so K is unchanged by sampling,
+    and assignment of the full corpus to inverted lists is unaffected."""
     train = e if sample_mod <= 1 else e.filter(F.col("vec_id") % sample_mod == 0)
-    cents = train.filter(F.col("vec_id") % IVF_SEED_MOD == 0).select(
+    cents = e.filter(F.col("vec_id") % IVF_SEED_MOD == 0).select(
         (F.col("vec_id") / IVF_SEED_MOD).cast("int").alias("cid"), F.col("se").alias("ce")
     )
     for _ in range(iters):

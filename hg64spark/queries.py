@@ -634,9 +634,16 @@ def q_kll_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, str, "object"]:
+    import atexit
+    import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="hg64s_stream_gate_")
+    # the gate's returned DataFrame may be collected long after query build
+    # (the driver collects lazily), so the checkpoint/state/output tree can't
+    # be removed here — reap it at interpreter exit instead of leaking one
+    # tree per invocation into /tmp
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     ev_path = os.path.join(sf_dir, "events.parquet")
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir)
@@ -699,13 +706,20 @@ def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    latest = (
-        spark.sql(
-            f"SELECT event_type, sketch, row_number() OVER (PARTITION BY event_type "
-            f"ORDER BY monotonically_increasing_id() DESC) AS rn FROM {qname}"
+    # the source is a single file -> exactly one micro-batch -> exactly one
+    # emission per group; assert that instead of guessing "latest" from
+    # memory-table scan order (which is not a guaranteed batch ordering),
+    # and drop the memory table so repeated gate runs don't pin rows in
+    # driver memory for the session lifetime
+    rows = spark.table(qname).select("event_type", "sketch").collect()
+    spark.catalog.dropTempView(qname)
+    groups = [r["event_type"] for r in rows]
+    if len(set(groups)) != len(groups):
+        raise AssertionError(
+            f"stateful gate expected one emission per group (single-batch source), got {groups}"
         )
-        .filter("rn = 1")
-        .select("event_type", "sketch")
+    latest = spark.createDataFrame(
+        [(r["event_type"], bytes(r["sketch"])) for r in rows], "event_type string, sketch binary"
     )
     return agg.hg64_buckets(latest, ["event_type"])
 

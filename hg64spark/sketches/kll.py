@@ -36,7 +36,7 @@ _C = 2.0 / 3.0
 
 
 def _partition_component() -> int:
-    """Spark partition id when running inside a task, else 0 — mixed into
+    """Spark partition id when running inside a task, else -1 — mixed into
     lazily-derived compaction seeds so equal-content partials on different
     partitions draw independent coin streams."""
     try:
@@ -86,7 +86,7 @@ class KLL:
                 # re-correlate the coin streams the KLL error proof assumes
                 # independent.  Inside a Spark task that component is the
                 # partition id (deterministic for a given partitioning); on
-                # the driver it is 0.  Consequence, documented in the module
+                # the driver it is -1.  Consequence, documented in the module
                 # docstring: KLL outputs are bound-gated, not bit-reproducible
                 # across different partitionings.
                 crc = self.n & 0xFFFFFFFF
@@ -280,4 +280,13 @@ class KLL:
                 raise ValueError("corrupt KLL payload")
             levels.append(np.frombuffer(payload, dtype="<f8", count=sz, offset=off).astype(np.float64))
             off = end
+        # invariant: total item weight equals n EXACTLY — inserts add weight-1
+        # (or 2^b for weighted) items, and compaction preserves total weight
+        # (2m weight-2^h items become m weight-2^(h+1) items; the odd keeper
+        # stays).  A crafted blob violating it would silently mis-normalize
+        # every quantile answer.
+        if sum(lv.size << h for h, lv in enumerate(levels)) != n:
+            raise ValueError("corrupt KLL payload: level weights do not sum to n")
+        if any(lv.size and not bool(np.isfinite(lv).all()) for lv in levels):
+            raise ValueError("corrupt KLL payload: non-finite item")
         return cls(k, levels, n, seed=None if seed == cls._NO_SEED else seed)

@@ -45,10 +45,13 @@ class TDigest:
 
     def add_values(self, values: np.ndarray, weights=None) -> "TDigest":
         """Ingest, optionally weighted: an integer weight w enters the buffer
-        as a single w-weight point (exactly what w repeat inserts collapse to
-        under the merging-digest construction — centroid means are weighted
-        averages), matching hg64's ``add(value, inc)``
-        (`/root/reference/hg64.c:251-254`)."""
+        as a single w-weight point, matching hg64's ``add(value, inc)``
+        (`/root/reference/hg64.c:251-254`).  The point carries the same total
+        mass as w repeat inserts and an identical mean contribution, but is
+        one unsplittable centroid: near the tails, where the k1 bound would
+        split w repeats across several centroids, interpolation can differ —
+        the accuracy claim for weighted ingest is the bound gate, not
+        stream-equivalence."""
         values = np.asarray(values, dtype=np.float64)
         if values.size == 0:
             return self
@@ -179,8 +182,26 @@ class TDigest:
             raise ValueError("corrupt t-digest header")
         delta, n, vmin, vmax = struct.unpack("<IQdd", header)
         (k,) = struct.unpack_from("<I", payload, 0)
+        if len(payload) < 4 + 16 * k:
+            raise ValueError("corrupt t-digest payload")
         means = np.frombuffer(payload, dtype="<f8", count=k, offset=4)
         weights = np.frombuffer(payload, dtype="<i8", count=k, offset=4 + 8 * k)
+        # invariant checks (mirroring the MG path): a well-framed blob whose
+        # content breaks the digest invariants must not load into a sketch
+        # whose rank space is silently non-monotonic or mis-normalized
+        if k:
+            if not bool(np.isfinite(means).all()):
+                raise ValueError("corrupt t-digest payload: non-finite centroid mean")
+            if bool((weights <= 0).any()):
+                raise ValueError("corrupt t-digest payload: non-positive centroid weight")
+            if bool((np.diff(means) < 0).any()):
+                raise ValueError("corrupt t-digest payload: centroid means not sorted")
+            if int(weights.sum()) != n:
+                raise ValueError("corrupt t-digest payload: weights do not sum to n")
+            if not (vmin <= float(means[0]) and float(means[-1]) <= vmax):
+                raise ValueError("corrupt t-digest payload: vmin/vmax do not bracket centroids")
+        elif n != 0:
+            raise ValueError("corrupt t-digest payload: n > 0 with no centroids")
         out = cls(delta)
         out.means = means.astype(np.float64)
         out.weights = weights.astype(np.int64)

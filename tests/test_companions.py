@@ -516,6 +516,49 @@ def test_mg_deserialize_rejects_invariant_violations():
     assert int(w.estimate(["x"])[0]) == 2 * big + 4
 
 
+def test_kll_tdigest_deserialize_reject_invariant_violations():
+    """Well-framed blobs with invariant-violating content (weights not
+    summing to n, unsorted/non-positive centroids, non-finite items) must
+    raise, mirroring the MG/hg64 corruption handling."""
+    import struct as _struct
+
+    from hg64spark import serde
+    from hg64spark.sketches.tdigest import TDigest
+
+    # KLL: forge n that disagrees with the level weights
+    good = KLL(64, seed=1).add_values(np.arange(1_000, dtype=np.float64))
+    blob = good.serialize()
+    _, header, payload = serde.expect(blob, serde.TYPE_KLL)
+    k, n_levels, n, seed = _struct.unpack("<HIQQ", header)
+    bad = serde.pack(serde.TYPE_KLL, _struct.pack("<HIQQ", k, n_levels, n + 7, seed), payload)
+    with pytest.raises(ValueError, match="do not sum to n"):
+        KLL.deserialize(bad)
+    assert KLL.deserialize(blob).n == 1_000  # the genuine blob still loads
+
+    # t-digest: forge a negative weight / unsorted means / bad n
+    td = TDigest(100).add_values(np.arange(500, dtype=np.float64))
+    tblob = td.serialize()
+    _, theader, tpayload = serde.expect(tblob, serde.TYPE_TDIGEST)
+    delta, n, vmin, vmax = _struct.unpack("<IQdd", theader)
+    (kc,) = _struct.unpack_from("<I", tpayload, 0)
+    means = np.frombuffer(tpayload, dtype="<f8", count=kc, offset=4).copy()
+    weights = np.frombuffer(tpayload, dtype="<i8", count=kc, offset=4 + 8 * kc).copy()
+
+    def remake(m, w, nn):
+        pl = _struct.pack("<I", m.size) + m.astype("<f8").tobytes() + w.astype("<i8").tobytes()
+        return serde.pack(serde.TYPE_TDIGEST, _struct.pack("<IQdd", delta, nn, vmin, vmax), pl)
+
+    w_bad = weights.copy(); w_bad[0] = -1
+    with pytest.raises(ValueError, match="non-positive"):
+        TDigest.deserialize(remake(means, w_bad, n))
+    m_bad = means.copy(); m_bad[0], m_bad[-1] = m_bad[-1], m_bad[0]
+    with pytest.raises(ValueError, match="not sorted"):
+        TDigest.deserialize(remake(m_bad, weights, n))
+    with pytest.raises(ValueError, match="sum to n"):
+        TDigest.deserialize(remake(means, weights, n + 3))
+    assert TDigest.deserialize(tblob).n == 500
+
+
 def test_hg64_qov_empty_sketch_is_nan():
     from hg64spark.hg64 import HG64
 

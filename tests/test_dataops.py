@@ -52,6 +52,19 @@ def test_topk_tokens_per_lang_exact_with_huge_vocab(spark):
     assert len(got) == k + min(k, 1_000)
 
 
+def test_ivf_train_sampling_keeps_centroid_count(spark):
+    """sample_mod must only thin the Lloyd training passes — the centroid
+    count K (seeded from the FULL vector set) must not shrink, or the
+    quantizer geometry silently changes under the recall gate."""
+    e = dataops._scaled(spark, SF_DIR)
+    full = dataops._ivf_train(spark, e, iters=1)
+    sampled = dataops._ivf_train(spark, e, iters=1, sample_mod=3)
+    assert sampled.count() == full.count()
+    assert {r["cid"] for r in sampled.select("cid").collect()} == {
+        r["cid"] for r in full.select("cid").collect()
+    }
+
+
 def test_simhash_separates_planted_pairs(spark):
     rows = dataops.q_dedup_simhash(spark, SF_DIR).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
