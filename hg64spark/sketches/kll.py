@@ -34,6 +34,13 @@ from hg64spark import serde
 
 _C = 2.0 / 3.0
 
+#: ingest chunk size — measured sweep (262k-row Arrow batch / 4M-row array,
+#: KLL(200), this box): capacity-sized chunks (~600) cost 163 ns/row (Python
+#: loop overhead dominates), monolithic costs 28 ns/row on 262k but blows up
+#: to 169 ns/row on 4M rows (each compaction re-sorts the whole level-0);
+#: 64k chunks hit ~27 ns/row on 262k AND ~25 ns/row on 4M — the knee.
+_INGEST_CHUNK = 65_536
+
 
 def _partition_component() -> int:
     """Spark partition id when running inside a task, else -1 — mixed into
@@ -138,12 +145,13 @@ class KLL:
         values = np.asarray(values, dtype=np.float64)
         if values.size == 0:
             return self
-        # ingest in ~capacity-sized chunks: concatenating a whole 262k-row
-        # Arrow batch into level 0 before compacting makes every compaction
-        # sort O(batch) instead of O(k) — chunking bounds the per-compaction
-        # sort at the sketch's own capacity (same distribution: streaming KLL
-        # is defined one insert at a time; batching is only an optimization)
-        chunk = max(self._total_cap(len(self.levels)), 4 * self.k)
+        # chunked ingest bounds the per-compaction sort for huge arrays (a
+        # monolithic 4M-row concat makes every level-0 compaction re-sort
+        # millions of rows: measured 169 ns/row vs 25 chunked) while the
+        # chunk stays large enough that numpy, not the Python compaction
+        # loop, dominates (capacity-sized chunks measured 6x slower) —
+        # sweep numbers at _INGEST_CHUNK
+        chunk = max(_INGEST_CHUNK, self._total_cap(len(self.levels)))
         for lo in range(0, values.size, chunk):
             part = values[lo : lo + chunk]
             self.levels[0] = np.concatenate([self.levels[0], part])
@@ -180,7 +188,7 @@ class KLL:
                 self.levels.append(np.empty(0, dtype=np.float64))
             # chunk like the unweighted path so one huge weighted batch
             # can't force an O(batch) sort in a single compaction
-            chunk = max(self._total_cap(len(self.levels)), 4 * self.k)
+            chunk = max(_INGEST_CHUNK, self._total_cap(len(self.levels)))
             for lo in range(0, sel.size, chunk):
                 self.levels[b] = np.concatenate([self.levels[b], sel[lo : lo + chunk]])
                 self._compress()

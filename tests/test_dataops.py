@@ -150,6 +150,21 @@ def test_simhash_plan_has_no_cartesian_or_bnlj(spark):
     assert "BroadcastNestedLoop" not in plan, plan
 
 
+def test_minhash_plan_shuffles_hashed_keys_not_strings(spark):
+    """Regression guard for the round-3 rework: every exchange in the
+    MinHash plan must carry 8-byte hashed shingle keys — a raw shingle
+    STRING reappearing in an Exchange's partitioning means the verification
+    joins regressed to shuffling ~5-word text keys (~5x the bytes at 100 TB).
+    The string column `sh` may only exist below the hashing projection,
+    never as a partitioning key."""
+    import re
+
+    plan = dataops.q_dedup_minhash_lsh(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not re.search(r"\bsh#\d+\b", part), f"string shingle key in exchange: {part}"
+
+
 def test_simhash_banding_is_lossless(spark):
     """Pigeonhole guarantee: banded candidates recover EXACTLY the pairs an
     exhaustive Hamming<=8 scan finds (banding changes the plan, not the
