@@ -248,22 +248,32 @@ LANGID_VOCAB_K = 4096
 LANGID_SALTS = 32
 
 
-def topk_tokens_per_lang(counts: DataFrame, k: int = LANGID_VOCAB_K) -> DataFrame:
-    """Exact top-k (cnt desc, tok asc) rows per ``cand`` from a
-    (cand, tok, cnt) frame, without a serial per-language sort."""
-    salted = counts.withColumn("__salt", (F.abs(F.xxhash64("tok")) % LANGID_SALTS).cast("int"))
-    w_local = Window.partitionBy("cand", "__salt").orderBy(F.desc("cnt"), F.asc("tok"))
+def salted_topk(df: DataFrame, part_col: str, order_by: list, salt_col: str, k: int) -> DataFrame:
+    """Exact top-k rows per ``part_col`` under ``order_by`` without a serial
+    per-partition sort: local top-k per (part, hash-salt of ``salt_col``),
+    then a global ranking window over the <= LANGID_SALTS x k survivors.
+    Exact because any row in the global top-k is necessarily in its
+    salt-group's local top-k.  ``order_by`` must be a total order (include a
+    unique tiebreak column) for the result to be deterministic."""
+    salted = df.withColumn("__salt", (F.abs(F.xxhash64(salt_col)) % LANGID_SALTS).cast("int"))
+    w_local = Window.partitionBy(part_col, "__salt").orderBy(*order_by)
     survivors = (
         salted.withColumn("__rk", F.row_number().over(w_local))
         .filter(F.col("__rk") <= k)
         .drop("__rk", "__salt")
     )
-    w_global = Window.partitionBy("cand").orderBy(F.desc("cnt"), F.asc("tok"))
+    w_global = Window.partitionBy(part_col).orderBy(*order_by)
     return (
         survivors.withColumn("__rk", F.row_number().over(w_global))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def topk_tokens_per_lang(counts: DataFrame, k: int = LANGID_VOCAB_K) -> DataFrame:
+    """Exact top-k (cnt desc, tok asc) rows per ``cand`` from a
+    (cand, tok, cnt) frame, without a serial per-language sort."""
+    return salted_topk(counts, "cand", [F.desc("cnt"), F.asc("tok")], "tok", k)
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,6 +1177,112 @@ FROM documents
 
 # ------------------------------------------------------------- registration
 
+# --------------------------------------------- sampling / mixing / scoring
+
+#: per-language sampling rates (percent), the "data mixing" shape of a
+#: training pipeline: downsample the dominant language, keep the rest whole.
+#: Deterministic hash-bucket sampling — the only sampling that is (a)
+#: reproducible across engines/runs, (b) consistent under re-partitioning,
+#: (c) extensible to correlated sampling of multiple tables on a shared key.
+SAMPLE_RATES_PCT = {"en": 30, "es": 100, "de": 100, "fr": 100, "zh": 60}
+SAMPLE_DEFAULT_PCT = 100
+SAMPLE_SALT = "smpl:"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: doc kept iff
+    hash60(salt || doc_id) % 100 < rate(lang).  Pure codegen expressions, no
+    shuffle at all — the one operator in the family that is embarrassingly
+    parallel even at 100 TB.  Oracle: the identical md5-prefix bucket
+    expression in DuckDB (bit-for-bit)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    bucket = (
+        _tokhash_spark(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
+    ).alias("bucket")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(p)) for lg, p in sorted(SAMPLE_RATES_PCT.items())],
+        F.lit(SAMPLE_DEFAULT_PCT),
+    )
+    return d.select("doc_id", "lang", bucket, rate.alias("rate_pct")).filter(
+        F.col("bucket") < F.col("rate_pct")
+    )
+
+
+def _sample_stratified_sql() -> str:
+    h = _TOKHASH_SQL.format(x=f"concat('{SAMPLE_SALT}', CAST(doc_id AS VARCHAR))")
+    cases = " ".join(f"WHEN lang = '{lg}' THEN {p}" for lg, p in sorted(SAMPLE_RATES_PCT.items()))
+    return f"""
+    SELECT doc_id, lang, bucket, rate_pct FROM (
+        SELECT doc_id, lang, ({h}) % 100 AS bucket,
+               CASE {cases} ELSE {SAMPLE_DEFAULT_PCT} END AS rate_pct
+        FROM documents
+    ) WHERE bucket < rate_pct
+    """
+
+
+#: per-language quality quota ("take the N best documents of each language")
+QUOTA_PER_LANG = 50
+
+
+def q_quota_topk_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-quota mixing: keep the top QUOTA_PER_LANG docs per language by
+    a quality key (here token count, doc_id tiebreak) — the per-language
+    counterpart of the vocabulary cut, built on the same salted two-phase
+    exact top-k so no task ever sorts a whole language's documents."""
+    d = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    kept = salted_topk(
+        d, "lang", [F.desc("n_tokens"), F.asc("doc_id")], "doc_id", QUOTA_PER_LANG
+    )
+    return kept.select("lang", "doc_id", "n_tokens")
+
+
+Q_QUOTA_TOPK_SQL = f"""
+SELECT lang, doc_id, n_tokens FROM (
+    SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY lang ORDER BY len(string_split(text, ' ')) DESC, doc_id ASC) AS rk
+    FROM documents
+) WHERE rk <= {QUOTA_PER_LANG}
+"""
+
+
+TFIDF_TOPN = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPN} characteristic terms per document, ranked by
+    (tf desc, df asc, term asc) — the tf-idf ordering expressed with INTEGER
+    keys only (tf and document frequency), so the ranking is exact in both
+    engines with no FP log in sight.  Scale shape: tf is one (doc, term)
+    groupBy; df is one term groupBy; the join shuffles by term; the final
+    window partitions by doc (bounded by document length, no skew)."""
+    toks = _docs(spark, sf_dir).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("tok"))
+    return (
+        tf.join(dfreq, "tok")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPN)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "df")
+    )
+
+
+Q_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok)
+SELECT doc_id, tok AS term, tf, df FROM (
+    SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+           row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfreq.df ASC, tf.tok ASC) AS rk
+    FROM tf JOIN dfreq ON dfreq.tok = tf.tok
+) WHERE rk <= {TFIDF_TOPN}
+"""
+
+
 # ------------------------------------------------------ composed pipeline
 
 #: corpus-pipeline gate knobs: thresholds sit inside the test data's observed
@@ -1271,6 +1387,9 @@ def dataops_queries():
         "ann_ivf_recall": q_ann_ivf_recall,
         "multimodal_payloads": q_multimodal_payloads,
         "corpus_pipeline": q_corpus_pipeline,
+        "sample_stratified": q_sample_stratified,
+        "quota_topk_by_lang": q_quota_topk_by_lang,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1292,4 +1411,7 @@ def dataops_oracles():
         "ann_ivf_recall": Q_ANN_IVF_SQL,
         "multimodal_payloads": Q_MULTIMODAL_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
+        "sample_stratified": _sample_stratified_sql(),
+        "quota_topk_by_lang": Q_QUOTA_TOPK_SQL,
+        "tfidf_top_terms": Q_TFIDF_SQL,
     }
