@@ -406,7 +406,13 @@ FROM ({AUGMENTED_SQL})
 
 def q_dedup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 most similar pairs by exact word-5-gram Jaccard over the
-    augmented corpus (deterministic tiebreak)."""
+    augmented corpus (deterministic tiebreak).
+
+    Deliberately stays on STRING shingle keys: this is the exact-similarity
+    baseline the hashed operators are validated against, so it must not
+    share their (hash-space) definition.  It is the one shingle operator not
+    meant for 100 TB — at scale you run dedup_minhash_lsh (hashed keys,
+    banded candidates) and reserve this for sampled audits."""
     pairs = jaccard_pairs(augmented_corpus(spark, sf_dir))
     return pairs.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(50)
 
@@ -1311,8 +1317,27 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + PIPE_DUP_OFFSET).alias("doc_id"), "text"
     )
     corpus = d.unionAll(dups)
-    keep = corpus.groupBy(F.md5("text").alias("__h")).agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id"
+    langid = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    kept = curate_corpus(corpus).join(langid, "doc_id")
+    sk = agg.hg64_agg(
+        kept.select("predicted_lang", F.col("n_tokens").alias("v")), "v", ["predicted_lang"], 5
+    )
+    return agg.hg64_buckets(sk, ["predicted_lang"])
+
+
+def curate_corpus(
+    corpus: DataFrame, min_tokens: int = PIPE_MIN_TOKENS, max_stop: float = PIPE_MAX_STOP
+) -> DataFrame:
+    """The curation chain as a library function over any (doc_id, text)
+    corpus: exact-dedup keep-first (min doc_id per content hash) + quality
+    filter (token count, stopword ratio).  Returns
+    (doc_id, text, n_tokens, stop_ratio).  Used by the driver gate
+    (composed with language-ID) and by ``jobs/curate_corpus.py``."""
+    keep = (
+        corpus.filter(F.col("text").isNotNull())
+        .groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
     toks = F.split(F.col("text"), " ")
     stopset = ",".join(f"'{s}'" for s in STOPWORDS)
@@ -1324,21 +1349,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(toks).cast("double")
         ).alias("stop_ratio"),
     )
-    langid = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
-    kept = (
-        corpus.join(keep, "doc_id", "left_semi")
-        .join(
-            quality.filter(
-                (F.col("n_tokens") >= PIPE_MIN_TOKENS) & (F.col("stop_ratio") <= PIPE_MAX_STOP)
-            ),
-            "doc_id",
-        )
-        .join(langid, "doc_id")
+    return corpus.join(keep, "doc_id", "left_semi").join(
+        quality.filter((F.col("n_tokens") >= min_tokens) & (F.col("stop_ratio") <= max_stop)),
+        "doc_id",
     )
-    sk = agg.hg64_agg(
-        kept.select("predicted_lang", F.col("n_tokens").alias("v")), "v", ["predicted_lang"], 5
-    )
-    return agg.hg64_buckets(sk, ["predicted_lang"])
 
 
 def _corpus_pipeline_sql() -> str:
