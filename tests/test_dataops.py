@@ -52,6 +52,20 @@ def test_topk_tokens_per_lang_exact_with_huge_vocab(spark):
     assert len(got) == k + min(k, 1_000)
 
 
+def test_sample_stratified_plan_is_shuffle_free(spark):
+    """Deterministic hash-bucket sampling must stay embarrassingly parallel:
+    any Exchange in its plan means the filter stopped being a pure map — the
+    property that makes it THE sampling shape at 100 TB."""
+    plan = dataops.q_sample_stratified(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_quota_and_tfidf_plans_have_no_theta_join(spark):
+    for q in (dataops.q_quota_topk_by_lang, dataops.q_tfidf_top_terms):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
 def test_ivf_train_sampling_keeps_centroid_count(spark):
     """sample_mod must only thin the Lloyd training passes — the centroid
     count K (seeded from the FULL vector set) must not shrink, or the
