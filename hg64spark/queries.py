@@ -679,6 +679,41 @@ def q_streaming_hg64_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_buckets(ss.result(spark), ["event_type"])
 
 
+def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Companion sketch over the streaming surface: HLL distinct(user_id)
+    per event_type built by the foreachBatch state store, self-certified
+    against the exact batch count(distinct) with the same 3-sigma bound as
+    the batch HLL gate — any sketch implementing the protocol streams
+    through the identical machinery."""
+    from hg64spark.sketches import HLL
+    from hg64spark.streaming import StreamingSketch
+
+    base, src_dir, schema = _stream_source(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir).select("event_type", "user_id")
+    ss = StreamingSketch(
+        os.path.join(base, "state"),
+        "user_id",
+        ["event_type"],
+        make_sketch=lambda: HLL(14),
+        deserialize=HLL.deserialize,
+    )
+    q = ss.start(stream, os.path.join(base, "ckpt"), available_now=True)
+    q.awaitTermination()
+    ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in ss.result(spark).collect()}
+    ev = io.read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3 * HLL.error_bound(14)
+    out = [
+        (
+            r["event_type"],
+            r["exact_distinct"],
+            bool(abs(ests[r["event_type"]] - r["exact_distinct"]) <= bound * r["exact_distinct"]),
+        )
+        for r in exact.collect()
+    ]
+    return spark.createDataFrame(out, "event_type string, exact_distinct long, hll_ok boolean")
+
+
 def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState streaming build: per-group sketch state in
     Spark's checkpointed streaming state store, latest emission per group
@@ -910,6 +945,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hg64_by_type": q_streaming_hg64_by_type,
         "streaming_windowed_hg64": q_streaming_windowed_hg64,
         "streaming_stateful_hg64": q_streaming_stateful_hg64,
+        "streaming_hll_distinct": q_streaming_hll_distinct,
     }
 
 
@@ -1025,5 +1061,9 @@ def _core_oracles() -> dict[str, str]:
         "streaming_windowed_hg64": _streaming_windowed_oracle(),
         "streaming_stateful_hg64": sqloracle.buckets_sql(
             _EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]
+        ),
+        "streaming_hll_distinct": (
+            "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
+            "true AS hll_ok FROM events GROUP BY event_type"
         ),
     }
