@@ -255,33 +255,46 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("kll_latency_by_tool", q_kll_latency),
         ("streaming_ingest_foreachbatch", q_streaming_ingest),
         *dataops_lines,
-        # last: its 500M-row generated scan leaves the JVM heap churned,
-        # which would tax whatever query ran after it
-        ("ingest_hg64_global", q_ingest_hg64),
+        # ingest_hg64_global is timed separately below (interleaved with the
+        # source-only run), last: its 500M-row generated scans leave the JVM
+        # heap churned, which would tax whatever query ran after
     ]:
         sec, _ = timed(fn)
         sec2, _ = timed(fn)
         timings[name] = round(min(sec, sec2), 3)
 
-    meta["turns_per_sec_e2e"] = round(n_turns / timings["latency_quantiles_by_tool"], 1)
-    meta["updates_per_sec_ingest"] = round(SCALE_ROWS / timings["ingest_hg64_global"], 1)
-
     # decomposition: the generated SOURCE itself (two xxhash64 + mod per row,
-    # the stand-in for a scan) costs ~40% of the ingest line; time it alone
-    # (best-of-2) so the JSON separates pipeline-including-source throughput
-    # from the sketch side's marginal capacity — the reference's microbench
-    # number excludes generation (it reads pre-filled in-memory arrays,
-    # `/root/reference/test.c:90-100`), so this is the apples-to-apples row.
+    # the stand-in for a scan) costs ~40% of the ingest line; time it so the
+    # JSON separates pipeline-including-source throughput from the sketch
+    # side's marginal capacity — the reference's microbench number excludes
+    # generation (it reads pre-filled in-memory arrays,
+    # `/root/reference/test.c:90-100`), so the marginal is the
+    # apples-to-apples row.  INTERLEAVED best-of-2 (gen, ingest, gen,
+    # ingest): both 500M-row scans then face the same heap regime, so the
+    # subtraction compares like with like (timing gen only after the ingest
+    # passes would measure it in the churned state ingest itself avoids by
+    # running last).
     def q_gen_only():
         d = generated_stream(spark, SCALE_ROWS, CPUS)
         return d.agg(F.sum("latency_us"), F.sum("tool_id")).collect()
 
-    g1, _ = timed(q_gen_only)
-    g2, _ = timed(q_gen_only)
-    gen_sec = min(g1, g2)
+    gen_sec, ingest_sec = None, None
+    for _ in range(2):
+        g, _ = timed(q_gen_only)
+        i, _ = timed(q_ingest_hg64)
+        gen_sec = g if gen_sec is None else min(gen_sec, g)
+        ingest_sec = i if ingest_sec is None else min(ingest_sec, i)
+    timings["ingest_hg64_global"] = round(ingest_sec, 3)
+
+    meta["turns_per_sec_e2e"] = round(n_turns / timings["latency_quantiles_by_tool"], 1)
+    meta["updates_per_sec_ingest"] = round(SCALE_ROWS / ingest_sec, 1)
     meta["gen_source_sec"] = round(gen_sec, 3)
-    sketch_sec = max(timings["ingest_hg64_global"] - gen_sec, 1e-9)
-    meta["updates_per_sec_sketch_marginal"] = round(SCALE_ROWS / sketch_sec, 1)
+    if gen_sec < 0.95 * ingest_sec:
+        meta["updates_per_sec_sketch_marginal"] = round(SCALE_ROWS / (ingest_sec - gen_sec), 1)
+    else:
+        # noise ate the gap — report the decomposition as invalid rather
+        # than letting the subtraction fabricate an absurd marginal rate
+        meta["updates_per_sec_sketch_marginal"] = None
     return timings, meta
 
 

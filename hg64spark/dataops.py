@@ -248,14 +248,18 @@ LANGID_VOCAB_K = 4096
 LANGID_SALTS = 32
 
 
-def salted_topk(df: DataFrame, part_col: str, order_by: list, salt_col: str, k: int) -> DataFrame:
+def salted_topk(
+    df: DataFrame, part_col: str, order_by: list, salt_col: str, k: int, salts: int = 32
+) -> DataFrame:
     """Exact top-k rows per ``part_col`` under ``order_by`` without a serial
     per-partition sort: local top-k per (part, hash-salt of ``salt_col``),
-    then a global ranking window over the <= LANGID_SALTS x k survivors.
+    then a global ranking window over the <= ``salts`` x k survivors.
     Exact because any row in the global top-k is necessarily in its
     salt-group's local top-k.  ``order_by`` must be a total order (include a
-    unique tiebreak column) for the result to be deterministic."""
-    salted = df.withColumn("__salt", (F.abs(F.xxhash64(salt_col)) % LANGID_SALTS).cast("int"))
+    unique tiebreak column) for the result to be deterministic; raise
+    ``salts`` when a single salt bucket's rows would still overwhelm one
+    task."""
+    salted = df.withColumn("__salt", (F.abs(F.xxhash64(salt_col)) % salts).cast("int"))
     w_local = Window.partitionBy(part_col, "__salt").orderBy(*order_by)
     survivors = (
         salted.withColumn("__rk", F.row_number().over(w_local))
@@ -273,7 +277,7 @@ def salted_topk(df: DataFrame, part_col: str, order_by: list, salt_col: str, k: 
 def topk_tokens_per_lang(counts: DataFrame, k: int = LANGID_VOCAB_K) -> DataFrame:
     """Exact top-k (cnt desc, tok asc) rows per ``cand`` from a
     (cand, tok, cnt) frame, without a serial per-language sort."""
-    return salted_topk(counts, "cand", [F.desc("cnt"), F.asc("tok")], "tok", k)
+    return salted_topk(counts, "cand", [F.desc("cnt"), F.asc("tok")], "tok", k, salts=LANGID_SALTS)
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,6 +1199,14 @@ SAMPLE_DEFAULT_PCT = 100
 SAMPLE_SALT = "smpl:"
 
 
+def sample_bucket(id_col):
+    """The deterministic sampling bucket in [0, 100): hash60(salt || id).
+    ONE definition shared by the operator, its oracle, and
+    ``jobs/curate_corpus.py`` — a drifting copy would silently break the
+    reproducible-across-engines/correlated-on-shared-key guarantee."""
+    return _tokhash_spark(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))) % 100
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling: doc kept iff
     hash60(salt || doc_id) % 100 < rate(lang).  Pure codegen expressions, no
@@ -1202,9 +1214,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel even at 100 TB.  Oracle: the identical md5-prefix bucket
     expression in DuckDB (bit-for-bit)."""
     d = _docs(spark, sf_dir).select("doc_id", "lang")
-    bucket = (
-        _tokhash_spark(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string"))) % 100
-    ).alias("bucket")
+    bucket = sample_bucket("doc_id").alias("bucket")
     rate = F.coalesce(
         *[F.when(F.col("lang") == lg, F.lit(p)) for lg, p in sorted(SAMPLE_RATES_PCT.items())],
         F.lit(SAMPLE_DEFAULT_PCT),

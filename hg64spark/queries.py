@@ -231,25 +231,36 @@ def q_hg64_weighted_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # additionally unit-tested in tests/test_companions.py.)
 
 
+def _hll_bound_gate(spark: SparkSession, ev: DataFrame, sketch_rows) -> DataFrame:
+    """Shared 3-sigma self-certifying comparison for every HLL gate (batch,
+    relational, streaming): per-group estimates from the collected sketch
+    rows vs the exact count(distinct).  A group absent from the sketch side
+    (all-NULL values emit no partial) estimates 0 — consistent with the
+    empty sketch, and exactly what the exact side's countDistinct=0 row
+    expects — instead of a KeyError."""
+    ests = {r["event_type"]: HLL.deserialize(bytes(r["sketch"])).estimate() for r in sketch_rows}
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    bound = 3 * HLL.error_bound(14)
+    out = [
+        (
+            r["event_type"],
+            r["exact_distinct"],
+            bool(
+                abs(ests.get(r["event_type"], 0.0) - r["exact_distinct"])
+                <= bound * r["exact_distinct"]
+            ),
+        )
+        for r in exact.collect()
+    ]
+    return spark.createDataFrame(out, "event_type string, exact_distinct long, hll_ok boolean")
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct(user_id) per event_type vs exact count(distinct):
     |est - exact| <= 3 sigma, sigma = 1.04/sqrt(2^p)."""
     ev = io.read_table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = agg.sketch_agg(ev, "user_id", ["event_type"], lambda: HLL(14), HLL.deserialize)
-    ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in sk.collect()}
-    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
-    bound = 3 * HLL.error_bound(14)
-
-    rows = exact.collect()
-    out = [
-        (
-            r["event_type"],
-            r["exact_distinct"],
-            bool(abs(ests[r["event_type"]] - r["exact_distinct"]) <= bound * r["exact_distinct"]),
-        )
-        for r in rows
-    ]
-    return spark.createDataFrame(out, "event_type string, exact_distinct long, hll_ok boolean")
+    return _hll_bound_gate(spark, ev, sk.collect())
 
 
 def q_cms_top_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,18 +336,7 @@ def q_hll_distinct_users_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = io.read_table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = relational.hll_agg_relational(ev, "user_id", ["event_type"], 14)
-    ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in sk.collect()}
-    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
-    bound = 3 * HLL.error_bound(14)
-    out = [
-        (
-            r["event_type"],
-            r["exact_distinct"],
-            bool(abs(ests[r["event_type"]] - r["exact_distinct"]) <= bound * r["exact_distinct"]),
-        )
-        for r in exact.collect()
-    ]
-    return spark.createDataFrame(out, "event_type string, exact_distinct long, hll_ok boolean")
+    return _hll_bound_gate(spark, ev, sk.collect())
 
 
 def q_bloom_membership_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,19 +699,8 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = ss.start(stream, os.path.join(base, "ckpt"), available_now=True)
     q.awaitTermination()
-    ests = {r["event_type"]: HLL.deserialize(r["sketch"]).estimate() for r in ss.result(spark).collect()}
     ev = io.read_table(spark, sf_dir, "events").select("event_type", "user_id")
-    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact_distinct"))
-    bound = 3 * HLL.error_bound(14)
-    out = [
-        (
-            r["event_type"],
-            r["exact_distinct"],
-            bool(abs(ests[r["event_type"]] - r["exact_distinct"]) <= bound * r["exact_distinct"]),
-        )
-        for r in exact.collect()
-    ]
-    return spark.createDataFrame(out, "event_type string, exact_distinct long, hll_ok boolean")
+    return _hll_bound_gate(spark, ev, ss.result(spark).collect())
 
 
 def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:

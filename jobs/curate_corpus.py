@@ -58,17 +58,14 @@ def main() -> None:
     if not 1 <= args.sample_pct <= 100:
         raise SystemExit(f"--sample-pct must be in [1, 100], got {args.sample_pct}")
     if args.sample_pct < 100:
-        bucket = (
-            dataops._tokhash_spark(
-                F.concat(F.lit(dataops.SAMPLE_SALT), F.col("doc_id").cast("string"))
-            )
-            % 100
-        )
-        kept = kept.filter(bucket < args.sample_pct)
+        kept = kept.filter(dataops.sample_bucket("doc_id") < args.sample_pct)
 
     kept.write.mode("overwrite").parquet(args.output)
     out = spark.read.parquet(args.output)
-    n_in = corpus.count()
+    # both counts are parquet-metadata reads (no filter, no projected
+    # columns -> Spark answers count() from row-group footers, not a second
+    # full data scan)
+    n_in = spark.read.parquet(args.input).count()
     n_out = out.count()
     qdf = agg.hg64_quantiles(
         agg.hg64_agg(out.select(F.col("n_tokens").alias("v")), "v", [], 5),

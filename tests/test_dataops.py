@@ -175,8 +175,13 @@ def test_minhash_plan_shuffles_hashed_keys_not_strings(spark):
 
     plan = dataops.q_dedup_minhash_lsh(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
-    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
-        assert not re.search(r"\bsh#\d+\b", part), f"string shingle key in exchange: {part}"
+    # scan whole Exchange lines (a `[^)]*` capture would truncate at the
+    # first nested ')' and could let an sh# key after a nested expression
+    # slip through); an Exchange line mentions only its partitioning keys
+    exchange_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert exchange_lines, plan  # the joins must actually exchange something
+    for ln in exchange_lines:
+        assert not re.search(r"\bsh#\d+", ln), f"string shingle key in exchange: {ln}"
 
 
 def test_simhash_banding_is_lossless(spark):
