@@ -1236,6 +1236,40 @@ def _sample_stratified_sql() -> str:
     """
 
 
+#: keep percentage for the correlated-sampling gate
+SAMPLE_CORR_PCT = 20
+
+
+def q_sample_correlated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated sampling across tables on a shared key — the property that
+    makes hash-bucket sampling the production shape: sampling ``orders`` at
+    SAMPLE_CORR_PCT% by bucket(o_orderkey) and filtering ``lineitem`` by the
+    SAME bucket expression on l_orderkey keeps every lineitem of every kept
+    order and none of a dropped one, with NO join — each table is filtered
+    independently by a pure map expression.  Output: per kept order, its
+    lineitem count (which only reconciles if the correlation holds)."""
+    li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    kept = li.filter(sample_bucket("l_orderkey") < SAMPLE_CORR_PCT)
+    return kept.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count("*").alias("n_items")
+    )
+
+
+def _sample_correlated_sql() -> str:
+    h = _TOKHASH_SQL.format(x=f"concat('{SAMPLE_SALT}', CAST(o_orderkey AS VARCHAR))")
+    # the oracle takes the OTHER route on purpose: sample the orders table,
+    # then join lineitem — identical output iff the bucket expressions
+    # correlate across tables and engines
+    return f"""
+    WITH kept_orders AS (
+        SELECT o_orderkey FROM orders WHERE ({h}) % 100 < {SAMPLE_CORR_PCT}
+    )
+    SELECT l.l_orderkey AS orderkey, count(*) AS n_items
+    FROM lineitem l JOIN kept_orders k ON k.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """
+
+
 #: per-language quality quota ("take the N best documents of each language")
 QUOTA_PER_LANG = 50
 
@@ -1412,6 +1446,7 @@ def dataops_queries():
         "multimodal_payloads": q_multimodal_payloads,
         "corpus_pipeline": q_corpus_pipeline,
         "sample_stratified": q_sample_stratified,
+        "sample_correlated_lineitem": q_sample_correlated_lineitem,
         "quota_topk_by_lang": q_quota_topk_by_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
     }
@@ -1436,6 +1471,7 @@ def dataops_oracles():
         "multimodal_payloads": Q_MULTIMODAL_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "sample_stratified": _sample_stratified_sql(),
+        "sample_correlated_lineitem": _sample_correlated_sql(),
         "quota_topk_by_lang": Q_QUOTA_TOPK_SQL,
         "tfidf_top_terms": Q_TFIDF_SQL,
     }
