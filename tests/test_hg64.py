@@ -254,3 +254,35 @@ def test_property_quantile_within_bucket_bound(values):
     exact = int(np.sort(arr)[int(0.5 * arr.size)])
     if exact > 0:
         assert abs(est - exact) / exact <= 2.0**-5 + 1e-12 or abs(est - exact) <= 1
+
+
+def test_upsample_oracle_matches_put_fuzzed():
+    """The recursive-CTE SQL oracle for the coarse->fine pro-rata merge
+    (``sqloracle.upsample_buckets_sql``) must reproduce HG64.put's
+    carried-remainder FLOAT allocation bit-for-bit on random inputs — across
+    sigbits pairs and including linear-region values.  (The driver gate
+    covers one dataset; this fuzzes the FP-parity claim itself.)"""
+    import duckdb
+    import pandas as pd
+
+    from hg64spark import sqloracle
+
+    rng = np.random.default_rng(2024)
+    for case in range(10):
+        lo = 10 ** rng.integers(0, 12)
+        vals = rng.integers(0, max(lo, 2), int(rng.integers(1, 2000)), dtype=np.uint64)
+        if case % 4 == 0:
+            vals = np.concatenate([vals, rng.integers(0, 16, 5, dtype=np.uint64)])
+        fb, tb = (4, 8) if case % 3 else (3, 9)
+        coarse = HG64(fb).add_values(vals)
+        fine = coarse.downsample(tb)
+        assert fine.population == coarse.population  # exact preservation
+        keys, _, _, counts = fine.to_buckets()
+        got = sorted(zip(keys.tolist(), counts.astype(np.int64).tolist()))
+
+        con = duckdb.connect()
+        con.register("vals_np", pd.DataFrame({"v": vals.astype("int64")}))
+        con.execute("CREATE VIEW valsrc AS SELECT v FROM vals_np")
+        sql = sqloracle.upsample_buckets_sql("SELECT v FROM valsrc", "v", fb, tb)
+        want = sorted((int(r[0]), int(r[3])) for r in con.execute(sql).fetchall())
+        assert got == want, (case, fb, tb)
