@@ -240,12 +240,17 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         warm_fn()
     q_streaming_ingest()
 
-    # best-of-2 per query: this shared-hypervisor box intermittently stalls
-    # ~10-15s under sustained load (observed landing on a DIFFERENT query
-    # each run — not GC [max pause 14ms, logged], not other processes [box
-    # idle], not KLL/dedup themselves [0.9-3s standalone]); a second pass
-    # keeps a one-off stall from being recorded as a query's cost
-    for name, fn in [
+    # best-of-2 per query, attempts SEPARATED by a full sweep: this
+    # shared-hypervisor box intermittently stalls 10-15s under sustained
+    # load (observed landing on a DIFFERENT query each run — not GC [max
+    # pause 14ms, logged], not other processes [box idle], not KLL/dedup
+    # themselves [0.9-3s standalone]), and sometimes for a sustained window
+    # that covers several consecutive executions (a recorded run had BOTH
+    # back-to-back minhash passes >= 9.6s).  Sweeping the whole query list
+    # twice — instead of timing each query's two passes adjacently — puts
+    # minutes between a query's attempts, so one stall window cannot poison
+    # both.
+    timed_lines = [
         ("latency_quantiles_by_tool", q_latency_quantiles_by_tool),
         ("textlen_buckets_by_role", q_textlen_buckets_by_role),
         ("turncount_quantiles", q_turncount_quantiles),
@@ -258,10 +263,12 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         # ingest_hg64_global is timed separately below (interleaved with the
         # source-only run), last: its 500M-row generated scans leave the JVM
         # heap churned, which would tax whatever query ran after
-    ]:
-        sec, _ = timed(fn)
-        sec2, _ = timed(fn)
-        timings[name] = round(min(sec, sec2), 3)
+    ]
+    for _ in range(2):
+        for name, fn in timed_lines:
+            sec, _ = timed(fn)
+            prev = timings.get(name)
+            timings[name] = round(sec if prev is None else min(prev, sec), 3)
 
     # decomposition: the generated SOURCE itself (two xxhash64 + mod per row,
     # the stand-in for a scan) costs ~40% of the ingest line; time it so the
