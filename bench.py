@@ -247,9 +247,11 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
     # themselves [0.9-3s standalone]), and sometimes for a sustained window
     # that covers several consecutive executions (a recorded run had BOTH
     # back-to-back minhash passes >= 9.6s).  Sweeping the whole query list
-    # twice — instead of timing each query's two passes adjacently — puts
-    # minutes between a query's attempts, so one stall window cannot poison
-    # both.
+    # twice — instead of timing each query's two passes adjacently — puts a
+    # full sweep (~20-40s of other work) between a query's attempts.  That
+    # is a mitigation, not a guarantee: a window longer than the sweep, or
+    # one straddling the sweep boundary, can still poison a line — but it
+    # can no longer do so with the ~3s adjacency the old protocol had.
     timed_lines = [
         ("latency_quantiles_by_tool", q_latency_quantiles_by_tool),
         ("textlen_buckets_by_role", q_textlen_buckets_by_role),
@@ -264,33 +266,33 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         # source-only run), last: its 500M-row generated scans leave the JVM
         # heap churned, which would tax whatever query ran after
     ]
-    for _ in range(2):
-        for name, fn in timed_lines:
-            sec, _ = timed(fn)
-            prev = timings.get(name)
-            timings[name] = round(sec if prev is None else min(prev, sec), 3)
-
-    # decomposition: the generated SOURCE itself (two xxhash64 + mod per row,
-    # the stand-in for a scan) costs ~40% of the ingest line; time it so the
-    # JSON separates pipeline-including-source throughput from the sketch
-    # side's marginal capacity — the reference's microbench number excludes
-    # generation (it reads pre-filled in-memory arrays,
-    # `/root/reference/test.c:90-100`), so the marginal is the
-    # apples-to-apples row.  INTERLEAVED best-of-2 (gen, ingest, gen,
-    # ingest): both 500M-row scans then face the same heap regime, so the
-    # subtraction compares like with like (timing gen only after the ingest
-    # passes would measure it in the churned state ingest itself avoids by
-    # running last).
+    # the gen/ingest decomposition pair rides the same two sweeps (gen then
+    # ingest at each sweep's tail, preserving ingest-last heap ordering and
+    # the like-for-like adjacency of the subtraction's two operands) so the
+    # headline throughput numbers get the same sweep-separated best-of-2
+    # stall defense as the query lines
     def q_gen_only():
         d = generated_stream(spark, SCALE_ROWS, CPUS)
         return d.agg(F.sum("latency_us"), F.sum("tool_id")).collect()
 
     gen_sec, ingest_sec = None, None
     for _ in range(2):
+        for name, fn in timed_lines:
+            sec, _ = timed(fn)
+            prev = timings.get(name)
+            timings[name] = round(sec if prev is None else min(prev, sec), 3)
         g, _ = timed(q_gen_only)
         i, _ = timed(q_ingest_hg64)
         gen_sec = g if gen_sec is None else min(gen_sec, g)
         ingest_sec = i if ingest_sec is None else min(ingest_sec, i)
+
+    # decomposition: the generated SOURCE itself (two xxhash64 + mod per row,
+    # the stand-in for a scan) costs ~40% of the ingest line; timing it
+    # separately lets the JSON report both pipeline-including-source
+    # throughput and the sketch side's marginal capacity — the reference's
+    # microbench number excludes generation (it reads pre-filled in-memory
+    # arrays, `/root/reference/test.c:90-100`), so the marginal is the
+    # apples-to-apples row.
     timings["ingest_hg64_global"] = round(ingest_sec, 3)
 
     meta["turns_per_sec_e2e"] = round(n_turns / timings["latency_quantiles_by_tool"], 1)

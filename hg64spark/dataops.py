@@ -1203,8 +1203,17 @@ def sample_bucket(id_col):
     """The deterministic sampling bucket in [0, 100): hash60(salt || id).
     ONE definition shared by the operator, its oracle, and
     ``jobs/curate_corpus.py`` — a drifting copy would silently break the
-    reproducible-across-engines/correlated-on-shared-key guarantee."""
+    reproducible-across-engines/correlated-on-shared-key guarantee.
+    The DuckDB mirror is :func:`_sample_bucket_sql` — change both or
+    neither."""
     return _tokhash_spark(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))) % 100
+
+
+def _sample_bucket_sql(key_col: str) -> str:
+    """DuckDB mirror of :func:`sample_bucket`, shared by every sampling
+    oracle so the bucket definition cannot drift between gates."""
+    salted = f"concat('{SAMPLE_SALT}', CAST({key_col} AS VARCHAR))"
+    return f"({_TOKHASH_SQL.format(x=salted)}) % 100"
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,11 +1234,10 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sample_stratified_sql() -> str:
-    h = _TOKHASH_SQL.format(x=f"concat('{SAMPLE_SALT}', CAST(doc_id AS VARCHAR))")
     cases = " ".join(f"WHEN lang = '{lg}' THEN {p}" for lg, p in sorted(SAMPLE_RATES_PCT.items()))
     return f"""
     SELECT doc_id, lang, bucket, rate_pct FROM (
-        SELECT doc_id, lang, ({h}) % 100 AS bucket,
+        SELECT doc_id, lang, {_sample_bucket_sql("doc_id")} AS bucket,
                CASE {cases} ELSE {SAMPLE_DEFAULT_PCT} END AS rate_pct
         FROM documents
     ) WHERE bucket < rate_pct
@@ -1256,13 +1264,13 @@ def q_sample_correlated_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sample_correlated_sql() -> str:
-    h = _TOKHASH_SQL.format(x=f"concat('{SAMPLE_SALT}', CAST(o_orderkey AS VARCHAR))")
     # the oracle takes the OTHER route on purpose: sample the orders table,
     # then join lineitem — identical output iff the bucket expressions
     # correlate across tables and engines
     return f"""
     WITH kept_orders AS (
-        SELECT o_orderkey FROM orders WHERE ({h}) % 100 < {SAMPLE_CORR_PCT}
+        SELECT o_orderkey FROM orders
+        WHERE {_sample_bucket_sql("o_orderkey")} < {SAMPLE_CORR_PCT}
     )
     SELECT l.l_orderkey AS orderkey, count(*) AS n_items
     FROM lineitem l JOIN kept_orders k ON k.o_orderkey = l.l_orderkey
