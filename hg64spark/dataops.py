@@ -1187,6 +1187,80 @@ FROM documents
 
 # ------------------------------------------------------------- registration
 
+def q_text_selfrepeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-repetition scoring — the standard quality filter for looped /
+    boilerplate generations: per document, the maximum multiplicity of any
+    word 5-gram within that document, plus the repeated-mass ratio
+    (occurrences of non-unique shingles / total shingles).  Pure integer
+    arithmetic, exact in both engines.  Scale shape: one groupBy on
+    (doc_id, shingle) + one per-doc aggregation — no self-join, no window."""
+    s = raw_shingles(_docs(spark, sf_dir).select("doc_id", "text"))
+    mult = s.groupBy("doc_id", "sh").agg(F.count("*").alias("m"))
+    return mult.groupBy("doc_id").agg(
+        F.max("m").cast("long").alias("max_mult"),
+        F.sum(F.when(F.col("m") > 1, F.col("m")).otherwise(F.lit(0))).cast("long").alias("repeated"),
+        F.sum("m").cast("long").alias("total"),
+    ).select(
+        "doc_id",
+        "max_mult",
+        (F.col("repeated").cast("double") / F.col("total").cast("double")).alias("repeat_ratio"),
+        (F.col("max_mult") >= 3).alias("is_repetitive"),
+    )
+
+
+def _text_selfrepeat_sql() -> str:
+    raw = f"""
+    SELECT doc_id, unnest([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
+                           FOR i IN range(1, len(l) - {SHINGLE_K - 2})]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+          WHERE len(string_split(text, ' ')) >= {SHINGLE_K})
+    """
+    return f"""
+    WITH mult AS (SELECT doc_id, sh, count(*) AS m FROM ({raw}) GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(max(m) AS BIGINT) AS max_mult,
+           CAST(sum(CASE WHEN m > 1 THEN m ELSE 0 END) AS DOUBLE)
+               / CAST(sum(m) AS DOUBLE) AS repeat_ratio,
+           max(m) >= 3 AS is_repetitive
+    FROM mult GROUP BY doc_id
+    """
+
+
+#: probe set for the decontamination gate: the first N documents play the
+#: role of a held-out benchmark whose content must not leak into training
+DECON_PROBE_DOCS = 5
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    5-gram with a (small) probe set — here the first DECON_PROBE_DOCS
+    documents standing in for a held-out eval set.  The probe shingle set is
+    broadcast (eval sets are tiny by definition), so the corpus side is one
+    scan + broadcast semi-join + per-doc count: no shuffle of corpus
+    shingles at all.  Runs over the AUGMENTED corpus so the planted
+    near-duplicates of the probe docs are guaranteed contamination the gate
+    must find (the realistic leak shape: eval content paraphrased/truncated
+    into training data), alongside any natural overlap.  Output: every
+    contaminated doc with its overlapping-shingle count (probe docs
+    themselves excluded)."""
+    c = augmented_corpus(spark, sf_dir)
+    probe_sh = shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS)).select("sh").distinct()
+    corpus_sh = shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS))
+    hits = corpus_sh.join(F.broadcast(probe_sh), "sh")
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+    WITH sh AS ({_shingles_sql(AUGMENTED_SQL)}),
+    probe AS (SELECT DISTINCT sh FROM sh WHERE doc_id < {DECON_PROBE_DOCS})
+    SELECT s.doc_id, count(*) AS n_overlap
+    FROM sh s JOIN probe p ON p.sh = s.sh
+    WHERE s.doc_id >= {DECON_PROBE_DOCS}
+    GROUP BY s.doc_id
+    """
+
+
 # --------------------------------------------- sampling / mixing / scoring
 
 #: per-language sampling rates (percent), the "data mixing" shape of a
@@ -1457,6 +1531,8 @@ def dataops_queries():
         "sample_correlated_lineitem": q_sample_correlated_lineitem,
         "quota_topk_by_lang": q_quota_topk_by_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "text_selfrepeat": q_text_selfrepeat,
+        "decontaminate_overlap": q_decontaminate_overlap,
     }
 
 
@@ -1482,4 +1558,6 @@ def dataops_oracles():
         "sample_correlated_lineitem": _sample_correlated_sql(),
         "quota_topk_by_lang": Q_QUOTA_TOPK_SQL,
         "tfidf_top_terms": Q_TFIDF_SQL,
+        "text_selfrepeat": _text_selfrepeat_sql(),
+        "decontaminate_overlap": _decontaminate_sql(),
     }
