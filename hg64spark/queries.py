@@ -394,6 +394,41 @@ def q_cms_top_custkeys_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_weighted_parts_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED relational count-min: part heavy hitters by total shipped
+    quantity (count = sum of integer weights, not row count — the
+    `hg64_add(value, inc)` semantics on the companion's scale path).  Gate:
+    for the exact top-10 l_partkey by sum(l_quantity),
+    exact <= est <= exact + eps * total_weight."""
+    from hg64spark import relational
+    from hg64spark.sketches import CMS
+
+    li = io.read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("w")
+    )
+    blob = relational.cms_agg_relational(li, "l_partkey", 4096, 5, weight_col="w").collect()[0][
+        "sketch"
+    ]
+    cms = CMS.deserialize(blob)
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("w").alias("exact_weight"))
+        .orderBy(F.desc("exact_weight"), F.asc("l_partkey"))
+        .limit(10)
+    )
+    counts_df = relational.cms_counts_df(spark, cms)
+    est = relational.cms_estimate_relational(top.select("l_partkey"), "l_partkey", counts_df, 4096, 5)
+    n, eps = cms.total, cms.epsilon()
+    return top.join(est, "l_partkey").select(
+        "l_partkey",
+        "exact_weight",
+        (
+            (F.col("cms_estimate") >= F.col("exact_weight"))
+            & (F.col("cms_estimate") <= F.col("exact_weight") + F.lit(eps * n))
+        ).alias("cms_ok"),
+    )
+
+
 def q_cms_top_tools_by_role_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP heavy hitters on the scale path: one CMS per role built with
     the grouped relational aggregation (pure Catalyst until the tiny fold),
@@ -922,6 +957,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_rel": q_bloom_membership_rel,
         "cms_top_custkeys_rel": q_cms_top_custkeys_rel,
         "cms_top_tools_by_role_rel": q_cms_top_tools_by_role_rel,
+        "cms_weighted_parts_rel": q_cms_weighted_parts_rel,
         "bloom_tools_by_role_rel": q_bloom_tools_by_role_rel,
         "mg_top_tools": q_mg_top_tools,
         "mg_top_tools_by_role": q_mg_top_tools_by_role,
@@ -1054,5 +1090,10 @@ def _core_oracles() -> dict[str, str]:
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"
+        ),
+        "cms_weighted_parts_rel": (
+            "SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS exact_weight, "
+            "true AS cms_ok FROM lineitem GROUP BY l_partkey "
+            "ORDER BY exact_weight DESC, l_partkey ASC LIMIT 10"
         ),
     }

@@ -370,18 +370,28 @@ def cms_agg_relational(
     width: int = 4096,
     depth: int = 5,
     group_cols: Sequence[str] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(group..., sketch): count-min built with Catalyst — per-row indices
     exploded, grouped count per (group, row, index).  <= width*depth rows
-    per group reach Python (one sketch per group with ``group_cols``)."""
+    per group reach Python (one sketch per group with ``group_cols``).
+    With ``weight_col`` each row adds its integer weight instead of 1
+    (`hg64_add(value, inc)` semantics across the companions; NULL weight
+    contributes nothing, matching SQL sum)."""
     from hg64spark.sketches.cms import CMS, HASH_XXHASH64
 
     group_cols = list(group_cols)
+    cnt = F.count("*") if weight_col is None else F.coalesce(F.sum(weight_col), F.lit(0))
+    wcols = [weight_col] if weight_col else []
     cells = (
         df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, F.posexplode(_cms_indices(value_col, width, depth)).alias("row_j", "idx"))
+        .select(
+            *group_cols,
+            *wcols,
+            F.posexplode(_cms_indices(value_col, width, depth)).alias("row_j", "idx"),
+        )
         .groupBy(*group_cols, "row_j", "idx")
-        .agg(F.count("*").alias("cnt"))
+        .agg(cnt.cast("long").alias("cnt"))
     )
     fields = [f for f in cells.schema.fields if f.name in group_cols]
     out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
