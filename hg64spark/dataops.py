@@ -25,6 +25,7 @@ key (AQE-skew-splittable), and nothing row-wise crosses into Python.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1261,6 +1262,42 @@ def _decontaminate_sql() -> str:
     """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned decontamination — the shape for eval sets too large to
+    broadcast raw: ship a Bloom of the probe shingles (a 10M-shingle eval
+    set is ~20 MB of filter at 1% fpp vs ~500 MB of raw strings), prune the
+    corpus shingle stream through it (Arrow-batched, per-executor
+    deserialize cached), then run the exact verify join on the SURVIVORS
+    only.  No false negatives (Bloom guarantee -> no missed contamination);
+    false positives die in the verify.  Result — and oracle — identical to
+    the exact-broadcast operator."""
+    import numpy as np
+
+    from hg64spark.sketches import Bloom
+
+    c = augmented_corpus(spark, sf_dir)
+    probe_rows = (
+        shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS)).select("sh").distinct().collect()
+    )
+    bloom = Bloom(1 << 17, 7)
+    bloom.add_values(np.array([r["sh"] for r in probe_rows], dtype=object))
+    blob = bloom.serialize()
+    _cache: dict = {}
+
+    @F.pandas_udf("boolean")
+    def in_probe(sh: pd.Series) -> pd.Series:
+        bf = _cache.get("b")
+        if bf is None:
+            bf = _cache["b"] = Bloom.deserialize(blob)
+        return pd.Series(bf.contains(sh.to_numpy(dtype=object)))
+
+    corpus_sh = shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS))
+    survivors = corpus_sh.filter(in_probe(F.col("sh")))
+    probe_df = spark.createDataFrame([(r["sh"],) for r in probe_rows], "sh string")
+    hits = survivors.join(F.broadcast(probe_df), "sh")
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+
+
 # --------------------------------------------- sampling / mixing / scoring
 
 #: per-language sampling rates (percent), the "data mixing" shape of a
@@ -1533,6 +1570,7 @@ def dataops_queries():
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_selfrepeat": q_text_selfrepeat,
         "decontaminate_overlap": q_decontaminate_overlap,
+        "decontaminate_bloom": q_decontaminate_bloom,
     }
 
 
@@ -1560,4 +1598,7 @@ def dataops_oracles():
         "tfidf_top_terms": Q_TFIDF_SQL,
         "text_selfrepeat": _text_selfrepeat_sql(),
         "decontaminate_overlap": _decontaminate_sql(),
+        # the Bloom-pruned variant must reach the SAME answer as the exact
+        # broadcast operator — one oracle serves both
+        "decontaminate_bloom": _decontaminate_sql(),
     }
