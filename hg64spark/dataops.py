@@ -92,12 +92,21 @@ def shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return raw_shingles(corpus, k).distinct()
 
 
-def _shingles_sql(base: str, k: int = SHINGLE_K) -> str:
+def _raw_shingles_sql(base: str, k: int = SHINGLE_K) -> str:
+    """Non-distinct shingle stream (the SQL twin of :func:`raw_shingles`) —
+    the ONE place the k-gram slice/range index arithmetic lives, so the
+    distinct and multiplicity-sensitive oracles cannot drift apart."""
     return f"""
-    SELECT DISTINCT doc_id, sh FROM (
         SELECT doc_id, unnest([array_to_string(l[i:i+{k - 1}], ' ')
                                FOR i IN range(1, len(l) - {k - 2})]) AS sh
         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM ({base}) WHERE len(string_split(text,' ')) >= {k})
+    """
+
+
+def _shingles_sql(base: str, k: int = SHINGLE_K) -> str:
+    return f"""
+    SELECT DISTINCT doc_id, sh FROM (
+        {_raw_shingles_sql(base, k)}
     )
     """
 
@@ -1210,12 +1219,7 @@ def q_text_selfrepeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_selfrepeat_sql() -> str:
-    raw = f"""
-    SELECT doc_id, unnest([array_to_string(l[i:i+{SHINGLE_K - 1}], ' ')
-                           FOR i IN range(1, len(l) - {SHINGLE_K - 2})]) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
-          WHERE len(string_split(text, ' ')) >= {SHINGLE_K})
-    """
+    raw = _raw_shingles_sql("SELECT doc_id, text FROM documents")
     return f"""
     WITH mult AS (SELECT doc_id, sh, count(*) AS m FROM ({raw}) GROUP BY 1, 2)
     SELECT doc_id,
@@ -1236,18 +1240,20 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing any word
     5-gram with a (small) probe set — here the first DECON_PROBE_DOCS
     documents standing in for a held-out eval set.  The probe shingle set is
-    broadcast (eval sets are tiny by definition), so the corpus side is one
-    scan + broadcast semi-join + per-doc count: no shuffle of corpus
-    shingles at all.  Runs over the AUGMENTED corpus so the planted
-    near-duplicates of the probe docs are guaranteed contamination the gate
-    must find (the realistic leak shape: eval content paraphrased/truncated
-    into training data), alongside any natural overlap.  Output: every
-    contaminated doc with its overlapping-shingle count (probe docs
-    themselves excluded)."""
+    broadcast (eval sets are tiny by definition) and the RAW corpus shingle
+    stream is pruned against it FIRST — only the (tiny) surviving hits get
+    the per-doc distinct + count, so no full corpus-shingle shuffle ever
+    happens (a distinct-before-prune would Exchange every corpus shingle).
+    Runs over the AUGMENTED corpus so the planted near-duplicates of the
+    probe docs are guaranteed contamination the gate must find (the
+    realistic leak shape: eval content paraphrased/truncated into training
+    data), alongside any natural overlap.  Output: every contaminated doc
+    with its distinct overlapping-shingle count (probe docs themselves
+    excluded)."""
     c = augmented_corpus(spark, sf_dir)
     probe_sh = shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS)).select("sh").distinct()
-    corpus_sh = shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS))
-    hits = corpus_sh.join(F.broadcast(probe_sh), "sh")
+    corpus_sh = raw_shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS))
+    hits = corpus_sh.join(F.broadcast(probe_sh), "sh").select("doc_id", "sh").distinct()
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
 
 
@@ -1266,11 +1272,21 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned decontamination — the shape for eval sets too large to
     broadcast raw: ship a Bloom of the probe shingles (a 10M-shingle eval
     set is ~20 MB of filter at 1% fpp vs ~500 MB of raw strings), prune the
-    corpus shingle stream through it (Arrow-batched, per-executor
-    deserialize cached), then run the exact verify join on the SURVIVORS
-    only.  No false negatives (Bloom guarantee -> no missed contamination);
-    false positives die in the verify.  Result — and oracle — identical to
-    the exact-broadcast operator."""
+    RAW corpus shingle stream through it (Arrow-batched; the filter is
+    deserialized once per task from the pickled blob), then run the exact
+    verify join + per-doc distinct on the SURVIVORS only — a tiny stream,
+    so the planner picks the join strategy.  No false negatives (Bloom
+    guarantee -> no missed contamination); false positives die in the
+    verify.  Result — and oracle — identical to the exact-broadcast
+    operator.
+
+    Gate-scale simplification, marked honestly: the probe set here is small
+    enough that the Bloom is built driver-side from a collect and the
+    verify side is a driver-provided DataFrame.  At a genuinely huge probe
+    set, build the Bloom distributed (per-partition partials + the
+    associative OR-merge the sketch already has) and keep probe shingles as
+    a DataFrame for a shuffle verify join — the plan SHAPE (prune the raw
+    stream, verify survivors) is unchanged."""
     import numpy as np
 
     from hg64spark.sketches import Bloom
@@ -1279,7 +1295,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_rows = (
         shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS)).select("sh").distinct().collect()
     )
-    bloom = Bloom(1 << 17, 7)
+    bloom = Bloom.for_capacity(max(len(probe_rows), 1))
     bloom.add_values(np.array([r["sh"] for r in probe_rows], dtype=object))
     blob = bloom.serialize()
     _cache: dict = {}
@@ -1291,10 +1307,10 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             bf = _cache["b"] = Bloom.deserialize(blob)
         return pd.Series(bf.contains(sh.to_numpy(dtype=object)))
 
-    corpus_sh = shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS))
+    corpus_sh = raw_shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS))
     survivors = corpus_sh.filter(in_probe(F.col("sh")))
     probe_df = spark.createDataFrame([(r["sh"],) for r in probe_rows], "sh string")
-    hits = survivors.join(F.broadcast(probe_df), "sh")
+    hits = survivors.join(probe_df, "sh").select("doc_id", "sh").distinct()
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
 
 

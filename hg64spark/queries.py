@@ -363,35 +363,40 @@ def q_bloom_membership_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cms_top_custkeys_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational count-min: built with exploded grouped counts, probed with
-    a broadcast join.  Same exact<=est<=exact+eps*N gate."""
+def _cms_topk_rel_gate(
+    spark: SparkSession, df: DataFrame, key_col: str, count_name: str, weight_col: str | None = None
+) -> DataFrame:
+    """Shared scaffold for the relational CMS heavy-hitter gates (plain and
+    weighted): build the sketch relationally, take the exact top-10 keys,
+    probe the sketch-as-DataFrame, and assert
+    exact <= est <= exact + eps * N for each."""
     from hg64spark import relational
     from hg64spark.sketches import CMS
 
-    od = io.read_table(spark, sf_dir, "orders").select("o_custkey")
-    blob = relational.cms_agg_relational(od, "o_custkey", 4096, 5).collect()[0]["sketch"]
+    blob = relational.cms_agg_relational(df, key_col, 4096, 5, weight_col=weight_col).collect()[0][
+        "sketch"
+    ]
     cms = CMS.deserialize(blob)
-    top = (
-        od.groupBy("o_custkey")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.desc("exact_count"), F.asc("o_custkey"))
-        .limit(10)
-    )
+    agg_expr = (F.count("*") if weight_col is None else F.sum(weight_col)).alias(count_name)
+    top = df.groupBy(key_col).agg(agg_expr).orderBy(F.desc(count_name), F.asc(key_col)).limit(10)
     counts_df = relational.cms_counts_df(spark, cms)
-    est = relational.cms_estimate_relational(top.select("o_custkey"), "o_custkey", counts_df, 4096, 5)
+    est = relational.cms_estimate_relational(top.select(key_col), key_col, counts_df, 4096, 5)
     n, eps = cms.total, cms.epsilon()
-    return (
-        top.join(est, "o_custkey")
-        .select(
-            "o_custkey",
-            "exact_count",
-            (
-                (F.col("cms_estimate") >= F.col("exact_count"))
-                & (F.col("cms_estimate") <= F.col("exact_count") + F.lit(eps * n))
-            ).alias("cms_ok"),
-        )
+    return top.join(est, key_col).select(
+        key_col,
+        count_name,
+        (
+            (F.col("cms_estimate") >= F.col(count_name))
+            & (F.col("cms_estimate") <= F.col(count_name) + F.lit(eps * n))
+        ).alias("cms_ok"),
     )
+
+
+def q_cms_top_custkeys_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational count-min: built with exploded grouped counts, probed with
+    a broadcast join.  Same exact<=est<=exact+eps*N gate."""
+    od = io.read_table(spark, sf_dir, "orders").select("o_custkey")
+    return _cms_topk_rel_gate(spark, od, "o_custkey", "exact_count")
 
 
 def q_cms_weighted_parts_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,33 +405,10 @@ def q_cms_weighted_parts_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     `hg64_add(value, inc)` semantics on the companion's scale path).  Gate:
     for the exact top-10 l_partkey by sum(l_quantity),
     exact <= est <= exact + eps * total_weight."""
-    from hg64spark import relational
-    from hg64spark.sketches import CMS
-
     li = io.read_table(spark, sf_dir, "lineitem").select(
         "l_partkey", F.col("l_quantity").cast("long").alias("w")
     )
-    blob = relational.cms_agg_relational(li, "l_partkey", 4096, 5, weight_col="w").collect()[0][
-        "sketch"
-    ]
-    cms = CMS.deserialize(blob)
-    top = (
-        li.groupBy("l_partkey")
-        .agg(F.sum("w").alias("exact_weight"))
-        .orderBy(F.desc("exact_weight"), F.asc("l_partkey"))
-        .limit(10)
-    )
-    counts_df = relational.cms_counts_df(spark, cms)
-    est = relational.cms_estimate_relational(top.select("l_partkey"), "l_partkey", counts_df, 4096, 5)
-    n, eps = cms.total, cms.epsilon()
-    return top.join(est, "l_partkey").select(
-        "l_partkey",
-        "exact_weight",
-        (
-            (F.col("cms_estimate") >= F.col("exact_weight"))
-            & (F.col("cms_estimate") <= F.col("exact_weight") + F.lit(eps * n))
-        ).alias("cms_ok"),
-    )
+    return _cms_topk_rel_gate(spark, li, "l_partkey", "exact_weight", weight_col="w")
 
 
 def q_cms_top_tools_by_role_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1092,7 +1074,10 @@ def _core_oracles() -> dict[str, str]:
             "true AS hll_ok FROM events GROUP BY event_type"
         ),
         "cms_weighted_parts_rel": (
-            "SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS exact_weight, "
+            # per-row cast BEFORE the sum, mirroring the Spark side exactly:
+            # sum-then-cast would diverge on non-integral quantities and lose
+            # exactness past 2^53
+            "SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS exact_weight, "
             "true AS cms_ok FROM lineitem GROUP BY l_partkey "
             "ORDER BY exact_weight DESC, l_partkey ASC LIMIT 10"
         ),
