@@ -222,6 +222,11 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         return dataops.q_ann_ivf_recall(spark, "/root/testdata/sf0.01").count()
 
+    def q_corpus_pipeline():
+        from hg64spark import dataops
+
+        return dataops.q_corpus_pipeline(spark, "/root/testdata/sf0.01").count()
+
     dataops_lines = [
         ("dedup_minhash_lsh", q_dedup_minhash),
         ("dedup_simhash", q_dedup_simhash),
@@ -229,6 +234,7 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("text_winnow", q_text_winnow),
         ("ann_ivf_recall", q_ann_ivf),
         ("ann_brute_topk", q_ann_brute),
+        ("corpus_pipeline", q_corpus_pipeline),
     ]
     # untimed warm-up of the dataops plans, derived from the SAME list that
     # gets timed (an entry added to one but not the other would silently
@@ -276,15 +282,22 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         return d.agg(F.sum("latency_us"), F.sum("tool_id")).collect()
 
     gen_sec, ingest_sec = None, None
+    attempts: dict[str, list[float]] = {}
     for _ in range(2):
         for name, fn in timed_lines:
             sec, _ = timed(fn)
+            attempts.setdefault(name, []).append(round(sec, 3))
             prev = timings.get(name)
             timings[name] = round(sec if prev is None else min(prev, sec), 3)
         g, _ = timed(q_gen_only)
         i, _ = timed(q_ingest_hg64)
+        attempts.setdefault("gen_source", []).append(round(g, 3))
+        attempts.setdefault("ingest_hg64_global", []).append(round(i, 3))
         gen_sec = g if gen_sec is None else min(gen_sec, g)
         ingest_sec = i if ingest_sec is None else min(ingest_sec, i)
+    # stall telemetry: both raw attempts per line, so a recorded outlier can
+    # be attributed (one poisoned attempt vs both) without a re-run
+    meta["attempts"] = attempts
 
     # decomposition: the generated SOURCE itself (two xxhash64 + mod per row,
     # the stand-in for a scan) costs ~40% of the ingest line; timing it
@@ -490,6 +503,7 @@ def main() -> None:
             "gen_source_sec": meta["gen_source_sec"],
             "updates_per_sec_sketch_marginal": meta["updates_per_sec_sketch_marginal"],
         },
+        "attempts": meta["attempts"],
     }
     if scaling is not None:
         result["scaling"] = scaling

@@ -52,6 +52,29 @@ def test_topk_tokens_per_lang_exact_with_huge_vocab(spark):
     assert len(got) == k + min(k, 1_000)
 
 
+def test_decontaminate_plan_broadcasts_and_prunes_before_distinct(spark):
+    """The exact decontamination operator must join the probe set broadcast
+    (eval sets are small) and must NOT shuffle the corpus shingle stream
+    below that join — the distinct belongs AFTER the prune, on the tiny
+    survivor set."""
+    plan = (
+        dataops.q_decontaminate_overlap(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus side feeds the broadcast join straight from the scan: the
+    # only Exchanges allowed are the post-join distinct/aggregate and the
+    # probe-side build
+    join_pos = plan.find("BroadcastHashJoin")
+    corpus_section = plan[join_pos:]
+    # below (after, in the printed tree) the join sit the two inputs; the
+    # STREAMED corpus input must show no Exchange before the generate/scan
+    streamed = corpus_section.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed, plan
+
+
 def test_sample_stratified_plan_is_shuffle_free(spark):
     """Deterministic hash-bucket sampling must stay embarrassingly parallel:
     any Exchange in its plan means the filter stopped being a pure map — the
