@@ -269,7 +269,10 @@ def salted_topk(
     unique tiebreak column) for the result to be deterministic; raise
     ``salts`` when a single salt bucket's rows would still overwhelm one
     task."""
-    salted = df.withColumn("__salt", (F.abs(F.xxhash64(salt_col)) % salts).cast("int"))
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) stays negative in non-ANSI
+    # semantics and % keeps the dividend sign, which would mint a 33rd salt
+    # bucket for an input hashing exactly to Long.MIN_VALUE
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_col), F.lit(salts)).cast("int"))
     w_local = Window.partitionBy(part_col, "__salt").orderBy(*order_by)
     survivors = (
         salted.withColumn("__rk", F.row_number().over(w_local))

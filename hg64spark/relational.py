@@ -98,8 +98,25 @@ def hg64_counts(
     group_cols = list(group_cols)
     cols = [*group_cols, value_col] + ([weight_col] if weight_col else [])
     keyed = with_hg64_key(df.select(*cols), value_col, sigbits)
-    agg_expr = F.sum(weight_col).alias("count") if weight_col else F.count("*").alias("count")
+    agg_expr = (
+        F.sum(_guarded_weight(weight_col)).alias("count")
+        if weight_col
+        else F.count("*").alias("count")
+    )
     return keyed.groupBy(*group_cols, "hg64_key").agg(agg_expr)
+
+
+def _guarded_weight(weight_col: str) -> Column:
+    """Weight column with the Python sketches' contract enforced plan-side:
+    a negative weight FAILS the job (KLL/t-digest/MG raise ValueError; CMS's
+    never-underestimate guarantee silently breaks on negative adds —
+    `hg64_add`'s inc is uint64, `/root/reference/hg64.h:60-63`).  Fractional
+    weights remain the caller's contract (the gates use integer columns)."""
+    return F.col(weight_col) + F.expr(
+        f"CASE WHEN {weight_col} < 0 THEN "
+        f"CAST(raise_error('sketch weights must be non-negative; got negative {weight_col}') AS LONG) "
+        f"ELSE 0 END"
+    )
 
 
 # ------------------------------------------------------------------ HLL/Bloom
@@ -381,7 +398,11 @@ def cms_agg_relational(
     from hg64spark.sketches.cms import CMS, HASH_XXHASH64
 
     group_cols = list(group_cols)
-    cnt = F.count("*") if weight_col is None else F.coalesce(F.sum(weight_col), F.lit(0))
+    cnt = (
+        F.count("*")
+        if weight_col is None
+        else F.coalesce(F.sum(_guarded_weight(weight_col)), F.lit(0))
+    )
     wcols = [weight_col] if weight_col else []
     cells = (
         df.filter(F.col(value_col).isNotNull())

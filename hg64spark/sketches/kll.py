@@ -163,9 +163,12 @@ class KLL:
         """Integer-weighted ingest matching hg64's ``add(value, inc)``
         (`/root/reference/hg64.c:251-254`): a weight w decomposes in binary
         and the value is inserted once per set bit b directly at level b
-        (where items carry weight 2^b) — exactly equivalent to w repeat
-        inserts in the one-at-a-time stream model, without materializing
-        them.  Zero weights are no-ops, negative weights rejected."""
+        (where items carry weight 2^b) — carries the same total weight as w
+        repeat inserts without materializing them (repeat inserts would
+        additionally pass through level-0 compaction coins, so the two are
+        weight-equivalent, not distribution-identical; the gates check the
+        rank bound, which holds for both).  Zero weights are no-ops,
+        negative weights rejected."""
         values = np.asarray(values, dtype=np.float64)
         w = np.asarray(weights)
         if w.dtype.kind == "f":

@@ -308,6 +308,26 @@ def test_weighted_ingest_rejects_bad_weights():
             sk.add_values(np.array([1.0, 2.0]), weights=np.array([1]))
 
 
+def test_kll_partition_seed_decorrelates_equal_content(monkeypatch):
+    """Equal-content partials on DIFFERENT Spark partitions must draw
+    independent compaction coins (the KLL error proof assumes independence);
+    the lazy seed mixes TaskContext.partitionId() to guarantee it.  Same
+    partition id + same content stays deterministic (reproducibility)."""
+    from hg64spark.sketches import kll as kll_mod
+
+    vals = np.arange(5000, dtype=np.float64)
+
+    def build(pid: int) -> KLL:
+        monkeypatch.setattr(kll_mod, "_partition_component", lambda: pid)
+        return KLL(16).add_values(vals)
+
+    a0, b0, a1 = build(0), build(0), build(1)
+    assert a0.serialize() == b0.serialize()  # deterministic within a partition
+    # decorrelated across partitions: the coin streams (and hence retained
+    # items) differ even though the ingested content is identical
+    assert a0.serialize() != a1.serialize()
+
+
 # --------------------------------------------- property tests (merge laws)
 
 from hypothesis import given, settings

@@ -389,6 +389,24 @@ def test_relational_path_rejects_negative_values(spark):
     assert "unsigned" in str(exc.value)
 
 
+def test_relational_weighted_paths_reject_negative_weights(spark):
+    """A negative weight would silently break CMS's never-underestimate
+    guarantee (and hg64's uint64 inc contract); the relational weighted
+    paths must fail the job like the Python sketches raise ValueError."""
+    from hg64spark import relational
+
+    df = spark.createDataFrame([(5, 2), (7, -1)], "v long, w long")
+    with pytest.raises(Exception, match="non-negative"):
+        relational.hg64_counts(df, "v", [], 5, weight_col="w").collect()
+    with pytest.raises(Exception, match="non-negative"):
+        relational.cms_agg_relational(df, "v", 64, 3, weight_col="w").collect()
+    # non-negative weights still work through the guard
+    ok = relational.hg64_counts(
+        spark.createDataFrame([(5, 2), (5, 3)], "v long, w long"), "v", [], 5, weight_col="w"
+    ).collect()
+    assert ok[0]["count"] == 5
+
+
 def test_relational_quantiles_reject_q_ge_1(spark):
     from hg64spark import relational
 
