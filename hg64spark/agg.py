@@ -246,7 +246,15 @@ def merge_sketches(
     keys = group_cols or [_GLOBAL_KEY]
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        blobs = pdf["sketch"]
+        # canonical merge order (sort by blob bytes): hg64/HLL/CMS/Bloom/MG
+        # merges are order-insensitive so this changes nothing for them, but
+        # KLL and t-digest are order-SENSITIVE — without a canonical order
+        # the shuffle's arrival order would make the merged sketch vary run
+        # to run.  With it, fixed input partitioning + partition-id-mixed
+        # seeds make the distributed build bit-reproducible at ANY cluster
+        # size (the north rule's identical-estimates criterion, asserted
+        # across the N-vs-4N scaling probe in bench.py).
+        blobs = pdf["sketch"].sort_values(key=lambda s: s.map(bytes))
         sk = deserialize(blobs.iloc[0])
         for b in blobs.iloc[1:]:
             sk.merge(deserialize(b))

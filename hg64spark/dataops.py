@@ -1114,7 +1114,7 @@ def _ivf_train(
     return cents
 
 
-def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 1) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: deterministic seeded k-means
     (spherical Lloyd, DataFrame-only — see _ivf_train), inverted lists =
     argmax-centroid assignment, probes search the nprobe nearest lists,
@@ -1125,9 +1125,11 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: training touches the data iters+1 times with a broadcast
     join + window argmax each pass (train on a sample at production scale);
     probing touches only the selected inverted lists (an equi-join on
-    centroid id)."""
+    centroid id).  ``sample_mod`` > 1 trains the quantizer on the
+    every-``sample_mod``-th subset (the production shape — see _ivf_train);
+    the bench line uses it, the driver gate keeps the default full train."""
     e = _scaled(spark, sf_dir)
-    cents = _ivf_train(spark, e)
+    cents = _ivf_train(spark, e, sample_mod=sample_mod)
     assigned = _ivf_rank(e, cents, 1).select("vec_id", "cid")
     probes = e.filter(F.col("vec_id") < N_PROBES)
     plists = _ivf_rank(probes, cents, IVF_NPROBE).select(F.col("vec_id").alias("probe_id"), "cid")
@@ -1271,49 +1273,42 @@ def _decontaminate_sql() -> str:
     """
 
 
+#: sizing hint for the decontamination Bloom — at production this comes from
+#: table statistics or a prior HLL estimate of the eval set's shingle count,
+#: NOT from counting the probe set (sizing must not cost an extra action).
+#: Oversizing only wastes filter bits; undersizing only raises the FP rate
+#: the exact verify join absorbs — correctness never depends on the hint.
+DECON_BLOOM_CAPACITY_HINT = 4096
+
+
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned decontamination — the shape for eval sets too large to
-    broadcast raw: ship a Bloom of the probe shingles (a 10M-shingle eval
-    set is ~20 MB of filter at 1% fpp vs ~500 MB of raw strings), prune the
-    RAW corpus shingle stream through it (Arrow-batched; the filter is
-    deserialized once per task from the pickled blob), then run the exact
-    verify join + per-doc distinct on the SURVIVORS only — a tiny stream,
-    so the planner picks the join strategy.  No false negatives (Bloom
+    broadcast raw: a Bloom of the probe shingles (a 10M-shingle eval set is
+    ~20 MB of filter words at 1% fpp vs ~500 MB of raw strings) prunes the
+    RAW corpus shingle stream, then the exact verify join + per-doc
+    distinct runs on the SURVIVORS only.  No false negatives (Bloom
     guarantee -> no missed contamination); false positives die in the
     verify.  Result — and oracle — identical to the exact-broadcast
     operator.
 
-    Gate-scale simplification, marked honestly: the probe set here is small
-    enough that the Bloom is built driver-side from a collect and the
-    verify side is a driver-provided DataFrame.  At a genuinely huge probe
-    set, build the Bloom distributed (per-partition partials + the
-    associative OR-merge the sketch already has) and keep probe shingles as
-    a DataFrame for a shuffle verify join — the plan SHAPE (prune the raw
-    stream, verify survivors) is unchanged."""
-    import numpy as np
-
+    Fully distributed, ONE Catalyst plan, zero driver actions: the filter
+    is built relationally (``bloom_words_relational`` — per-partition
+    partial BIT_ORs map-side-combined, the shuffle reduce IS the OR-merge)
+    and the prune is ``bloom_prune_relational``'s conjunction of broadcast
+    joins against the words table, so the corpus stream is never Exchanged
+    before the (tiny) survivor stage.  Sized from a capacity HINT
+    (`DECON_BLOOM_CAPACITY_HINT`) rather than a count action; a wrong hint
+    moves only the FP rate, never the result."""
+    from hg64spark import relational
     from hg64spark.sketches import Bloom
 
     c = augmented_corpus(spark, sf_dir)
-    probe_rows = (
-        shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS)).select("sh").distinct().collect()
-    )
-    bloom = Bloom.for_capacity(max(len(probe_rows), 1))
-    bloom.add_values(np.array([r["sh"] for r in probe_rows], dtype=object))
-    blob = bloom.serialize()
-    _cache: dict = {}
-
-    @F.pandas_udf("boolean")
-    def in_probe(sh: pd.Series) -> pd.Series:
-        bf = _cache.get("b")
-        if bf is None:
-            bf = _cache["b"] = Bloom.deserialize(blob)
-        return pd.Series(bf.contains(sh.to_numpy(dtype=object)))
-
+    probe_sh = shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS)).select("sh").distinct()
+    n_bits, n_hashes = Bloom.params_for_capacity(DECON_BLOOM_CAPACITY_HINT)
+    words = relational.bloom_words_relational(probe_sh, "sh", n_bits, n_hashes)
     corpus_sh = raw_shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS))
-    survivors = corpus_sh.filter(in_probe(F.col("sh")))
-    probe_df = spark.createDataFrame([(r["sh"],) for r in probe_rows], "sh string")
-    hits = survivors.join(probe_df, "sh").select("doc_id", "sh").distinct()
+    survivors = relational.bloom_prune_relational(corpus_sh, "sh", words, n_bits, n_hashes)
+    hits = survivors.join(F.broadcast(probe_sh), "sh").select("doc_id", "sh").distinct()
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
 
 

@@ -183,6 +183,35 @@ def _bloom_positions(value_col: str, n_bits: int, n_hashes: int) -> Column:
     return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(n_hashes)])
 
 
+def bloom_words_relational(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The Bloom filter AS a DataFrame — (group..., word_idx, word), words =
+    grouped BIT_OR of exploded bit positions, <= n_bits/64 rows per group.
+    This is the fully-distributed build (per-partition partial BIT_ORs are
+    Catalyst's map-side combine; the merge is the shuffle reduce): no
+    driver round-trip, composable with ``bloom_contains_relational`` for a
+    probe that is a broadcast join against the words table."""
+    group_cols = list(group_cols)
+    pos = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, F.explode(_bloom_positions(value_col, n_bits, n_hashes)).alias("pos"))
+    )
+    return (
+        pos.select(
+            *group_cols,
+            F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
+            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
+        )
+        .groupBy(*group_cols, "word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
 def bloom_agg_relational(
     df: DataFrame,
     value_col: str,
@@ -196,19 +225,7 @@ def bloom_agg_relational(
     from hg64spark.sketches.bloom import HASH_XXHASH64, Bloom
 
     group_cols = list(group_cols)
-    pos = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*group_cols, F.explode(_bloom_positions(value_col, n_bits, n_hashes)).alias("pos"))
-    )
-    words = (
-        pos.select(
-            *group_cols,
-            F.shiftright(F.col("pos"), 6).cast("int").alias("word_idx"),
-            F.expr("shiftleft(1L, int(pos % 64))").alias("bit"),
-        )
-        .groupBy(*group_cols, "word_idx")
-        .agg(F.bit_or("bit").alias("word"))
-    )
+    words = bloom_words_relational(df, value_col, n_bits, n_hashes, group_cols)
     fields = [f for f in words.schema.fields if f.name in group_cols]
     out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
     grouped = words if group_cols else words.withColumn(_GLOBAL, F.lit(0))
@@ -222,6 +239,46 @@ def bloom_agg_relational(
         return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
     return grouped.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def bloom_prune_relational(
+    probes: DataFrame,
+    probe_col: str,
+    words: DataFrame,
+    n_bits: int,
+    n_hashes: int,
+) -> DataFrame:
+    """Filter ``probes`` to the rows the Bloom (as a words DataFrame from
+    ``bloom_words_relational``) reports as contained — with ZERO shuffle on
+    the probe side.  Instead of explode + groupBy-reassembly (what
+    ``bloom_contains_relational`` does to support per-group filters), the
+    k bit tests are a CONJUNCTION of k broadcast hash joins against the
+    same words table: broadcast joins are map-side, Catalyst's ReuseExchange
+    dedupes the k identical broadcast subplans, and the whole prune stays
+    inside the probe scan's stage — the shape that keeps a 100 TB raw
+    stream un-Exchanged.  NULL probe values are dropped (not-contained):
+    xxhash64(NULL) would otherwise probe the seed-hash positions.
+    No false negatives, same guarantee as the sketch."""
+    pos = _bloom_positions(probe_col, n_bits, n_hashes)
+    out = probes.filter(F.col(probe_col).isNotNull()).withColumn("__pos", pos)
+    conds = []
+    for i in range(n_hashes):
+        wi = words.select(
+            F.col("word_idx").alias(f"__wi{i}"), F.col("word").alias(f"__w{i}")
+        )
+        out = out.withColumn(
+            f"__idx{i}", F.shiftright(F.element_at("__pos", i + 1), 6).cast("int")
+        ).join(F.broadcast(wi), F.col(f"__idx{i}") == F.col(f"__wi{i}"), "left")
+        conds.append(
+            F.coalesce(F.col(f"__w{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1L, int(element_at(__pos, {i + 1}) % 64))")
+            )
+            != 0
+        )
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep & c
+    return out.filter(keep).select(*probes.columns)
 
 
 def bloom_contains_relational(

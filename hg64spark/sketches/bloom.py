@@ -49,10 +49,18 @@ class Bloom:
     @classmethod
     def for_capacity(cls, n: int, fpp: float = 0.01) -> "Bloom":
         """Size for ~n distinct items at the target false-positive rate."""
+        m, k = cls.params_for_capacity(n, fpp)
+        return cls(m, k)
+
+    @staticmethod
+    def params_for_capacity(n: int, fpp: float = 0.01) -> tuple[int, int]:
+        """(n_bits, n_hashes) for ~n distinct items at the target fpp — the
+        sizing math alone, for callers that build the filter relationally
+        (``relational.bloom_words_relational``) instead of instantiating."""
         m = max(64, int(-n * math.log(fpp) / (math.log(2) ** 2)))
         m = (m + 63) // 64 * 64
         k = max(1, round(m / max(n, 1) * math.log(2)))
-        return cls(m, min(k, 32))
+        return m, min(k, 32)
 
     def _bit_positions(self, values: np.ndarray) -> np.ndarray:
         """(k, n) bit indices via double hashing h1 + i*h2."""

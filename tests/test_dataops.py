@@ -75,6 +75,36 @@ def test_decontaminate_plan_broadcasts_and_prunes_before_distinct(spark):
     assert "Exchange hashpartitioning" not in streamed, plan
 
 
+def test_bloom_prune_corpus_side_is_never_shuffled(spark):
+    """The distributed Bloom prune must keep the probed stream map-side
+    only: its bit tests are broadcast joins, so the ONLY Exchanges in the
+    prune plan are BroadcastExchanges (words table) and the words build's
+    own (tiny, probe-side) hash aggregation — never a hashpartitioning of
+    the probed stream itself."""
+    from hg64spark import relational
+    from hg64spark.sketches import Bloom
+
+    big = spark.range(1000).selectExpr("id AS doc_id", "concat('sh', id % 97) AS sh")
+    probe = spark.range(40).selectExpr("concat('sh', id) AS sh")
+    n_bits, n_hashes = Bloom.params_for_capacity(64)
+    words = relational.bloom_words_relational(probe, "sh", n_bits, n_hashes)
+    pruned = relational.bloom_prune_relational(big, "sh", words, n_bits, n_hashes)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the words-build aggregation exchanges PROBE rows; strip every
+    # broadcast subtree's description and require that what remains of the
+    # probed side shows no hash repartitioning
+    streamed_top = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed_top, plan
+    # no false negatives: every inserted value survives the prune
+    got = {r["sh"] for r in pruned.collect()}
+    expected = {f"sh{i}" for i in range(40)}
+    assert expected <= got
+    # null probe values are dropped, not hashed
+    with_null = spark.createDataFrame([("sh1",), (None,)], "sh string")
+    kept = relational.bloom_prune_relational(with_null, "sh", words, n_bits, n_hashes).collect()
+    assert [r["sh"] for r in kept] == ["sh1"]
+
+
 def test_sample_stratified_plan_is_shuffle_free(spark):
     """Deterministic hash-bucket sampling must stay embarrassingly parallel:
     any Exchange in its plan means the filter stopped being a pure map — the

@@ -389,6 +389,33 @@ def test_relational_path_rejects_negative_values(spark):
     assert "unsigned" in str(exc.value)
 
 
+def test_merge_order_is_canonical_for_order_sensitive_sketches(spark):
+    """KLL/t-digest merges are order-sensitive; merge_sketches must produce
+    the same merged sketch regardless of the partials' shuffle arrival
+    order (it sorts blobs canonically), so distributed results are
+    reproducible across cluster sizes (the scaling probe asserts this
+    end-to-end via result_sha)."""
+    import numpy as np
+
+    from hg64spark import agg
+    from hg64spark.sketches import KLL
+
+    rng = np.random.default_rng(7)
+    blobs = [
+        KLL(32, seed=i + 1).add_values(rng.integers(0, 10**6, 4000)).serialize()
+        for i in range(5)
+    ]
+
+    def merged(order):
+        pdf = spark.createDataFrame(
+            [(bytearray(blobs[i]),) for i in order], "sketch binary"
+        )
+        out = agg.merge_sketches(pdf, [], KLL.deserialize).collect()
+        return bytes(out[0]["sketch"])
+
+    assert merged([0, 1, 2, 3, 4]) == merged([4, 2, 0, 3, 1])
+
+
 def test_relational_weighted_paths_reject_negative_weights(spark):
     """A negative weight would silently break CMS's never-underestimate
     guarantee (and hg64's uint64 inc contract); the relational weighted
