@@ -43,7 +43,15 @@ def make_session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.sql.files.maxPartitionBytes", "32m")
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # 2g code cache: the 16-query session generates enough whole-stage
+        # codegen classes that a 512m cache evicts JITted stages between
+        # sweeps — the next run of an evicted query then pays C2 recompile
+        # (measured on the per-conv Arrow fold after the dedup family:
+        # 4.5/2.8/3.1s at 512m, 2.7/1.7/1.2s at 1g, 1.8/1.2/1.0s at 2g
+        # vs 1.1-1.3s undisturbed).  This was most of the round-3
+        # "bench-wide creep" and the rest of its latency_sketch_per_conv
+        # regression.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -233,11 +241,23 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         return dataops.q_corpus_pipeline(spark, "/root/testdata/sf0.01").count()
 
+    def q_dedup_substring():
+        from hg64spark import dataops
+
+        return dataops.q_dedup_substring(spark, "/root/testdata/sf0.01").count()
+
+    def q_dedup_cluster():
+        from hg64spark import dataops
+
+        return dataops.q_dedup_cluster(spark, "/root/testdata/sf0.01").count()
+
     dataops_lines = [
         ("dedup_minhash_lsh", q_dedup_minhash),
         ("dedup_simhash", q_dedup_simhash),
         ("dedup_embedding_cosine", q_dedup_cosine),
         ("text_winnow", q_text_winnow),
+        ("dedup_substring", q_dedup_substring),
+        ("dedup_cluster", q_dedup_cluster),
         ("ann_ivf_recall", q_ann_ivf),
         ("ann_brute_topk", q_ann_brute),
         ("corpus_pipeline", q_corpus_pipeline),

@@ -1312,6 +1312,189 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
 
 
+# ------------------------------------- exact-substring spans / clustering
+
+#: minimum repeated-substring length in TOKENS for span dedup (the
+#: ExactSubstr dedup shape: production systems use ~50 BPE tokens; the gate
+#: corpus' docs are short, so the gate uses 8 words)
+SUBSTR_L = 8
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact-substring span dedup: every maximal token span
+    covered by word ``SUBSTR_L``-grams that occur >= 2 times in the corpus
+    (across docs OR within one doc) is reported as (doc_id, span_start,
+    span_end), 1-based inclusive token indices.  This is the
+    suffix-array-style "remove any repeated >= L-token substring" operator
+    of training-data dedup pipelines, re-expressed relationally:
+
+      1. positional L-gram occurrences, keyed by the 60-bit md5-prefix hash
+         (8-byte shuffle keys; the hash is oracle-mirrored, so
+         "repeated" is DEFINED over the hashed space in both engines);
+      2. duplicated keys = one groupBy with map-side combine (the count
+         stream shrinks to distinct keys per partition before shuffling),
+         then a left-semi join prunes the occurrence stream;
+      3. surviving start positions merge into maximal spans per doc with a
+         gaps-and-islands window (bounded by doc length — never a
+         corpus-wide sort).
+
+    Scale shape: two Exchanges of the occurrence stream (the groupBy's
+    combined key stream + the semi-join), one bounded per-doc window.  A
+    corpus-wide repeated-substring pass is inherently a full-shingle
+    shuffle; this is the minimal-shuffle relational form of it."""
+    return substring_spans(augmented_corpus(spark, sf_dir))
+
+
+def substring_spans(c: DataFrame, l: int = SUBSTR_L) -> DataFrame:
+    """Library form of :func:`q_dedup_substring` over any (doc_id, text)
+    corpus: maximal repeated->=2x ``l``-token spans as (doc_id, span_start,
+    span_end)."""
+    toks = F.split(F.col("text"), " ")
+    occ = c.filter(F.size(toks) >= l).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(split(text,' ')) - {l - 1}),"
+                f" i -> array_join(slice(split(text,' '), i, {l}), ' '))"
+            )
+        ).alias("pos0", "sh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), _tokhash_spark(F.col("sh")).alias("hh"))
+    dup_keys = occ.groupBy("hh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2).select("hh")
+    starts = occ.join(dup_keys, "hh", "left_semi").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    brk = F.when(F.col("start") - F.lag("start").over(w) <= l, F.lit(0)).otherwise(F.lit(1))
+    islands = starts.withColumn(
+        "island", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            (F.max("start") + l - 1).cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def _dedup_substring_sql() -> str:
+    l = SUBSTR_L
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, u.pos AS start, {_TOKHASH_SQL.format(x="u.sh")} AS hh
+      FROM (SELECT doc_id,
+                   unnest([{{'pos': i, 'sh': array_to_string(l[i:i+{l - 1}], ' ')}}
+                           FOR i IN range(1, len(l) - {l - 2})]) AS u
+            FROM (SELECT doc_id, string_split(text,' ') AS l FROM ({AUGMENTED_SQL})
+                  WHERE len(string_split(text,' ')) >= {l}))
+    ),
+    starts AS (
+      SELECT doc_id, start FROM occ
+      WHERE hh IN (SELECT hh FROM occ GROUP BY hh HAVING count(*) >= 2)
+    ),
+    marked AS (
+      SELECT doc_id, start,
+             CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) <= {l}
+                  THEN 0 ELSE 1 END AS brk
+      FROM starts),
+    islands AS (
+      SELECT doc_id, start,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY start ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked)
+    SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+           CAST(max(start) + {l - 1} AS BIGINT) AS span_end
+    FROM islands GROUP BY doc_id, island
+    """
+
+
+#: iteration cap for connected components — min-label propagation converges
+#: in O(graph diameter) rounds; near-dup clusters are shallow (stars/chains
+#: of copies), and the loop stops at the fixpoint anyway.  At web scale the
+#: standard upgrade is star-contraction (large-star/small-star), which
+#: bounds rounds logarithmically; the propagation loop is the readable
+#: exact form and shares its per-round plan shape (edge join + min-agg).
+CC_MAX_ITERS = 20
+
+
+def connected_components_min_label(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """(doc_id, canonical_id): connected components over an undirected pair
+    list, canonical = min doc_id reachable.  Iterative min-label
+    propagation: each round every node takes min(own label, neighbors'
+    labels) via one edge join + one min-aggregation; the driver checks the
+    changed-count (one small action per round — the documented iterative-
+    algorithm shape, same as MLlib's Lloyd loop) and stops at the fixpoint.
+    Deterministic: min is order-insensitive."""
+    # materialize the edge list ONCE: the pair source is typically a whole
+    # dedup pipeline (MinHash-LSH + verify), and without this every
+    # propagation round would recompute it twice.  localCheckpoint keeps it
+    # executor-resident; the verified pair set is orders of magnitude
+    # smaller than the corpus that produced it.
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "node")
+        )
+        # one checkpointed frame carries both the new label and the
+        # changed flag, so the convergence check is a count over
+        # materialized rows, not a second join; the checkpoint also keeps
+        # the next round's plan depth constant (lineage would otherwise
+        # grow per iteration)
+        new_labels = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            (F.coalesce("nlabel", "label") < F.col("label")).alias("changed"),
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: MinHash-LSH verified pairs -> connected
+    components -> (doc_id, canonical_id) for every doc in a cluster.  The
+    keep/drop decision of a dedup pipeline is `keep iff doc_id ==
+    canonical_id`; emitting the full membership keeps the gate
+    information-rich.  Oracle: DuckDB recursive CTE computing min reachable
+    id over the same verified pair set."""
+    pairs = minhash_neardup_pairs(augmented_corpus(spark, sf_dir))
+    return connected_components_min_label(pairs)
+
+
+def _dedup_cluster_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_pairs_sql(AUGMENTED_SQL, hashed=True)})
+      WHERE jaccard >= {NEARDUP_TAU}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT src AS doc_id, min(node) AS canonical_id FROM reach GROUP BY src
+    """
+
+
 # --------------------------------------------- sampling / mixing / scoring
 
 #: per-language sampling rates (percent), the "data mixing" shape of a
@@ -1585,6 +1768,8 @@ def dataops_queries():
         "text_selfrepeat": q_text_selfrepeat,
         "decontaminate_overlap": q_decontaminate_overlap,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "dedup_substring": q_dedup_substring,
+        "dedup_cluster": q_dedup_cluster,
     }
 
 
@@ -1615,4 +1800,6 @@ def dataops_oracles():
         # the Bloom-pruned variant must reach the SAME answer as the exact
         # broadcast operator — one oracle serves both
         "decontaminate_bloom": _decontaminate_sql(),
+        "dedup_substring": _dedup_substring_sql(),
+        "dedup_cluster": _dedup_cluster_sql(),
     }

@@ -105,6 +105,41 @@ def test_bloom_prune_corpus_side_is_never_shuffled(spark):
     assert [r["sh"] for r in kept] == ["sh1"]
 
 
+def test_substring_spans_merges_maximal_islands(spark):
+    """Two docs share an 11-token prefix; with l=8 the duplicated 8-gram
+    starts are {1,2,3,4} in both docs, which must merge into ONE maximal
+    span [1, 11] each — and the non-shared tails must produce nothing."""
+    a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 ax ay az aw av au at as"
+    b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 bx by bz bw bv bu bt bs"
+    df = spark.createDataFrame([(0, a), (1, b)], "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dataops.substring_spans(df, l=8).collect()
+    }
+    assert got == {(0, 1, 11), (1, 1, 11)}
+    # intra-doc repetition counts too: one doc repeating its own 8-gram
+    c = "r1 r2 r3 r4 r5 r6 r7 r8 mid1 mid2 r1 r2 r3 r4 r5 r6 r7 r8"
+    df2 = spark.createDataFrame([(7, c)], "doc_id long, text string")
+    got2 = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dataops.substring_spans(df2, l=8).collect()
+    }
+    assert got2 == {(7, 1, 8), (7, 11, 18)}
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain needs several propagation rounds; two disjoint
+    clusters must keep distinct canonicals; the fixpoint must be exact."""
+    pairs = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dataops.connected_components_min_label(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
 def test_sample_stratified_plan_is_shuffle_free(spark):
     """Deterministic hash-bucket sampling must stay embarrassingly parallel:
     any Exchange in its plan means the filter stopped being a pure map — the
