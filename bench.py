@@ -302,8 +302,13 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
     for _, warm_fn in timed_lines:
         warm_fn()
 
+    # three sweeps: best-of-3 with full-sweep separation — the third
+    # attempt costs ~25s of bench time and shaves the residual
+    # JIT-recompile/interference tail that even the 2g code cache leaves
+    # on the Arrow-fold lines (measured: 3rd consecutive run reaches the
+    # undisturbed floor)
     attempts: dict[str, list[float]] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, fn in timed_lines:
             sec, _ = timed(fn)
             attempts.setdefault(name, []).append(round(sec, 3))

@@ -1406,6 +1406,60 @@ def _dedup_substring_sql() -> str:
     """
 
 
+def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The surgery step of ExactSubstr dedup: remove every token covered by
+    a repeated span (from :func:`substring_spans`) and re-emit the cleaned
+    text — (doc_id, clean_text, n_removed).  Docs with no repeated span
+    pass through whole.
+
+    Shape: spans aggregate to one small array per affected doc (bounded by
+    doc length), LEFT-join back to the corpus, and the token cut is a
+    higher-order-function expression (transform + filter against the span
+    array) — per-row work O(tokens x spans-per-doc), no extra shuffle
+    beyond the span computation itself.  HOF lambdas are interpreted, not
+    codegen — acceptable here because the span array is tiny and the op is
+    a rewrite, not a hot filter."""
+    c = augmented_corpus(spark, sf_dir)
+    spans = substring_spans(c)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sps")
+    )
+    joined = c.join(sp, "doc_id", "left")
+    toks_pos = "transform(split(text, ' '), (t, i) -> named_struct('t', t, 'p', CAST(i + 1 AS BIGINT)))"
+    kept = f"filter({toks_pos}, s -> NOT exists(sps, x -> s.p >= x.span_start AND s.p <= x.span_end))"
+    return joined.select(
+        "doc_id",
+        F.when(F.col("sps").isNull(), F.col("text"))
+        .otherwise(F.expr(f"array_join(transform({kept}, k -> k.t), ' ')"))
+        .alias("clean_text"),
+        F.when(F.col("sps").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.expr(f"CAST(size(split(text, ' ')) - size({kept}) AS BIGINT)"))
+        .alias("n_removed"),
+    )
+
+
+def _dedup_substring_rewrite_sql() -> str:
+    return f"""
+    WITH spans AS ({_dedup_substring_sql()}),
+    sp AS (SELECT doc_id, list({{'a': span_start, 'b': span_end}}) AS sps
+           FROM spans GROUP BY doc_id),
+    docs AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM ({AUGMENTED_SQL}))
+    SELECT d.doc_id,
+           CASE WHEN sp.sps IS NULL THEN d.text
+                -- COALESCE: DuckDB's array_to_string yields NULL for the
+                -- all-tokens-removed case where Spark's array_join yields ''
+                ELSE COALESCE(array_to_string(
+                  [d.l[i] FOR i IN range(1, len(d.l) + 1)
+                   IF len(list_filter(sp.sps, x -> i >= x.a AND i <= x.b)) = 0], ' '), '')
+           END AS clean_text,
+           CASE WHEN sp.sps IS NULL THEN 0
+                ELSE len(d.l) - len([i FOR i IN range(1, len(d.l) + 1)
+                                     IF len(list_filter(sp.sps, x -> i >= x.a AND i <= x.b)) = 0])
+           END AS n_removed
+    FROM docs d LEFT JOIN sp ON sp.doc_id = d.doc_id
+    """
+
+
 #: iteration cap for connected components — min-label propagation converges
 #: in O(graph diameter) rounds; near-dup clusters are shallow (stars/chains
 #: of copies), and the loop stops at the fixpoint anyway.  At web scale the
@@ -1769,6 +1823,7 @@ def dataops_queries():
         "decontaminate_overlap": q_decontaminate_overlap,
         "decontaminate_bloom": q_decontaminate_bloom,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_rewrite": q_dedup_substring_rewrite,
         "dedup_cluster": q_dedup_cluster,
     }
 
@@ -1801,5 +1856,6 @@ def dataops_oracles():
         # broadcast operator — one oracle serves both
         "decontaminate_bloom": _decontaminate_sql(),
         "dedup_substring": _dedup_substring_sql(),
+        "dedup_substring_rewrite": _dedup_substring_rewrite_sql(),
         "dedup_cluster": _dedup_cluster_sql(),
     }

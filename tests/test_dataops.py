@@ -127,6 +127,24 @@ def test_substring_spans_merges_maximal_islands(spark):
     assert got2 == {(7, 1, 8), (7, 11, 18)}
 
 
+def test_substring_rewrite_cuts_exactly_the_spans(spark, monkeypatch):
+    """The rewrite must remove precisely the tokens inside repeated spans
+    and pass untouched docs through whole (n_removed = 0)."""
+    monkeypatch.setattr(dataops, "augmented_corpus", lambda spark, sf_dir: spark.createDataFrame(
+        [
+            (0, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 ax ay az aw av au at"),
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 bx by bz bw bv bu bt"),
+            (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 unique tail here only once"),
+        ],
+        "doc_id long, text string",
+    ))
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in dataops.q_dedup_substring_rewrite(spark, "unused").collect()}
+    assert got[0] == ("ax ay az aw av au at", 11)
+    assert got[1] == ("bx by bz bw bv bu bt", 11)
+    assert got[2][1] == 0 and got[2][0].startswith("u1 u2")
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain needs several propagation rounds; two disjoint
     clusters must keep distinct canonicals; the fixpoint must be exact."""
