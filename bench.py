@@ -80,16 +80,18 @@ def materialize_transcripts(spark) -> str:
     return path
 
 
-def generated_stream(spark, n_rows: int, cpus: int):
+def generated_stream(spark, n_rows: int, cpus: int, partitions: int | None = None):
     """Deterministic on-the-fly value stream (no IO): isolates the sketch
     pipeline's COMPUTE for throughput/scaling probes.  In this single-box
     sandbox the parquet page-cache read path saturates at ~120M rows/s
     regardless of thread count — a shared-disk artifact a real cluster
     doesn't have (each executor scans its own splits), so the scaling
-    evidence must not be capped by it."""
+    evidence must not be capped by it.  ``partitions`` overrides the
+    cpus-derived split count (the scaling probe fixes it so both
+    parallelism levels read identical splits)."""
     from pyspark.sql import functions as F
 
-    return spark.range(n_rows, numPartitions=cpus * 8).select(
+    return spark.range(n_rows, numPartitions=partitions or cpus * 8).select(
         (F.abs(F.xxhash64("id", F.lit(1))) % 8).cast("int").alias("tool_id"),
         (F.abs(F.xxhash64("id", F.lit(2))) % F.lit(1_000_000_000)).alias("latency_us"),
     )
@@ -230,11 +232,16 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         # sample_mod=4: train the coarse quantizer on the deterministic
         # every-4th subset — the production shape (Lloyd over all of 100 TB
-        # would dominate the job; seeds still come from the full set so K and
-        # the inverted-list assignment are unchanged).  The driver gate keeps
-        # the full-train default; sampled-vs-full geometry equivalence is
-        # unit-tested.
-        return dataops.q_ann_ivf_recall(spark, "/root/testdata/sf0.01", sample_mod=4).count()
+        # would dominate the job).  Seeds come from the full set so K and
+        # the centroid ids are unchanged (unit-tested), but sampled Lloyd
+        # means DO move the centroid coordinates, so this line times a
+        # slightly different quantizer than the full-train driver gate —
+        # which is why it asserts the recall floor itself instead of just
+        # counting rows.
+        rows = dataops.q_ann_ivf_recall(spark, "/root/testdata/sf0.01", sample_mod=4).collect()
+        ok = sum(r["recall_ok"] for r in rows)
+        assert ok == len(rows), f"sampled-train IVF recall floor violated: {ok}/{len(rows)}"
+        return len(rows)
 
     def q_corpus_pipeline():
         from hg64spark import dataops
@@ -333,8 +340,9 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         attempts.setdefault("ingest_hg64_global", []).append(round(i, 3))
         gen_sec = g if gen_sec is None else min(gen_sec, g)
         ingest_sec = i if ingest_sec is None else min(ingest_sec, i)
-    # stall telemetry: both raw attempts per line, so a recorded outlier can
-    # be attributed (one poisoned attempt vs both) without a re-run
+    # stall telemetry: ALL raw attempts per line (3 per query, 2 for
+    # gen/ingest), so a recorded outlier can be attributed (one poisoned
+    # attempt vs all) without a re-run
     meta["attempts"] = attempts
 
     # decomposition: the generated SOURCE itself (two xxhash64 + mod per row,
@@ -381,16 +389,11 @@ def scaling_probe_child(cpus: int) -> None:
     a real N-core cluster has no spare cores either."""
     spark = make_session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    from pyspark.sql import functions as F
-
     from hg64spark import agg, relational
     from hg64spark.sketches import KLL
 
     def stream(n_rows: int):
-        return spark.range(n_rows, numPartitions=SCALING_INPUT_PARTITIONS).select(
-            (F.abs(F.xxhash64("id", F.lit(1))) % 8).cast("int").alias("tool_id"),
-            (F.abs(F.xxhash64("id", F.lit(2))) % F.lit(1_000_000_000)).alias("latency_us"),
-        )
+        return generated_stream(spark, n_rows, cpus, partitions=SCALING_INPUT_PARTITIONS)
 
     # warm-up: JIT + plan compile on a small prefix
     relational.hg64_counts(stream(1_000_000), "latency_us", ["tool_id"], 5).collect()
@@ -484,11 +487,13 @@ def scaling_probe() -> dict:
     sandbox is a shared-hypervisor VM with visible run-to-run CPU variance,
     and interleaving keeps a transient slowdown from landing entirely on one
     side of the ratio.  Children are pinned (taskset) to exactly N cores.
-    Retries up to two extra rounds while the ratio is under target."""
+    Retries up to five extra rounds while the ratio misses 0.8, unless the
+    box's own droop ceiling shows the gap is hardware, not plan."""
     import shutil
 
     out = {}
     runs: dict[int, list[float]] = {}
+    all_shas: set = set()
     taskset = shutil.which("taskset")
 
     def run_child(cpus: int) -> None:
@@ -503,11 +508,12 @@ def scaling_probe() -> dict:
         runs.setdefault(cpus, []).append(round(got["sec"], 3))
         if cpus not in out or got["sec"] < out[cpus]["sec"]:
             out[cpus] = got
-        # the reproducibility assert covers EVERY child run, not just the
-        # fastest ones: any run computing a different sketch is a bug
-        shas = {o.get("result_sha") for o in out.values()}
-        if len(shas) > 1:
-            raise AssertionError(f"scaling children computed different sketches: {shas}")
+        # the reproducibility assert covers EVERY child run, including
+        # slower ones that are not kept for the throughput ratio: any run
+        # computing a different sketch is a bug
+        all_shas.add(got.get("result_sha"))
+        if len(all_shas) > 1:
+            raise AssertionError(f"scaling children computed different sketches: {all_shas}")
 
     n, n4 = SCALING_CPUS
     ratio = n4 / n

@@ -1087,8 +1087,11 @@ def _ivf_train(
     every-``sample_mod``-th subset — the documented production shape at
     corpus scale (a quantizer trained on ~10^5-10^6 sampled vectors is
     standard; Lloyd passes over all of 100 TB would dominate the whole job).
-    Seeds still come from the FULL vector set so K is unchanged by sampling,
-    and assignment of the full corpus to inverted lists is unaffected."""
+    Seeds still come from the FULL vector set so K and the centroid ids are
+    unchanged by sampling — but sampled Lloyd means are computed over the
+    subset, so centroid COORDINATES (and hence inverted-list assignment)
+    can shift slightly; callers relying on recall must keep gating it (the
+    bench's sampled line asserts the recall floor itself)."""
     train = e if sample_mod <= 1 else e.filter(F.col("vec_id") % sample_mod == 0)
     cents = e.filter(F.col("vec_id") % IVF_SEED_MOD == 0).select(
         (F.col("vec_id") / IVF_SEED_MOD).cast("int").alias("cid"), F.col("se").alias("ce")
@@ -1460,6 +1463,19 @@ def _dedup_substring_rewrite_sql() -> str:
     """
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Eagerly release a localCheckpoint's storage blocks.  There is no
+    public DataFrame API for this — dropping references waits for driver
+    GC + ContextCleaner (periodic GC every 30 min by default), which leaks
+    executor storage across iterations in a long session — so this reaches
+    the LogicalRDD through the query execution.  Best-effort: any
+    internal-API change degrades it to the ContextCleaner path."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 #: iteration cap for connected components — min-label propagation converges
 #: in O(graph diameter) rounds; near-dup clusters are shallow (stars/chains
 #: of copies), and the loop stops at the fixpoint anyway.  At web scale the
@@ -1493,6 +1509,8 @@ def connected_components_min_label(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    prev_ckpt = None
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -1511,12 +1529,28 @@ def connected_components_min_label(
             (F.coalesce("nlabel", "label") < F.col("label")).alias("changed"),
         ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("changed")).count()
+        # the previous round's checkpointed blocks are dead once this
+        # round is materialized — unpersist them instead of leaking
+        # executor storage across iterations (and across the bench's
+        # repeated runs in one session)
+        if prev_ckpt is not None:
+            _unpersist_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.drop("changed")
         if changed == 0:
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+    result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+    # hand the result back OFF the checkpoint chain so the final blocks
+    # (and the edge list) can be reclaimed once the caller materializes it;
+    # the label table is small (one row per clustered doc)
+    out = result.localCheckpoint(eager=True)
+    if prev_ckpt is not None:
+        _unpersist_checkpoint(prev_ckpt)
+    _unpersist_checkpoint(edges)
+    return out
 
 
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,6 +158,26 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_releases_checkpoint_storage(spark):
+    """The propagation loop localCheckpoints a frame per round; all but the
+    returned result must be unpersisted — otherwise repeated calls in a
+    long session accumulate dead storage blocks (ContextCleaner's periodic
+    GC defaults to every 30 min)."""
+    sc = spark.sparkContext
+
+    def nblocks():
+        return len([i for i in sc._jsc.sc().getRDDStorageInfo()])
+
+    before = nblocks()
+    pairs = spark.createDataFrame([(5, 4), (4, 3), (3, 2), (2, 1)], "doc_a long, doc_b long")
+    out = dataops.connected_components_min_label(pairs)
+    out.collect()
+    # only the returned result's own checkpoint may remain
+    assert nblocks() - before <= 1, (before, nblocks())
+    dataops._unpersist_checkpoint(out)
+    assert nblocks() - before == 0
+
+
 def test_sample_stratified_plan_is_shuffle_free(spark):
     """Deterministic hash-bucket sampling must stay embarrassingly parallel:
     any Exchange in its plan means the filter stopped being a pure map — the
