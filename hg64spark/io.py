@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 FORMAT_CONF = "hg64spark.io.format"
 NAMESPACE_CONF = "hg64spark.io.namespace"
+SCHEMA_CONF_PREFIX = "hg64spark.io.schema"
 
 
 def _conf(spark: SparkSession, key: str, env: str, default: str) -> str:
@@ -55,5 +56,22 @@ def read_table(spark: SparkSession, location: str, name: str) -> DataFrame:
     if fmt == "iceberg":
         ns = _conf(spark, NAMESPACE_CONF, "HG64SPARK_IO_NAMESPACE", "")
         return spark.table(f"{ns}.{name}" if ns else name)
+    if fmt in ("csv", "json"):
+        # text formats need an explicit schema: inference is a whole extra
+        # pass over the data (and types drift run-to-run) — supply the DDL
+        # via conf `hg64spark.io.schema.<name>` (or the matching env var),
+        # exactly like a production job would pin its reader schemas.
+        ddl = _conf(
+            spark, f"{SCHEMA_CONF_PREFIX}.{name}", f"HG64SPARK_IO_SCHEMA_{name.upper()}", ""
+        )
+        if not ddl:
+            raise ValueError(
+                f"{fmt} read of table '{name}' requires a schema: set spark conf "
+                f"'{SCHEMA_CONF_PREFIX}.{name}' to the DDL string"
+            )
+        reader = spark.read.format(fmt).schema(ddl)
+        if fmt == "csv":
+            reader = reader.option("header", "true")
+        return reader.load(f"{location}/{name}.{fmt}")
     # any other registered DataSourceV2 format: directory-per-table layout
     return spark.read.format(fmt).load(f"{location}/{name}")

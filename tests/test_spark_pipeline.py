@@ -527,6 +527,45 @@ def test_segment_record_batch_lexsort_fallback_matches_fused_path():
     assert segment_record_batch(empty, 1, _force_lexsort=True) == []
 
 
+def test_read_table_csv_json_branches_match_parquet(spark, tmp_path):
+    """The text-format branches: same table written as csv and json must
+    produce identical query results through read_table, with the schema
+    pinned by conf (inference is an extra full pass — rejected loudly when
+    the DDL is missing)."""
+    import pytest as _pytest
+
+    from hg64spark import io as hio, relational
+
+    src = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).limit(500)
+    base = str(tmp_path)
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(f"{base}/lineitem.csv")
+    src.coalesce(1).write.mode("overwrite").json(f"{base}/lineitem.json")
+    expected = sorted(
+        (r["hg64_key"], r["count"])
+        for r in relational.hg64_counts(src.selectExpr("CAST(l_quantity AS LONG) v"), "v", [], 5).collect()
+    )
+    ddl = "l_orderkey long, l_quantity double"
+    for fmt in ("csv", "json"):
+        spark.conf.set(hio.FORMAT_CONF, fmt)
+        try:
+            with _pytest.raises(ValueError, match="requires a schema"):
+                hio.read_table(spark, base, "lineitem")
+            spark.conf.set(f"{hio.SCHEMA_CONF_PREFIX}.lineitem", ddl)
+            t = hio.read_table(spark, base, "lineitem")
+            got = sorted(
+                (r["hg64_key"], r["count"])
+                for r in relational.hg64_counts(
+                    t.selectExpr("CAST(l_quantity AS LONG) v"), "v", [], 5
+                ).collect()
+            )
+            assert got == expected, fmt
+        finally:
+            spark.conf.set(hio.FORMAT_CONF, "parquet")
+            spark.conf.unset(f"{hio.SCHEMA_CONF_PREFIX}.lineitem")
+
+
 def test_read_table_catalog_branch_is_config_not_code(spark):
     """The io.read_table indirection: flipping the session conf to a catalog
     format reroutes EVERY query's reads through spark.table — verified here
