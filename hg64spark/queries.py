@@ -507,6 +507,33 @@ def q_mg_top_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "tool string, exact_count long, mg_ok boolean")
 
 
+def q_mg_top_parts_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries on the SCALE path: the relational build
+    (`relational.mg_agg_relational` — exact grouped counts, salted top-(k+1)
+    cut, batched decrement; byte-equal to the one-batch Python fold) over
+    lineitem part keys with k=64 << #distinct parts, so the decrement
+    genuinely fires.  Gate: every part's exact count against the MG bracket
+    exact - n/(k+1) <= est <= exact — deterministic because the relational
+    build is order-insensitive (unlike streamed MG)."""
+    from hg64spark import relational
+    from hg64spark.sketches import MG
+
+    k = 64
+    li = io.read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("pk")
+    )
+    sk = relational.mg_agg_relational(li, "pk", k=k)
+    mg = MG.deserialize(bytes(sk.collect()[0]["sketch"]))
+    bound = mg.error_bound()
+    exact = li.groupBy("pk").agg(F.count("*").alias("exact_count")).collect()
+    out = []
+    for r in exact:
+        est = int(mg.estimate([r["pk"]])[0])
+        ok = r["exact_count"] - bound <= est <= r["exact_count"]
+        out.append((int(r["pk"]), r["exact_count"], bool(ok)))
+    return spark.createDataFrame(out, "l_partkey long, exact_count long, mg_ok boolean")
+
+
 def q_mg_top_tools_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP Misra-Gries: one frequent-items summary per role through the
     generic grouped sketch protocol (mapInArrow partials + applyInPandas
@@ -943,6 +970,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_tools_by_role_rel": q_bloom_tools_by_role_rel,
         "mg_top_tools": q_mg_top_tools,
         "mg_top_tools_by_role": q_mg_top_tools_by_role,
+        "mg_top_parts_rel": q_mg_top_parts_rel,
         "sessionize": q_sessionize,
         "session_length_hist": q_session_length_hist,
         "tdigest_latency_by_tool": q_tdigest_latency_by_tool,
@@ -1041,6 +1069,10 @@ def _core_oracles() -> dict[str, str]:
         "mg_top_tools_by_role": (
             f"SELECT role, tool, count(*) AS exact_count, true AS mg_ok "
             f"FROM ({transcripts.TRANSCRIPTS_SQL}) GROUP BY role, tool"
+        ),
+        "mg_top_parts_rel": (
+            "SELECT l_partkey, count(*) AS exact_count, true AS mg_ok "
+            "FROM lineitem GROUP BY l_partkey"
         ),
         "sessionize": _SESSIONIZE_SQL,
         "session_length_hist": sqloracle.buckets_sql(

@@ -609,3 +609,80 @@ def hg64_agg_relational(
         return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
     return grouped.groupBy(*keys).applyInPandas(fold_group, out_schema)
+
+
+# --------------------------------------------------------------- Misra-Gries
+
+
+def mg_agg_relational(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    group_cols: Sequence[str] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(group..., sketch): an order-insensitive Misra-Gries summary built
+    with Catalyst.  Exact grouped counts (ONE shuffle, map-side combined),
+    then the canonical batched decrement — subtract the (k+1)-th largest
+    count and drop non-positives — which is exactly ``MG.add_values``
+    folding the whole dataset as a single batch, so the result is
+    BYTE-EQUAL to the driver-side one-batch build (tested) and every MG
+    invariant holds: never overestimates, error <= n/(k+1), no item with
+    count > n/(k+1) missed.  Unlike streamed MG (whose summary depends on
+    arrival order), this build is deterministic and partitioning-independent.
+
+    Scale shape: the count stream shrinks to distinct items per map
+    partition before shuffling; the (k+1)-th-largest cut uses the salted
+    two-phase exact top-K (no task ever sorts a group's full distinct-item
+    set); <= k+1 rows per group reach Python.  With ``weight_col`` each row
+    adds its validated non-negative weight."""
+    from hg64spark.sketches.mg import MG
+
+    group_cols = list(group_cols)
+    cnt = (
+        F.count("*")
+        if weight_col is None
+        else F.coalesce(F.sum(_guarded_weight(weight_col)), F.lit(0))
+    )
+    wcols = [weight_col] if weight_col else []
+    gcol = "__mg_g"
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, value_col, *wcols)
+        .groupBy(*group_cols, value_col)
+        .agg(cnt.cast("long").alias("cnt"))
+        .withColumn(gcol, F.struct(*group_cols) if group_cols else F.lit(0))
+    )
+    totals = counts.groupBy(gcol, *group_cols).agg(F.sum("cnt").alias("__n"))
+    from hg64spark.dataops import salted_topk  # lazy: dataops imports this module
+
+    from pyspark.sql import Window
+
+    surv = salted_topk(counts, gcol, [F.desc("cnt"), F.asc(value_col)], value_col, k + 1)
+    w = Window.partitionBy(gcol).orderBy(F.desc("cnt"), F.asc(value_col))
+    ranked = surv.withColumn("__rk", F.row_number().over(w))
+    delta = ranked.filter(F.col("__rk") == k + 1).select(gcol, F.col("cnt").alias("__delta"))
+    kept = (
+        ranked.join(delta, gcol, "left")
+        .withColumn("__adj", F.col("cnt") - F.coalesce("__delta", F.lit(0)))
+        .filter(F.col("__adj") > 0)
+        .select(gcol, value_col, "__adj")
+    )
+    # totals drive the fold (LEFT join): a group whose every count ties the
+    # threshold keeps ZERO items but must still emit an (empty-counter,
+    # n>0) sketch — the same state the one-batch Python fold reaches
+    rows = totals.join(kept, gcol, "left")
+    fields = [f for f in rows.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        present = pdf[pdf[value_col].notna()]
+        counters = {
+            str(it): int(c) for it, c in zip(present[value_col], present["__adj"])
+        }
+        sk = MG(k, counters, int(pdf["__n"].iloc[0]))
+        out = {g: [pdf[g].iloc[0]] for g in group_cols}
+        out["sketch"] = [sk.serialize()]
+        return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return rows.groupBy(gcol).applyInPandas(fold, out_schema)

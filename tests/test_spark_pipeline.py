@@ -416,6 +416,35 @@ def test_merge_order_is_canonical_for_order_sensitive_sketches(spark):
     assert merged([0, 1, 2, 3, 4]) == merged([4, 2, 0, 3, 1])
 
 
+def test_mg_relational_byte_equals_one_batch_fold(spark):
+    """The relational Misra-Gries build must be BYTE-equal to the Python
+    sketch folding the same data as a single batch (both are 'subtract the
+    (k+1)-th largest count, drop non-positives' over exact counts) — with
+    few enough items it is exact, with many the decrement fires; grouped
+    and weighted variants included."""
+    import numpy as np
+
+    from hg64spark import relational
+    from hg64spark.sketches import MG
+
+    rng = np.random.default_rng(3)
+    vals = rng.zipf(1.5, 4000).astype(str)
+    df = spark.createDataFrame([(v,) for v in vals.tolist()], "item string").repartition(7)
+    for k in (4, 64, 10_000):
+        got = bytes(relational.mg_agg_relational(df, "item", k=k).collect()[0]["sketch"])
+        want = MG(k).add_values(vals).serialize()
+        assert got == want, k
+    # grouped + weighted
+    g = spark.createDataFrame(
+        [("a", "x", 5), ("a", "y", 3), ("a", "x", 2), ("b", "z", 7)],
+        "grp string, item string, w long",
+    )
+    rows = relational.mg_agg_relational(g, "item", k=8, group_cols=["grp"], weight_col="w").collect()
+    by_grp = {r["grp"]: MG.deserialize(bytes(r["sketch"])) for r in rows}
+    assert by_grp["a"].counters == {"x": 7, "y": 3} and by_grp["a"].n == 10
+    assert by_grp["b"].counters == {"z": 7} and by_grp["b"].n == 7
+
+
 def test_relational_weighted_paths_reject_negative_weights(spark):
     """A negative weight would silently break CMS's never-underestimate
     guarantee (and hg64's uint64 inc contract); the relational weighted
