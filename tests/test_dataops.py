@@ -151,10 +151,9 @@ def test_connected_components_chain_and_islands(spark):
     pairs = spark.createDataFrame(
         [(5, 4), (4, 3), (3, 2), (2, 1), (10, 11)], "doc_a long, doc_b long"
     )
-    got = {
-        r["doc_id"]: r["canonical_id"]
-        for r in dataops.connected_components_min_label(pairs).collect()
-    }
+    out = dataops.connected_components_min_label(pairs)
+    got = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    dataops._unpersist_checkpoint(out)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
@@ -165,17 +164,20 @@ def test_connected_components_releases_checkpoint_storage(spark):
     GC defaults to every 30 min)."""
     sc = spark.sparkContext
 
-    def nblocks():
-        return len([i for i in sc._jsc.sc().getRDDStorageInfo()])
+    def block_ids():
+        # SET of persisted RDD ids: immune to OTHER tests' stray blocks
+        # being reclaimed concurrently (count deltas are order-dependent)
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
 
-    before = nblocks()
+    before = block_ids()
     pairs = spark.createDataFrame([(5, 4), (4, 3), (3, 2), (2, 1)], "doc_a long, doc_b long")
     out = dataops.connected_components_min_label(pairs)
     out.collect()
     # only the returned result's own checkpoint may remain
-    assert nblocks() - before <= 1, (before, nblocks())
+    new = block_ids() - before
+    assert len(new) <= 1, new
     dataops._unpersist_checkpoint(out)
-    assert nblocks() - before == 0
+    assert block_ids() - before == set()
 
 
 def test_sample_stratified_plan_is_shuffle_free(spark):
