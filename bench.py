@@ -240,7 +240,8 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         # counting rows.
         rows = dataops.q_ann_ivf_recall(spark, "/root/testdata/sf0.01", sample_mod=4).collect()
         ok = sum(r["recall_ok"] for r in rows)
-        assert ok == len(rows), f"sampled-train IVF recall floor violated: {ok}/{len(rows)}"
+        if ok != len(rows):  # not a bare assert: load-bearing even under -O
+            raise AssertionError(f"sampled-train IVF recall floor violated: {ok}/{len(rows)}")
         return len(rows)
 
     def q_corpus_pipeline():

@@ -1430,13 +1430,17 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = c.join(sp, "doc_id", "left")
     toks_pos = "transform(split(text, ' '), (t, i) -> named_struct('t', t, 'p', CAST(i + 1 AS BIGINT)))"
     kept = f"filter({toks_pos}, s -> NOT exists(sps, x -> s.p >= x.span_start AND s.p <= x.span_end))"
-    return joined.select(
+    # materialize the kept array ONCE: HOFs are CodegenFallback expressions
+    # with no subexpression elimination, so referencing `kept` in both
+    # output columns would run the O(tokens x spans) filter twice per row
+    with_kept = joined.withColumn("__kept", F.expr(kept))
+    return with_kept.select(
         "doc_id",
         F.when(F.col("sps").isNull(), F.col("text"))
-        .otherwise(F.expr(f"array_join(transform({kept}, k -> k.t), ' ')"))
+        .otherwise(F.expr("array_join(transform(__kept, k -> k.t), ' ')"))
         .alias("clean_text"),
         F.when(F.col("sps").isNull(), F.lit(0).cast("long"))
-        .otherwise(F.expr(f"CAST(size(split(text, ' ')) - size({kept}) AS BIGINT)"))
+        .otherwise(F.expr("CAST(size(split(text, ' ')) - size(__kept) AS BIGINT)"))
         .alias("n_removed"),
     )
 

@@ -71,7 +71,11 @@ def read_table(spark: SparkSession, location: str, name: str) -> DataFrame:
             )
         reader = spark.read.format(fmt).schema(ddl)
         if fmt == "csv":
-            reader = reader.option("header", "true")
+            # enforceSchema=false: validate header NAMES against the DDL and
+            # fail loudly on mismatch — the default (true) ignores the header
+            # and maps columns positionally, silently transposing data when
+            # the file's column order differs from the configured schema
+            reader = reader.option("header", "true").option("enforceSchema", "false")
         return reader.load(f"{location}/{name}.{fmt}")
     # any other registered DataSourceV2 format: directory-per-table layout
     return spark.read.format(fmt).load(f"{location}/{name}")
