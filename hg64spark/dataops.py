@@ -1422,8 +1422,13 @@ def q_dedup_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the span computation itself.  HOF lambdas are interpreted, not
     codegen — acceptable here because the span array is tiny and the op is
     a rewrite, not a hot filter."""
-    c = augmented_corpus(spark, sf_dir)
-    spans = substring_spans(c)
+    return substring_rewrite(augmented_corpus(spark, sf_dir))
+
+
+def substring_rewrite(c: DataFrame, l: int = SUBSTR_L) -> DataFrame:
+    """Library form of :func:`q_dedup_substring_rewrite` over any
+    (doc_id, text) corpus: (doc_id, clean_text, n_removed)."""
+    spans = substring_spans(c, l)
     sp = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sps")
     )

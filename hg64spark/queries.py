@@ -677,7 +677,9 @@ def q_kll_latency_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
 # io.read_table: the file-source contract is format-specific by nature.
 
 
-def _stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, str, "object"]:
+def _stream_source(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> tuple[str, str, "object"]:
     import atexit
     import shutil
     import tempfile
@@ -688,10 +690,10 @@ def _stream_source(spark: SparkSession, sf_dir: str) -> tuple[str, str, "object"
     # be removed here — reap it at interpreter exit instead of leaking one
     # tree per invocation into /tmp
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    ev_path = os.path.join(sf_dir, "events.parquet")
+    ev_path = os.path.join(sf_dir, f"{table}.parquet")
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir)
-    os.symlink(os.path.abspath(ev_path), os.path.join(src_dir, "events.parquet"))
+    os.symlink(os.path.abspath(ev_path), os.path.join(src_dir, f"{table}.parquet"))
     schema = spark.read.parquet(ev_path).schema
     return base, src_dir, schema
 
@@ -798,6 +800,38 @@ def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: mode semantics the oracle mirrors
 _STREAM_WINDOW_S = 86_400
 _STREAM_DELAY_S = 3_600
+
+
+def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact dedup — Structured Streaming's
+    ``dropDuplicates`` over an availableNow document stream: the state
+    store carries the seen content-hash set across micro-batches, the
+    append-mode parquet sink receives each distinct hash exactly once.
+    Emitting only the hash keeps the gate deterministic (WHICH doc of a
+    duplicate set arrives first is micro-batch/partition-order dependent;
+    the distinct-hash SET is not).  Oracle: batch SELECT DISTINCT md5.
+    At scale this is the streaming ingest-dedup front of a training
+    pipeline: state is one row per distinct hash, partitioned by the state
+    store; production adds a watermark on an event-time column to bound
+    state for unbounded streams (the gate's stream is finite)."""
+    base, src_dir, schema = _stream_source(spark, sf_dir, table="documents")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select(F.md5("text").alias("h"))
+        .dropDuplicates(["h"])
+    )
+    out = os.path.join(base, "out")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
 
 
 def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -981,6 +1015,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_hg64": q_streaming_windowed_hg64,
         "streaming_stateful_hg64": q_streaming_stateful_hg64,
         "streaming_hll_distinct": q_streaming_hll_distinct,
+        "streaming_dedup_exact": q_streaming_dedup_exact,
     }
 
 
@@ -1101,6 +1136,7 @@ def _core_oracles() -> dict[str, str]:
         "streaming_stateful_hg64": sqloracle.buckets_sql(
             _EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]
         ),
+        "streaming_dedup_exact": "SELECT DISTINCT md5(text) AS h FROM documents",
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

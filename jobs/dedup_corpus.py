@@ -6,7 +6,7 @@ via spark-submit on any cluster size:
         --py-files hg64spark.zip \\
         jobs/dedup_corpus.py \\
         --input  s3://bucket/documents/        # parquet with (doc_id, text)
-        --method minhash                       # minhash | exact
+        --method minhash                       # minhash | exact | substring | substring-rewrite
         --tau 0.8                              # jaccard threshold (minhash)
         --df-cap 256                           # hot-shingle skew cap
         --output /path/out
@@ -29,9 +29,17 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="documents parquet dir (doc_id, text)")
-    ap.add_argument("--method", default="minhash", choices=["minhash", "exact"])
+    ap.add_argument(
+        "--method",
+        default="minhash",
+        choices=["minhash", "exact", "substring", "substring-rewrite"],
+    )
     ap.add_argument("--tau", type=float, default=None, help="jaccard threshold (minhash)")
     ap.add_argument("--df-cap", type=int, default=None, help="shingle document-frequency cap")
+    ap.add_argument(
+        "--substr-l", type=int, default=None,
+        help="min repeated span length in tokens (substring methods)",
+    )
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
 
@@ -55,6 +63,16 @@ def main() -> None:
             .select("doc_id", F.count("*").over(w).alias("dup_count"))
             .filter("dup_count > 1")
         )
+    elif args.method in ("substring", "substring-rewrite"):
+        # ExactSubstr dedup: repeated >= 2x L-token spans across the corpus
+        # (substring = emit the span table for audit; substring-rewrite =
+        # emit the cleaned corpus with the spans cut out)
+        l = dataops.SUBSTR_L if args.substr_l is None else args.substr_l
+        cleaned_input = corpus.filter("text IS NOT NULL")
+        if args.method == "substring":
+            out = dataops.substring_spans(cleaned_input, l)
+        else:
+            out = dataops.substring_rewrite(cleaned_input, l)
     else:
         tau = dataops.NEARDUP_TAU if args.tau is None else args.tau
         # the banding (32 bands x 2 rows) is tuned for tau >= ~0.5; at lower
