@@ -1683,6 +1683,67 @@ def _sample_correlated_sql() -> str:
     """
 
 
+#: bucket granularity for temperature mixing (finer than the percent
+#: buckets: derived rates are irrational)
+TEMP_BUCKETS = 65536
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing — flatten the language distribution
+    toward uniform by downsampling dominant languages: target counts
+    t_l ∝ c_l^alpha scaled so no language upsamples, i.e. keep rate
+    (c_min / c_l)^(1-alpha).  Gate pinned at alpha = 1/2, where the rate is
+    sqrt(c_min/c_l): IEEE-754 sqrt and division are correctly rounded in
+    BOTH engines, so the integer thresholds floor(65536 * rate) are
+    bit-identical (general alpha needs pow/ln, which may differ by 1 ulp
+    between libms — the production caller accepts that, a bit-exact gate
+    cannot).
+
+    Scale shape: one tiny per-language count aggregation, a 1-row broadcast
+    for c_min, a broadcast join of per-language thresholds, then the same
+    pure-codegen hash-bucket filter as stratified sampling — the corpus
+    stream is never shuffled."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("c"))
+    cmin = counts.agg(F.min("c").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        F.floor(
+            F.lit(float(TEMP_BUCKETS))
+            * F.sqrt(F.col("cmin").cast("double") / F.col("c").cast("double"))
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    bucket = (
+        _tokhash_spark(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+        % TEMP_BUCKETS
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "lang", "bucket", "thr")
+    )
+
+
+def _sample_temperature_sql() -> str:
+    salted = f"concat('{SAMPLE_SALT}', CAST(doc_id AS VARCHAR))"
+    bucket = f"({_TOKHASH_SQL.format(x=salted)}) % {TEMP_BUCKETS}"
+    return f"""
+    WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    m AS (SELECT min(c) AS cmin FROM counts),
+    rates AS (
+      SELECT lang,
+             CAST(floor({TEMP_BUCKETS} * sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT) AS thr
+      FROM counts, m
+    )
+    SELECT d.doc_id, d.lang, {bucket} AS bucket, r.thr
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    WHERE {bucket} < r.thr
+    """
+
+
 #: per-language quality quota ("take the N best documents of each language")
 QUOTA_PER_LANG = 50
 
@@ -1860,6 +1921,7 @@ def dataops_queries():
         "corpus_pipeline": q_corpus_pipeline,
         "sample_stratified": q_sample_stratified,
         "sample_correlated_lineitem": q_sample_correlated_lineitem,
+        "sample_temperature": q_sample_temperature,
         "quota_topk_by_lang": q_quota_topk_by_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_selfrepeat": q_text_selfrepeat,
@@ -1891,6 +1953,7 @@ def dataops_oracles():
         "corpus_pipeline": _corpus_pipeline_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_correlated_lineitem": _sample_correlated_sql(),
+        "sample_temperature": _sample_temperature_sql(),
         "quota_topk_by_lang": Q_QUOTA_TOPK_SQL,
         "tfidf_top_terms": Q_TFIDF_SQL,
         "text_selfrepeat": _text_selfrepeat_sql(),

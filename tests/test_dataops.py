@@ -180,6 +180,28 @@ def test_connected_components_releases_checkpoint_storage(spark):
     assert block_ids() - before == set()
 
 
+def test_sample_temperature_flattens_and_keeps_smallest(spark):
+    """alpha=1/2 mixing: the smallest language is kept whole (rate 1), and
+    the kept distribution is strictly flatter than the input (max/min count
+    ratio shrinks toward its square root)."""
+    import math
+
+    inp = {
+        r["lang"]: r["cnt"]
+        for r in dataops._docs(spark, SF_DIR).groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    kept_rows = dataops.q_sample_temperature(spark, SF_DIR).collect()
+    kept = {}
+    for r in kept_rows:
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    lo = min(inp, key=inp.get)
+    assert kept[lo] == inp[lo]  # smallest language: threshold 65536, all kept
+    ratio_in = max(inp.values()) / min(inp.values())
+    ratio_out = max(kept.values()) / min(kept.values())
+    # expected kept ratio ~ sqrt(ratio_in); allow hash-sampling noise
+    assert ratio_out < ratio_in and ratio_out < math.sqrt(ratio_in) * 1.5, (ratio_in, ratio_out)
+
+
 def test_sample_stratified_plan_is_shuffle_free(spark):
     """Deterministic hash-bucket sampling must stay embarrassingly parallel:
     any Exchange in its plan means the filter stopped being a pure map — the
