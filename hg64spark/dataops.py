@@ -1435,10 +1435,15 @@ def substring_rewrite(c: DataFrame, l: int = SUBSTR_L) -> DataFrame:
     joined = c.join(sp, "doc_id", "left")
     toks_pos = "transform(split(text, ' '), (t, i) -> named_struct('t', t, 'p', CAST(i + 1 AS BIGINT)))"
     kept = f"filter({toks_pos}, s -> NOT exists(sps, x -> s.p >= x.span_start AND s.p <= x.span_end))"
-    # materialize the kept array ONCE: HOFs are CodegenFallback expressions
-    # with no subexpression elimination, so referencing `kept` in both
-    # output columns would run the O(tokens x spans) filter twice per row
-    with_kept = joined.withColumn("__kept", F.expr(kept))
+    # materialize the kept array ONCE and ONLY for span docs: HOFs are
+    # CodegenFallback expressions with no subexpression elimination, so
+    # referencing `kept` in both output columns would run the
+    # O(tokens x spans) filter twice per row — and most docs in a clean
+    # corpus have no spans at all, so the F.when gate skips the HOF for
+    # them entirely (CaseWhen branches evaluate lazily)
+    with_kept = joined.withColumn(
+        "__kept", F.when(F.col("sps").isNotNull(), F.expr(kept))
+    )
     return with_kept.select(
         "doc_id",
         F.when(F.col("sps").isNull(), F.col("text"))
@@ -1703,7 +1708,10 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c_min, a broadcast join of per-language thresholds, then the same
     pure-codegen hash-bucket filter as stratified sampling — the corpus
     stream is never shuffled."""
-    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    # NULL lang must not reach the rate table: a handful of lang-less docs
+    # would otherwise set c_min (catastrophically over-downsampling every
+    # real language) while the inner join below silently drops them anyway
+    d = _docs(spark, sf_dir).select("doc_id", "lang").filter(F.col("lang").isNotNull())
     counts = d.groupBy("lang").agg(F.count("*").alias("c"))
     cmin = counts.agg(F.min("c").alias("cmin"))
     rates = counts.crossJoin(F.broadcast(cmin)).select(
@@ -1731,7 +1739,8 @@ def _sample_temperature_sql() -> str:
     salted = f"concat('{SAMPLE_SALT}', CAST(doc_id AS VARCHAR))"
     bucket = f"({_TOKHASH_SQL.format(x=salted)}) % {TEMP_BUCKETS}"
     return f"""
-    WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    WITH counts AS (SELECT lang, count(*) AS c FROM documents
+                    WHERE lang IS NOT NULL GROUP BY lang),
     m AS (SELECT min(c) AS cmin FROM counts),
     rates AS (
       SELECT lang,

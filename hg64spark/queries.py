@@ -802,6 +802,22 @@ _STREAM_WINDOW_S = 86_400
 _STREAM_DELAY_S = 3_600
 
 
+def _run_append_parquet(spark: SparkSession, stream_df, base: str) -> DataFrame:
+    """Shared sink scaffold for the file-sink streaming gates: availableNow
+    append-mode parquet write under ``base``, await, read back."""
+    out = os.path.join(base, "out")
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming exact dedup — Structured Streaming's
     ``dropDuplicates`` over an availableNow document stream: the state
@@ -821,17 +837,7 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5("text").alias("h"))
         .dropDuplicates(["h"])
     )
-    out = os.path.join(base, "out")
-    q = (
-        stream.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out)
+    return _run_append_parquet(spark, stream, base)
 
 
 def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -870,17 +876,7 @@ def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hg64_key").cast("long").alias("key"),
         F.col("count").cast("long").alias("count"),
     )
-    out = os.path.join(base, "out")
-    q = (
-        flat.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.read.parquet(out)
+    return _run_append_parquet(spark, flat, base)
 
 
 def _streaming_windowed_oracle() -> str:

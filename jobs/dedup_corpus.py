@@ -68,11 +68,13 @@ def main() -> None:
         # (substring = emit the span table for audit; substring-rewrite =
         # emit the cleaned corpus with the spans cut out)
         l = dataops.SUBSTR_L if args.substr_l is None else args.substr_l
-        cleaned_input = corpus.filter("text IS NOT NULL")
+        # no NULL-text filter here: NULL/short docs simply produce no spans,
+        # and the rewrite passes them through whole — filtering would
+        # silently DROP them from the emitted cleaned corpus
         if args.method == "substring":
-            out = dataops.substring_spans(cleaned_input, l)
+            out = dataops.substring_spans(corpus, l)
         else:
-            out = dataops.substring_rewrite(cleaned_input, l)
+            out = dataops.substring_rewrite(corpus, l)
     else:
         tau = dataops.NEARDUP_TAU if args.tau is None else args.tau
         # the banding (32 bands x 2 rows) is tuned for tau >= ~0.5; at lower
