@@ -1567,6 +1567,94 @@ def connected_components_min_label(
     return out
 
 
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """(doc_id, canonical_id) by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the production upgrade over min-label propagation: rounds
+    grow with log(diameter), not diameter, so adversarial long chains
+    converge in a handful of passes.
+
+      large-star(u): m = min({u} ∪ Γ(u)); re-point every LARGER neighbor
+      at m.  small-star(u): m = min of u's SMALLER neighbors; re-point u
+      and its other smaller neighbors at m.  Both preserve connectivity;
+      the fixpoint is a forest of stars rooted at component minima.
+
+    Per round: two groupBy-min + join passes over the (localCheckpointed,
+    corpus-≪-sized) edge list; convergence = edge-set equality (cheap —
+    the star edge set is one row per non-root node)."""
+    sym = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionAll(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = sym.filter(F.col("u") < F.col("v")).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).localCheckpoint(eager=True)
+    _unpersist_checkpoint(sym)
+    converged = False
+    for _ in range(max_iters):
+        und = edges.select("a", "b").unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # large-star: center a, neighbors b; m = min(center, min neighbor)
+        mins = und.groupBy("a").agg(F.min("b").alias("mv")).select(
+            "a", F.least("a", "mv").alias("m")
+        )
+        large = (
+            und.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.least("b", "m").alias("a"), F.greatest("b", "m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the large-star output: center u with its smaller
+        # neighbors; m = their min; re-point u and the others at m
+        lund = large.select("a", "b").unionAll(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        smaller = lund.filter(F.col("b") < F.col("a"))
+        smins = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        out = (
+            smaller.join(smins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("b").alias("b"))
+            .unionAll(smins.select(F.col("m").alias("a"), F.col("a").alias("b")))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        same = (
+            out.count() == edges.count()
+            and out.exceptAll(edges).limit(1).count() == 0
+        )
+        _unpersist_checkpoint(edges)
+        edges = out
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(f"star contraction did not converge in {max_iters} rounds")
+    labels = (
+        edges.select(F.col("b").alias("doc_id"), F.col("a").alias("canonical_id"))
+        .unionAll(edges.select(F.col("a").alias("doc_id"), F.col("a").alias("canonical_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    _unpersist_checkpoint(edges)
+    return labels
+
+
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-contraction form of near-dup clustering over the same
+    verified MinHash pair set — same answer as `dedup_cluster` (one oracle
+    serves both), logarithmic rounds instead of diameter-bound."""
+    pairs = minhash_neardup_pairs(augmented_corpus(spark, sf_dir))
+    return connected_components_star(pairs)
+
+
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERING: MinHash-LSH verified pairs -> connected
     components -> (doc_id, canonical_id) for every doc in a cluster.  The
@@ -1939,6 +2027,7 @@ def dataops_queries():
         "dedup_substring": q_dedup_substring,
         "dedup_substring_rewrite": q_dedup_substring_rewrite,
         "dedup_cluster": q_dedup_cluster,
+        "dedup_cluster_star": q_dedup_cluster_star,
     }
 
 
@@ -1973,4 +2062,6 @@ def dataops_oracles():
         "dedup_substring": _dedup_substring_sql(),
         "dedup_substring_rewrite": _dedup_substring_rewrite_sql(),
         "dedup_cluster": _dedup_cluster_sql(),
+        # star contraction must reach the SAME components — one oracle both
+        "dedup_cluster_star": _dedup_cluster_sql(),
     }

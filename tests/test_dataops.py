@@ -157,6 +157,34 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_star_contraction_matches_min_label(spark):
+    """large-star/small-star contraction must compute exactly the same
+    components as min-label propagation — on a long chain (the adversarial
+    diameter case it exists for), a random sparse graph, and a star."""
+    import numpy as np
+
+    cases = [
+        [(i, i + 1) for i in range(30)],  # 31-node chain, diameter 30
+        [(0, i) for i in range(1, 12)],  # star
+    ]
+    rng = np.random.default_rng(11)
+    for _ in range(2):  # random sparse graphs with several components
+        n = 40
+        e = rng.integers(0, n, size=(45, 2))
+        cases.append([(int(a), int(b)) for a, b in e if a != b])
+    for pairs_list in cases:
+        pairs = spark.createDataFrame(pairs_list, "doc_a long, doc_b long")
+        # the chain needs diameter rounds under min-label (that cost IS why
+        # the star variant exists); star stays within the default cap
+        a = dataops.connected_components_min_label(pairs, max_iters=40)
+        b = dataops.connected_components_star(pairs)
+        got_a = {(r["doc_id"], r["canonical_id"]) for r in a.collect()}
+        got_b = {(r["doc_id"], r["canonical_id"]) for r in b.collect()}
+        dataops._unpersist_checkpoint(a)
+        dataops._unpersist_checkpoint(b)
+        assert got_a == got_b, (sorted(got_a - got_b), sorted(got_b - got_a))
+
+
 def test_connected_components_releases_checkpoint_storage(spark):
     """The propagation loop localCheckpoints a frame per round; all but the
     returned result must be unpersisted — otherwise repeated calls in a
