@@ -1823,12 +1823,56 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sample_temperature_sql() -> str:
+def q_sample_temperature_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing weighted by TOKEN budget instead of document
+    count — the quantity a training mix actually allocates: language sizes
+    c_l = total whitespace tokens, rates sqrt(c_min/c_l) (same bit-exact
+    alpha=1/2 argument as :func:`q_sample_temperature`).  A language of
+    few huge documents is downsampled like a language of many small ones."""
+    # text IS NOT NULL in BOTH engines: Spark's size(split(NULL)) is -1
+    # (it would silently shrink a language's token total) while DuckDB's
+    # len(string_split(NULL)) is NULL (skipped by sum) — and a token-less
+    # doc has nothing to contribute to a token-budget mix anyway
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+        )
+    )
+    counts = d.groupBy("lang").agg(F.sum("n_tok").alias("c"))
+    cmin = counts.agg(F.min("c").alias("cmin"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang",
+        F.floor(
+            F.lit(float(TEMP_BUCKETS))
+            * F.sqrt(F.col("cmin").cast("double") / F.col("c").cast("double"))
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    bucket = (
+        _tokhash_spark(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+        % TEMP_BUCKETS
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("thr"))
+        .select("doc_id", "lang", "bucket", "thr")
+    )
+
+
+def _sample_temperature_sql(token_weighted: bool = False) -> str:
     salted = f"concat('{SAMPLE_SALT}', CAST(doc_id AS VARCHAR))"
     bucket = f"({_TOKHASH_SQL.format(x=salted)}) % {TEMP_BUCKETS}"
+    c_expr = (
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT)" if token_weighted else "count(*)"
+    )
+    text_guard = " AND text IS NOT NULL" if token_weighted else ""
     return f"""
-    WITH counts AS (SELECT lang, count(*) AS c FROM documents
-                    WHERE lang IS NOT NULL GROUP BY lang),
+    WITH counts AS (SELECT lang, {c_expr} AS c FROM documents
+                    WHERE lang IS NOT NULL{text_guard} GROUP BY lang),
     m AS (SELECT min(c) AS cmin FROM counts),
     rates AS (
       SELECT lang,
@@ -1837,7 +1881,7 @@ def _sample_temperature_sql() -> str:
     )
     SELECT d.doc_id, d.lang, {bucket} AS bucket, r.thr
     FROM documents d JOIN rates r ON r.lang = d.lang
-    WHERE {bucket} < r.thr
+    WHERE {bucket} < r.thr{text_guard}
     """
 
 
@@ -2019,6 +2063,7 @@ def dataops_queries():
         "sample_stratified": q_sample_stratified,
         "sample_correlated_lineitem": q_sample_correlated_lineitem,
         "sample_temperature": q_sample_temperature,
+        "sample_temperature_tokens": q_sample_temperature_tokens,
         "quota_topk_by_lang": q_quota_topk_by_lang,
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_selfrepeat": q_text_selfrepeat,
@@ -2052,6 +2097,7 @@ def dataops_oracles():
         "sample_stratified": _sample_stratified_sql(),
         "sample_correlated_lineitem": _sample_correlated_sql(),
         "sample_temperature": _sample_temperature_sql(),
+        "sample_temperature_tokens": _sample_temperature_sql(token_weighted=True),
         "quota_topk_by_lang": Q_QUOTA_TOPK_SQL,
         "tfidf_top_terms": Q_TFIDF_SQL,
         "text_selfrepeat": _text_selfrepeat_sql(),
