@@ -145,6 +145,61 @@ def test_substring_rewrite_cuts_exactly_the_spans(spark, monkeypatch):
     assert got[2][1] == 0 and got[2][0].startswith("u1 u2")
 
 
+def test_substring_spans_matches_bruteforce_on_random_corpora(spark):
+    """Oracle-independent check: spans computed by the relational pipeline
+    must equal a direct Python reference (hash the L-grams, count, merge
+    islands) on random corpora with planted repeats — guards the window
+    arithmetic against a correlated bug in the SQL oracle."""
+    import hashlib
+
+    import numpy as np
+
+    def ref_spans(docs, l):
+        occ = {}
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            for i in range(len(toks) - l + 1):
+                sh = " ".join(toks[i : i + l])
+                h = int(hashlib.md5(sh.encode()).hexdigest()[:15], 16)
+                occ.setdefault(h, []).append((doc_id, i + 1))
+        dup_starts = {}
+        for h, locs in occ.items():
+            if len(locs) >= 2:
+                for doc_id, start in locs:
+                    dup_starts.setdefault(doc_id, set()).add(start)
+        out = set()
+        for doc_id, starts in dup_starts.items():
+            ss = sorted(starts)
+            lo = prev = ss[0]
+            for s in ss[1:]:
+                if s - prev > l:
+                    out.add((doc_id, lo, prev + l - 1))
+                    lo = s
+                prev = s
+            out.add((doc_id, lo, prev + l - 1))
+        return out
+
+    rng = np.random.default_rng(5)
+    for trial in range(2):
+        docs = []
+        vocab = [f"w{i}" for i in range(30)]
+        for d in range(12):
+            toks = [vocab[i] for i in rng.integers(0, len(vocab), 25)]
+            docs.append((d, " ".join(toks)))
+        # plant a shared 9-token phrase into two docs at random offsets
+        phrase = [f"p{trial}_{i}" for i in range(9)]
+        for d in (3, 7):
+            toks = docs[d][1].split(" ")
+            off = int(rng.integers(0, 10))
+            docs[d] = (d, " ".join(toks[:off] + phrase + toks[off:]))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in dataops.substring_spans(df, l=6).collect()
+        }
+        assert got == ref_spans(docs, 6), trial
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 5-node chain needs several propagation rounds; two disjoint
     clusters must keep distinct canonicals; the fixpoint must be exact."""
