@@ -246,11 +246,15 @@ def merge_sketches(
     keys = group_cols or [_GLOBAL_KEY]
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # canonical merge order (sort by blob bytes): hg64/HLL/CMS/Bloom/MG
+        # canonical merge order (sort by blob bytes): hg64/HLL/CMS/Bloom
         # merges are order-insensitive so this changes nothing for them, but
-        # KLL and t-digest are order-SENSITIVE — without a canonical order
-        # the shuffle's arrival order would make the merged sketch vary run
-        # to run.  With it, fixed input partitioning + partition-id-mixed
+        # KLL, t-digest AND MG are order-SENSITIVE — MG runs _shrink after
+        # every merge, so when intermediate merges overflow k the surviving
+        # counters depend on merge order (k=1 with partials {a:3},{b:3},
+        # {c:3}: ((A+B)+C) keeps c, ((A+C)+B) keeps b).  Without a canonical
+        # order the shuffle's arrival order would make those merged sketches
+        # vary run to run; the sort is load-bearing for all three.  With it,
+        # fixed input partitioning + partition-id-mixed
         # seeds make the distributed build bit-reproducible at ANY cluster
         # size (the north rule's identical-estimates criterion, asserted
         # across the N-vs-4N scaling probe in bench.py).

@@ -1584,6 +1584,16 @@ def connected_components_star(
     Per round: two groupBy-min + join passes over the (localCheckpointed,
     corpus-≪-sized) edge list; convergence = edge-set equality (cheap —
     the star edge set is one row per non-root node)."""
+    # the contraction itself only works over proper edges (u != v), but a
+    # node whose ONLY pair is a self-pair (x, x) is still a singleton
+    # component that min-label (and the recursive-CTE oracle) would emit as
+    # (x, x) — capture those nodes up front and union them back at the end
+    # so both library forms compute the same answer on general pair lists
+    selfies = (
+        pairs.filter(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("node"))
+        .distinct()
+    )
     sym = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionAll(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -1641,10 +1651,16 @@ def connected_components_star(
         edges.select(F.col("b").alias("doc_id"), F.col("a").alias("canonical_id"))
         .unionAll(edges.select(F.col("a").alias("doc_id"), F.col("a").alias("canonical_id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # self-pair-only singletons: in no proper edge, so absent from `labels`
+    # — they are their own canonical id (left_anti keeps a self-paired node
+    # that ALSO has proper edges out of this union; it already has a label)
+    extra = selfies.join(
+        labels, selfies["node"] == labels["doc_id"], "left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("canonical_id"))
+    out = labels.unionAll(extra).localCheckpoint(eager=True)
     _unpersist_checkpoint(edges)
-    return labels
+    return out
 
 
 def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -111,12 +111,16 @@ def _guarded_weight(weight_col: str) -> Column:
     a negative weight FAILS the job (KLL/t-digest/MG raise ValueError; CMS's
     never-underestimate guarantee silently breaks on negative adds —
     `hg64_add`'s inc is uint64, `/root/reference/hg64.h:60-63`).  Fractional
-    weights remain the caller's contract (the gates use integer columns)."""
-    return F.col(weight_col) + F.expr(
-        f"CASE WHEN {weight_col} < 0 THEN "
-        f"CAST(raise_error('sketch weights must be non-negative; got negative {weight_col}') AS LONG) "
-        f"ELSE 0 END"
-    )
+    weights remain the caller's contract (the gates use integer columns).
+
+    Built with the Column API (not an interpolated SQL string) so column
+    names needing backticks — spaces, hyphens, dots — resolve like every
+    other path that uses F.col(weight_col)."""
+    guard = F.when(
+        F.col(weight_col) < 0,
+        F.expr("CAST(raise_error('sketch weights must be non-negative') AS LONG)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return F.col(weight_col) + guard
 
 
 # ------------------------------------------------------------------ HLL/Bloom

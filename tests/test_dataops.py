@@ -221,12 +221,17 @@ def test_star_contraction_matches_min_label(spark):
     cases = [
         [(i, i + 1) for i in range(30)],  # 31-node chain, diameter 30
         [(0, i) for i in range(1, 12)],  # star
+        # self-pairs: a node whose ONLY pair is (x, x) is a singleton
+        # component both forms must emit as (x, x); a self-pair on a node
+        # with proper edges must NOT duplicate or relabel it
+        [(7, 7), (1, 2), (2, 2)],
+        [(3, 3)],
     ]
     rng = np.random.default_rng(11)
-    for _ in range(2):  # random sparse graphs with several components
+    for _ in range(2):  # random sparse graphs (self-pairs included)
         n = 40
         e = rng.integers(0, n, size=(45, 2))
-        cases.append([(int(a), int(b)) for a, b in e if a != b])
+        cases.append([(int(a), int(b)) for a, b in e])
     for pairs_list in cases:
         pairs = spark.createDataFrame(pairs_list, "doc_a long, doc_b long")
         # the chain needs diameter rounds under min-label (that cost IS why

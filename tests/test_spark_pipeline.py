@@ -461,6 +461,18 @@ def test_relational_weighted_paths_reject_negative_weights(spark):
         spark.createDataFrame([(5, 2), (5, 3)], "v long, w long"), "v", [], 5, weight_col="w"
     ).collect()
     assert ok[0]["count"] == 5
+    # the guard is built with the Column API, so a weight column whose name
+    # needs backticks (hyphens/spaces) resolves instead of being parsed as
+    # SQL fragments (dotted names stay out: F.col itself treats dots as
+    # struct-field access, matching every other weight_col path here)
+    odd = spark.createDataFrame([(5, 2), (5, 3)], "v long, `w col-x` long")
+    ok2 = relational.hg64_counts(odd, "v", [], 5, weight_col="w col-x").collect()
+    assert ok2[0]["count"] == 5
+    with pytest.raises(Exception, match="non-negative"):
+        relational.hg64_counts(
+            spark.createDataFrame([(5, -2)], "v long, `w col-x` long"),
+            "v", [], 5, weight_col="w col-x",
+        ).collect()
 
 
 def test_relational_quantiles_reject_q_ge_1(spark):
