@@ -232,12 +232,11 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         # sample_mod=4: train the coarse quantizer on the deterministic
         # every-4th subset — the production shape (Lloyd over all of 100 TB
-        # would dominate the job).  Seeds come from the full set so K and
-        # the centroid ids are unchanged (unit-tested), but sampled Lloyd
-        # means DO move the centroid coordinates, so this line times a
-        # slightly different quantizer than the full-train driver gate —
-        # which is why it asserts the recall floor itself instead of just
-        # counting rows.
+        # would dominate the job), and since round 5 also the driver gate's
+        # default.  Seeds come from the full set so K and the centroid ids
+        # are unchanged (unit-tested); sampled Lloyd means DO move centroid
+        # coordinates, which is why the query self-certifies the recall
+        # floor instead of just counting rows.
         rows = dataops.q_ann_ivf_recall(spark, "/root/testdata/sf0.01", sample_mod=4).collect()
         ok = sum(r["recall_ok"] for r in rows)
         if ok != len(rows):  # not a bare assert: load-bearing even under -O

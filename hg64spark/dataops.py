@@ -1117,7 +1117,7 @@ def _ivf_train(
     return cents
 
 
-def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 1) -> DataFrame:
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: deterministic seeded k-means
     (spherical Lloyd, DataFrame-only — see _ivf_train), inverted lists =
     argmax-centroid assignment, probes search the nprobe nearest lists,
@@ -1130,7 +1130,10 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 1) -> D
     probing touches only the selected inverted lists (an equi-join on
     centroid id).  ``sample_mod`` > 1 trains the quantizer on the
     every-``sample_mod``-th subset (the production shape — see _ivf_train);
-    the bench line uses it, the driver gate keeps the default full train."""
+    the DEFAULT is sampled training (mod 4) so the driver gate and the
+    bench line both exercise the shape you'd run at corpus scale — the gate
+    still self-certifies the recall floor, which is what makes sampled
+    centroids safe to gate.  Pass sample_mod=1 for the full train."""
     e = _scaled(spark, sf_dir)
     cents = _ivf_train(spark, e, sample_mod=sample_mod)
     assigned = _ivf_rank(e, cents, 1).select("vec_id", "cid")

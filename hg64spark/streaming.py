@@ -75,6 +75,33 @@ def windowed_hg64_counts(
     ).agg(F.count("*").alias("count"))
 
 
+def dedup_stream_watermarked(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stateful streaming dedup: ``withWatermark`` +
+    ``dropDuplicates([*key_cols, ts_col])`` — the state-BOUNDED form of the
+    exact streaming dedup (``dropDuplicates`` without a watermark keeps
+    every key forever, the unbounded-state hazard documented on the
+    unwatermarked gate).
+
+    Because the event-time column is one of the dedup keys, Spark evicts
+    state rows once the watermark passes their timestamp, and drops
+    later-than-watermark input rows outright.  The late-row drop is
+    load-bearing, not incidental: a late duplicate whose state was already
+    evicted would otherwise be re-emitted as new (asserted across a
+    checkpoint restart in tests/test_streaming.py).  State is one row per
+    distinct (key..., ts) inside the watermark horizon — bounded by arrival
+    rate x delay, independent of total stream length.
+
+    Returns the streaming DataFrame; callers attach an append-mode sink."""
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicates(
+        [*key_cols, ts_col]
+    )
+
+
 def sketch_stream_stateful(
     stream_df: DataFrame,
     value_col: str,

@@ -217,3 +217,54 @@ def test_windowed_watermark_drops_late_rows_and_emits_final_counts(spark, tmp_pa
     assert 10 not in starts2, f"late row retro-opened a closed window: {rows2}"
     # the [100,110) window (the run-1 pusher) is finalized in run 2 with count 1
     assert (100 in starts2) and sum(c for w, _, c in rows2 if w.second + w.minute * 60 == 100) == 1
+
+
+def test_watermarked_dedup_bounds_state_and_drops_late_duplicates(spark, tmp_path):
+    """Watermarked streaming dedup (withWatermark + dropDuplicates over
+    [key, ts]): (a) in-batch duplicates are emitted once; (b) across a
+    checkpoint restart the watermark is recovered and a LATE duplicate is
+    dropped — load-bearing, because its state row was already evicted
+    (ts < watermark), so without the late-drop it would re-emit as new;
+    (c) an on-time new key still passes."""
+    import datetime
+
+    from pyspark.sql.types import StringType, TimestampType
+
+    from hg64spark.streaming import dedup_stream_watermarked
+
+    src = tmp_path / "ddsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "ddckpt")
+    out_dir = str(tmp_path / "ddout")
+    schema = StructType([StructField("ts", TimestampType()), StructField("k", StringType())])
+
+    def ts(sec):
+        return datetime.datetime(2026, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=sec)
+
+    def run(prev_rows):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        dd = dedup_stream_watermarked(stream, ["k"], "ts", watermark_delay="10 seconds")
+        q = (dd.select("k", "ts").writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        rows = [(r["k"], r["ts"].second + r["ts"].minute * 60)
+                for r in spark.read.parquet(out_dir).collect()]
+        new = list(rows)
+        for r in prev_rows:
+            new.remove(r)
+        return rows, new
+
+    # run 1: k1@11 twice (in-batch dup) + a pusher k2@100 -> watermark 90s
+    spark.createDataFrame([(ts(11), "k1"), (ts(11), "k1"), (ts(100), "k2")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    all1, new1 = run([])
+    assert sorted(new1) == [("k1", 11), ("k2", 100)], new1
+
+    # run 2: k1@11 again — late (11 < 90) AND state-evicted: must NOT
+    # re-emit; k2@100 duplicate with live state: dropped by dedup; k3@95
+    # on-time new key: emitted
+    spark.createDataFrame([(ts(11), "k1"), (ts(100), "k2"), (ts(95), "k3")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    _, new2 = run(all1)
+    assert sorted(new2) == [("k3", 95)], new2
