@@ -152,8 +152,16 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         return agg.hg64_quantiles(sk, [], [0.5, 0.9, 0.99]).collect()
 
     def q_ingest_hg64():
+        from hg64spark import relational
+
+        # fused_group_domain=8: tool_id is hash-bucketed into [0,8) by
+        # construction, so the grouped count rides the fused single-column
+        # HashAggregate (measured ~1.5x on the sketch marginal; exact —
+        # un-fused after the tiny aggregate, out-of-domain fails the job)
         d = generated_stream(spark, SCALE_ROWS, CPUS)
-        return agg.hg64_agg(d, "latency_us", ["tool_id"], 5).collect()
+        return relational.hg64_agg_relational(
+            d, "latency_us", ["tool_id"], 5, fused_group_domain=8
+        ).collect()
 
     def q_hll_distinct_convs():
         from hg64spark import relational
@@ -395,12 +403,19 @@ def scaling_probe_child(cpus: int) -> None:
     def stream(n_rows: int):
         return generated_stream(spark, n_rows, cpus, partitions=SCALING_INPUT_PARTITIONS)
 
-    # warm-up: JIT + plan compile on a small prefix
-    relational.hg64_counts(stream(1_000_000), "latency_us", ["tool_id"], 5).collect()
+    # warm-up: JIT + plan compile on a small prefix (fused single-column
+    # group key, same plan shape as the main bench's ingest line)
+    relational.hg64_counts(
+        stream(1_000_000), "latency_us", ["tool_id"], 5, fused_group_domain=8
+    ).collect()
     d = stream(SCALING_N)
     best, rows = None, None
     for _ in range(3):
-        sec, rows = timed(lambda: relational.hg64_counts(d, "latency_us", ["tool_id"], 5).collect())
+        sec, rows = timed(
+            lambda: relational.hg64_counts(
+                d, "latency_us", ["tool_id"], 5, fused_group_domain=8
+            ).collect()
+        )
         best = sec if best is None else min(best, sec)
     # north_rule: "reproducing identical sketch estimates at both sizes" —
     # digest the results so the parent can assert N and 4N computed the SAME

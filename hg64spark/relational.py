@@ -89,12 +89,24 @@ def hg64_counts(
     group_cols: Sequence[str] = (),
     sigbits: int = 5,
     weight_col: str | None = None,
+    fused_group_domain: int | None = None,
 ) -> DataFrame:
     """(group..., hg64_key, count) — the sketch in relational form.  This IS
     a valid query result on its own (the exploded-bucket view) and the input
     to sketch materialization.  With ``weight_col`` the update is the
     reference's weighted `hg64_add(value, inc)` (`hg64.c:251-254`):
-    count = sum of weights per bucket."""
+    count = sum of weights per bucket.
+
+    ``fused_group_domain``: opt-in hot-path for ONE integer group column
+    whose values are known to lie in [0, domain) — the group value and the
+    hg64 key are fused into a single long (group*nkeys + key) so the
+    per-row HashAggregate probe hashes/compares ONE column instead of two,
+    then un-fused exactly after the (tiny) aggregate.  Measured ~1.5x on
+    the sketch-marginal ingest rate at 500M rows (309 -> 472M upd/s,
+    local[32]).  Exactness is preserved: NULL group values get their own
+    fused slot (= domain) and come back as NULL; a value outside the
+    declared domain FAILS the job plan-side rather than aliasing into
+    another group's slot."""
     group_cols = list(group_cols)
     cols = [*group_cols, value_col] + ([weight_col] if weight_col else [])
     keyed = with_hg64_key(df.select(*cols), value_col, sigbits)
@@ -103,6 +115,36 @@ def hg64_counts(
         if weight_col
         else F.count("*").alias("count")
     )
+    if fused_group_domain is not None:
+        if len(group_cols) != 1:
+            raise ValueError("fused_group_domain requires exactly one group column")
+        g = group_cols[0]
+        gtype = dict((f.name, f.dataType) for f in df.schema.fields)[g]
+        nk = km.nkeys(sigbits)
+        dom = int(fused_group_domain)
+        if dom <= 0 or dom * nk >= (1 << 62):
+            raise ValueError(f"fused_group_domain out of range: {dom}")
+        gval = F.col(g).cast("long")
+        guard = F.when(
+            (gval < 0) | (gval >= dom),
+            F.expr("CAST(raise_error('group value outside fused_group_domain') AS LONG)"),
+        ).otherwise(gval)
+        slot = F.coalesce(guard, F.lit(dom))  # NULL group -> its own slot
+        fused = keyed.select(
+            (slot * nk + F.col("hg64_key")).alias("__gk"),
+            *([weight_col] if weight_col else []),
+        )
+        out = fused.groupBy("__gk").agg(agg_expr)
+        # integer div, NOT `/`: float division loses exactness past 2^53
+        gslot = F.expr(f"__gk div {nk}")
+        return out.select(
+            F.when(gslot == dom, F.lit(None))
+            .otherwise(gslot)
+            .cast(gtype)
+            .alias(g),
+            F.pmod("__gk", F.lit(nk)).cast("int").alias("hg64_key"),
+            "count",
+        )
     return keyed.groupBy(*group_cols, "hg64_key").agg(agg_expr)
 
 
@@ -544,6 +586,7 @@ def hg64_agg_relational(
     group_cols: Sequence[str] = (),
     sigbits: int = 5,
     fold: str = "auto",
+    fused_group_domain: int | None = None,
 ) -> DataFrame:
     """(group..., sketch binary): same output contract as
     ``agg.sketch_agg`` but with the entire reduction in Catalyst; Python
@@ -556,7 +599,9 @@ def hg64_agg_relational(
     measured 7.5x faster at 20k groups (9.2s -> 1.2s).  "auto" = arrow for
     grouped, pandas for global.  Both produce byte-identical blobs (tested)."""
     group_cols = list(group_cols)
-    counts = hg64_counts(df, value_col, group_cols, sigbits)
+    counts = hg64_counts(
+        df, value_col, group_cols, sigbits, fused_group_domain=fused_group_domain
+    )
     fields = [f for f in counts.schema.fields if f.name in group_cols]
     out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
     nk = km.nkeys(sigbits)

@@ -475,6 +475,52 @@ def test_relational_weighted_paths_reject_negative_weights(spark):
         ).collect()
 
 
+def test_fused_group_counts_match_unfused(spark):
+    """The fused single-column HashAggregate (group*nkeys + key) must be
+    EXACTLY the two-column groupBy: same rows for in-domain groups, NULL
+    groups preserved via their own fused slot, weighted sums identical, and
+    byte-identical sketch blobs through hg64_agg_relational."""
+    from hg64spark import relational
+
+    rows = [(i % 7, (i * 2654435761) % 10**9, (i % 5) + 1) for i in range(5000)]
+    rows += [(None, 12345, 2), (None, 99999, 3)]
+    df = spark.createDataFrame(rows, "g int, v long, w long")
+
+    def norm(out):  # set, not sorted: NULL group values don't order in py
+        return {(r["g"], r["hg64_key"], r["count"]) for r in out.collect()}
+
+    plain = norm(relational.hg64_counts(df, "v", ["g"], 5))
+    fused = norm(relational.hg64_counts(df, "v", ["g"], 5, fused_group_domain=8))
+    assert plain == fused
+    wp = norm(relational.hg64_counts(df, "v", ["g"], 5, weight_col="w"))
+    wf = norm(relational.hg64_counts(df, "v", ["g"], 5, weight_col="w", fused_group_domain=8))
+    assert wp == wf
+    # sketch blobs byte-equal through the full relational pipeline
+    a = {r["g"]: bytes(r["sketch"]) for r in relational.hg64_agg_relational(df, "v", ["g"], 5).collect()}
+    b = {
+        r["g"]: bytes(r["sketch"])
+        for r in relational.hg64_agg_relational(df, "v", ["g"], 5, fused_group_domain=8).collect()
+    }
+    assert a == b and len(a) == 8  # 7 int groups + NULL
+
+
+def test_fused_group_counts_reject_out_of_domain(spark):
+    """A group value outside the declared fused domain must FAIL the job
+    plan-side — silently aliasing into another group's slot would corrupt
+    counts undetectably."""
+    from hg64spark import relational
+
+    df = spark.createDataFrame([(9, 5)], "g int, v long")
+    with pytest.raises(Exception, match="fused_group_domain"):
+        relational.hg64_counts(df, "v", ["g"], 5, fused_group_domain=8).collect()
+    with pytest.raises(Exception, match="fused_group_domain"):
+        relational.hg64_counts(
+            spark.createDataFrame([(-1, 5)], "g int, v long"), "v", ["g"], 5, fused_group_domain=8
+        ).collect()
+    with pytest.raises(ValueError, match="exactly one group column"):
+        relational.hg64_counts(df, "v", ["g", "v"], 5, fused_group_domain=8)
+
+
 def test_relational_quantiles_reject_q_ge_1(spark):
     from hg64spark import relational
 
