@@ -577,8 +577,9 @@ def scaling_probe() -> dict:
         ]
 
     def median_pair() -> float:
-        pe = sorted(pair_effs())
-        return pe[len(pe) // 2] if len(pe) % 2 else (pe[len(pe) // 2 - 1] + pe[len(pe) // 2]) / 2
+        import statistics
+
+        return statistics.median(pair_effs())
 
     # retry while EITHER the best-of headline OR the median complete pair
     # misses 0.8 (the round-4 artifact recorded headline 0.871 with a 0.752

@@ -1587,19 +1587,21 @@ def connected_components_star(
     Per round: two groupBy-min + join passes over the (localCheckpointed,
     corpus-≪-sized) edge list; convergence = edge-set equality (cheap —
     the star edge set is one row per non-root node)."""
+    # materialize the raw pair list ONCE: both the contraction input and the
+    # self-pair branch below derive from it, and the pair source is
+    # typically a whole un-cached dedup pipeline (MinHash-LSH + verify) that
+    # would otherwise be re-executed per derived branch
+    src = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=True)
     # the contraction itself only works over proper edges (u != v), but a
     # node whose ONLY pair is a self-pair (x, x) is still a singleton
     # component that min-label (and the recursive-CTE oracle) would emit as
     # (x, x) — capture those nodes up front and union them back at the end
     # so both library forms compute the same answer on general pair lists
-    selfies = (
-        pairs.filter(F.col(a_col) == F.col(b_col))
-        .select(F.col(a_col).alias("node"))
-        .distinct()
-    )
+    selfies = src.filter(F.col("u") == F.col("v")).select(F.col("u").alias("node")).distinct()
     sym = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionAll(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        src.unionAll(src.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -1663,6 +1665,7 @@ def connected_components_star(
     ).select(F.col("node").alias("doc_id"), F.col("node").alias("canonical_id"))
     out = labels.unionAll(extra).localCheckpoint(eager=True)
     _unpersist_checkpoint(edges)
+    _unpersist_checkpoint(src)
     return out
 
 

@@ -1076,9 +1076,12 @@ _GATE_ORDER = [
     "sample_temperature",
     "sample_temperature_tokens",
     "quota_topk_by_lang",
-    "tfidf_top_terms",
     # -- rotated out for round 5 (green r1–r4; *_rel twins byte-equality
-    #    pytest-asserted against in-window siblings)
+    #    pytest-asserted against in-window siblings).  NOTE: sections above
+    #    this line plus the auto-fronted NEW queries must total <= 50 — the
+    #    observed driver cap — or the tail of the in-window set silently
+    #    loses its round's driver row
+    "tfidf_top_terms",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",

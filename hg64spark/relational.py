@@ -116,10 +116,21 @@ def hg64_counts(
         else F.count("*").alias("count")
     )
     if fused_group_domain is not None:
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
         if len(group_cols) != 1:
             raise ValueError("fused_group_domain requires exactly one group column")
         g = group_cols[0]
         gtype = dict((f.name, f.dataType) for f in df.schema.fields)[g]
+        # integral only: a fractional group value would TRUNCATE through the
+        # cast-to-long and silently alias into another group's slot (2.5 ->
+        # slot 2), and a non-numeric one would cast to NULL and merge with
+        # genuine NULL groups — both contradict the fails-not-aliases
+        # contract, so reject the column type up front
+        if not isinstance(gtype, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"fused_group_domain requires an integral group column; {g!r} is {gtype}"
+            )
         nk = km.nkeys(sigbits)
         dom = int(fused_group_domain)
         if dom <= 0 or dom * nk >= (1 << 62):
@@ -158,9 +169,16 @@ def _guarded_weight(weight_col: str) -> Column:
     Built with the Column API (not an interpolated SQL string) so column
     names needing backticks — spaces, hyphens, dots — resolve like every
     other path that uses F.col(weight_col)."""
+    # the column NAME rides inside the SQL string literal (standard ''
+    # doubling for any embedded quote), so failure messages still say which
+    # weight column went negative without the name touching SQL syntax
+    safe_name = weight_col.replace("'", "''")
     guard = F.when(
         F.col(weight_col) < 0,
-        F.expr("CAST(raise_error('sketch weights must be non-negative') AS LONG)"),
+        F.expr(
+            f"CAST(raise_error('sketch weights must be non-negative; "
+            f"got negative {safe_name}') AS LONG)"
+        ),
     ).otherwise(F.lit(0).cast("long"))
     return F.col(weight_col) + guard
 

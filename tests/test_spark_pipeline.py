@@ -519,6 +519,19 @@ def test_fused_group_counts_reject_out_of_domain(spark):
         ).collect()
     with pytest.raises(ValueError, match="exactly one group column"):
         relational.hg64_counts(df, "v", ["g", "v"], 5, fused_group_domain=8)
+    # non-integral group columns must be rejected up front: a double would
+    # TRUNCATE through the cast (2.5 -> slot 2) and a string would cast to
+    # NULL and merge with genuine NULL groups — silent aliasing either way
+    with pytest.raises(ValueError, match="integral group column"):
+        relational.hg64_counts(
+            spark.createDataFrame([(2.5, 5)], "g double, v long"), "v", ["g"], 5,
+            fused_group_domain=8,
+        )
+    with pytest.raises(ValueError, match="integral group column"):
+        relational.hg64_counts(
+            spark.createDataFrame([("a", 5)], "g string, v long"), "v", ["g"], 5,
+            fused_group_domain=8,
+        )
 
 
 def test_relational_quantiles_reject_q_ge_1(spark):
