@@ -1318,6 +1318,182 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
 
 
+#: near-dup decontamination threshold — same hashed-shingle Jaccard space
+#: and threshold as the dedup operators, so "this training doc is a
+#: near-copy of an eval doc" means exactly what "these two training docs
+#: are near-copies" means
+DECON_NEARDUP_TAU = NEARDUP_TAU
+
+
+def q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination: (doc_id, probe_id, jaccard) for
+    every corpus doc whose hashed-shingle Jaccard with an eval-probe doc is
+    >= DECON_NEARDUP_TAU.  Exact-overlap decontamination
+    (`q_decontaminate_overlap`) misses the realistic leak shape — eval
+    content lightly edited into training data shares most but not all
+    shingles; this operator catches it with the SAME similarity definition
+    the near-dup dedup family uses (60-bit hashed shingles, oracle-
+    mirrored), over the augmented corpus whose planted truncated copies of
+    the probe docs are guaranteed contamination the gate must find.
+
+    Scale shape — exploits that eval sets are tiny by definition:
+      1. probe shingle sets broadcast (as in the exact-overlap operator);
+      2. candidate intersections from ONE broadcast join of the raw corpus
+         shingle stream against the probe shingles — only probe-matching
+         rows survive, so no corpus self-join, no df cap needed (skew is
+         bounded by the probe set), and NO LSH recall risk: with a
+         broadcastable probe side the exact intersection IS affordable,
+         so this is lossless where banding would be probabilistic;
+      3. corpus doc sizes (the Jaccard denominator) computed ONLY for docs
+         with >= 1 hit — the corpus shingle stream is semi-join-pruned
+         before its distinct, so the full corpus is never Exchanged
+         (the prune-first discipline of the overlap operator).
+    For probe sets too large to broadcast raw, compose the Bloom prune
+    (`bloom_words_relational`) in front, or fall back to the banded
+    `minhash_neardup_pairs` machinery."""
+    c = augmented_corpus(spark, sf_dir)
+    probe_sh = (
+        shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS))
+        .select(F.col("doc_id").alias("probe_id"), _tokhash_spark(F.col("sh")).alias("hh"))
+        .distinct()
+    )
+    corpus_sh = raw_shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS)).select(
+        "doc_id", _tokhash_spark(F.col("sh")).alias("hh")
+    )
+    inter = (
+        corpus_sh.join(F.broadcast(probe_sh), "hh")
+        .select("doc_id", "probe_id", "hh")
+        .distinct()
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("c"))
+    )
+    hitdocs = inter.select("doc_id").distinct()
+    na = (
+        corpus_sh.join(F.broadcast(hitdocs), "doc_id", "left_semi")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("na"))
+    )
+    nb = probe_sh.groupBy("probe_id").agg(F.count("*").alias("nb"))
+    jac = (
+        F.col("c").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    )
+    return (
+        inter.join(na, "doc_id")
+        .join(F.broadcast(nb), "probe_id")
+        .select("doc_id", "probe_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= DECON_NEARDUP_TAU)
+    )
+
+
+def _decontaminate_neardup_sql() -> str:
+    ks = _keyed_shingles_sql(AUGMENTED_SQL, hashed=True)
+    p = DECON_PROBE_DOCS
+    jac = "CAST(i.c AS DOUBLE) / CAST(na.na + nb.nb - i.c AS DOUBLE)"
+    return f"""
+    WITH ks AS ({ks}),
+    probe AS (SELECT doc_id AS probe_id, sh FROM ks WHERE doc_id < {p}),
+    corp AS (SELECT doc_id, sh FROM ks WHERE doc_id >= {p}),
+    na AS (SELECT doc_id, count(*) AS na FROM corp GROUP BY 1),
+    nb AS (SELECT probe_id, count(*) AS nb FROM probe GROUP BY 1),
+    inter AS (
+        SELECT c.doc_id, p.probe_id, count(*) AS c
+        FROM corp c JOIN probe p ON c.sh = p.sh GROUP BY 1, 2
+    )
+    SELECT i.doc_id, i.probe_id, {jac} AS jaccard
+    FROM inter i
+    JOIN na ON na.doc_id = i.doc_id
+    JOIN nb ON nb.probe_id = i.probe_id
+    WHERE {jac} >= {DECON_NEARDUP_TAU}
+    """
+
+
+# --------------------------------------------------- token-budget packing
+
+#: tokens per training shard for the packing gate — small enough that the
+#: documents table fills many shards, large enough that each holds several
+#: docs (documents run ~100-300 whitespace tokens)
+PACK_BUDGET = 2048
+
+#: range buckets for the distributed prefix sum: the first two hex chars of
+#: the md5 ordering key define 256 CONTIGUOUS ranges of the global order,
+#: so per-bucket cumulative sums + a 256-row offset table compose into the
+#: exact global running total without any single-partition window over data
+PACK_BUCKETS_HEX = 2
+
+
+def pack_token_shards(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """(doc_id, n_tokens, shard_id): deterministic token-budget shard
+    packing — the sequence-packing front of a training pipeline (fill each
+    shard with consecutive docs until the token budget is spent).  Docs are
+    laid out in md5(doc_id) order (a deterministic shuffle, so shards are
+    content-homogeneous mixes rather than source-clustered runs) and a doc
+    goes to the shard its RUNNING-TOTAL START falls into:
+    shard = floor(cum_before_doc / budget).  A doc straddling a boundary
+    stays whole in its start shard, so a shard can exceed the budget by at
+    most one document (the standard pack-whole-documents overflow rule;
+    splitting is a rewrite operator's job, not an assignment's).
+
+    Scale shape — the classic two-level distributed prefix sum, NO global
+    single-partition window over the data: the md5 ordering key's first two
+    hex chars range-partition the order into 256 contiguous buckets;
+    per-bucket running totals are an ordinary partitioned window, bucket
+    totals are 256 rows whose own running offset is driver-trivial, and one
+    broadcast join composes the exact global running total.  Everything is
+    integer arithmetic on both engines, so the oracle matches bit-for-bit."""
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn("b", F.substring("h", 1, PACK_BUCKETS_HEX))
+    w = (
+        Window.partitionBy("b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.withColumn("lcum", F.sum("n_tokens").over(w))
+    # 256-row offset table: the one intentionally-global window in the plan
+    # runs over bucket TOTALS (bounded by 16^PACK_BUCKETS_HEX rows), never
+    # over the data
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    off = (
+        d.groupBy("b")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn("off", F.coalesce(F.sum("btot").over(wb), F.lit(0)))
+        .select("b", "off")
+    )
+    return local.join(F.broadcast(off), "b").select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(off + lcum - n_tokens) div {int(budget)}").alias("shard_id"),
+    )
+
+
+def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing gate over the documents table (see
+    :func:`pack_token_shards`); oracle = one SQL running-total window over
+    the same md5 order, integer-exact in both engines."""
+    return pack_token_shards(_docs(spark, sf_dir))
+
+
+def _pack_token_shards_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d
+    )
+    SELECT doc_id, n_tokens, (cum - n_tokens) // {PACK_BUDGET} AS shard_id FROM c
+    """
+
+
 # ------------------------------------- exact-substring spans / clustering
 
 #: minimum repeated-substring length in TOKENS for span dedup (the
@@ -2091,6 +2267,8 @@ def dataops_queries():
         "text_selfrepeat": q_text_selfrepeat,
         "decontaminate_overlap": q_decontaminate_overlap,
         "decontaminate_bloom": q_decontaminate_bloom,
+        "decontaminate_neardup": q_decontaminate_neardup,
+        "pack_token_shards": q_pack_token_shards,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_rewrite": q_dedup_substring_rewrite,
         "dedup_cluster": q_dedup_cluster,
@@ -2127,6 +2305,8 @@ def dataops_oracles():
         # the Bloom-pruned variant must reach the SAME answer as the exact
         # broadcast operator — one oracle serves both
         "decontaminate_bloom": _decontaminate_sql(),
+        "decontaminate_neardup": _decontaminate_neardup_sql(),
+        "pack_token_shards": _pack_token_shards_sql(),
         "dedup_substring": _dedup_substring_sql(),
         "dedup_substring_rewrite": _dedup_substring_rewrite_sql(),
         "dedup_cluster": _dedup_cluster_sql(),

@@ -1062,8 +1062,6 @@ _GATE_ORDER = [
     "text_winnow",
     "text_selfrepeat",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
     "dedup_substring",
     "dedup_substring_rewrite",
     "dedup_cluster",
@@ -1082,6 +1080,8 @@ _GATE_ORDER = [
     #    observed driver cap — or the tail of the in-window set silently
     #    loses its round's driver row
     "tfidf_top_terms",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",

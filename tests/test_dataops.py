@@ -560,3 +560,54 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     assert mine == want
     # every item contributes at least one frame
     assert {r["item_id"] for r in frames} == {r["item_id"] for r in items.select("item_id").collect()}
+
+
+def test_decontaminate_neardup_finds_planted_probe_copies(spark):
+    """The planted truncated copy of every probe doc must be flagged as
+    near-dup contamination of its source probe with jaccard >= tau, probe
+    docs themselves never appear as contaminated, and every reported pair
+    meets the threshold."""
+    out = dataops.q_decontaminate_neardup(spark, "/root/testdata/sf0.001").collect()
+    assert out, "no contamination found — the planted copies guarantee some"
+    for r in out:
+        assert r["doc_id"] >= dataops.DECON_PROBE_DOCS
+        assert r["probe_id"] < dataops.DECON_PROBE_DOCS
+        assert r["jaccard"] >= dataops.DECON_NEARDUP_TAU
+    flagged = {(r["probe_id"], r["doc_id"]) for r in out}
+    for p in range(dataops.DECON_PROBE_DOCS):
+        assert (p, p + dataops.PLANT_OFFSET) in flagged, f"planted copy of probe {p} missed"
+
+
+def test_pack_token_shards_exact_and_partitioning_invariant(spark):
+    """Shard assignment must equal the single-threaded greedy reference
+    (md5 order, start-offset rule) exactly, be invariant under input
+    partitioning (the two-level prefix sum is where that could break), and
+    keep every shard within budget + one straddling document."""
+    import hashlib
+
+    rows = [(i, " ".join(["w"] * ((i * 37) % 400 + 1))) for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 1000
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in dataops.pack_token_shards(docs, budget=budget).collect()
+    }
+    got_rep = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in dataops.pack_token_shards(docs.repartition(7), budget=budget).collect()
+    }
+    assert got == got_rep
+    # single-threaded greedy reference
+    order = sorted(rows, key=lambda t: (hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]))
+    cum, want = 0, {}
+    for doc_id, text in order:
+        n = len(text.split(" "))
+        want[doc_id] = (n, cum // budget)
+        cum += n
+    assert got == want
+    # overflow rule: a shard holds at most budget + (its last doc) tokens
+    per_shard = {}
+    for n, s in got.values():
+        per_shard.setdefault(s, []).append(n)
+    for s, ns in per_shard.items():
+        assert sum(ns) <= budget + max(ns), (s, sum(ns))
