@@ -921,6 +921,63 @@ def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append_parquet(spark, flat, base)
 
 
+#: sliding (hopping) window geometry: 2-day windows advancing by 1 day, so
+#: every event lands in exactly window/slide = 2 overlapping windows
+_SLIDE_WINDOW_S = 2 * 86_400
+_SLIDE_STEP_S = 86_400
+
+
+def q_sliding_hg64_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time windows over the batch path: hg64 keyed counts per
+    2-day window hopping by 1 day — ``F.window(ts, dur, slide)`` composes
+    with the relational hg64 key like any other group column, so Catalyst's
+    own window-expansion generate (each row fans out to window/slide rows)
+    feeds one HashAggregate; no Python anywhere.  Complements the tumbling
+    streaming gate: hopping windows are the moving-percentile shape
+    (latency p99 over the trailing 2 days, refreshed daily).  Timezone-
+    proof by the same integer-µs discipline as the streaming gates; the
+    oracle reproduces Spark's epoch-aligned window-start assignment with an
+    explicit unnest over the window/slide overlaps."""
+    from hg64spark import relational
+
+    ev = io.read_table(spark, sf_dir, "events").filter(
+        "ts IS NOT NULL AND value IS NOT NULL"
+    )
+    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    d = ev.select(
+        F.timestamp_micros(us).alias("tse"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    keyed = relational.with_hg64_key(d, "v", SIGBITS)
+    out = keyed.groupBy(
+        F.window("tse", f"{_SLIDE_WINDOW_S} seconds", f"{_SLIDE_STEP_S} seconds"),
+        "hg64_key",
+    ).agg(F.count("*").alias("count"))
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("wstart_us"),
+        F.col("hg64_key").cast("long").alias("key"),
+        F.col("count").cast("long").alias("count"),
+    )
+
+
+def _sliding_hg64_oracle() -> str:
+    s_us = _SLIDE_STEP_S * 1_000_000
+    nover = _SLIDE_WINDOW_S // _SLIDE_STEP_S
+    return f"""
+    WITH src AS (
+        SELECT epoch_us(ts) AS us, CAST(floor(value * 1000) AS BIGINT) AS v FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    w AS (
+        SELECT v, unnest([(us // {s_us}) * {s_us} - k * {s_us}
+                          FOR k IN range(0, {nover})]) AS wstart_us
+        FROM src
+    )
+    SELECT wstart_us, {sqloracle.key_expr("v", SIGBITS)} AS key, count(*) AS count
+    FROM w GROUP BY 1, 2
+    """
+
+
 def _streaming_windowed_oracle() -> str:
     w_us = _STREAM_WINDOW_S * 1_000_000
     d_us = _STREAM_DELAY_S * 1_000_000
@@ -1059,7 +1116,6 @@ _GATE_ORDER = [
     "kll_latency_by_tool",
     "cms_top_tools_by_role_rel",
     "cms_weighted_parts_rel",
-    "text_winnow",
     "text_selfrepeat",
     "dedup_minhash_lsh",
     "dedup_substring",
@@ -1082,6 +1138,7 @@ _GATE_ORDER = [
     "tfidf_top_terms",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "text_winnow",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",
@@ -1153,6 +1210,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
+        "sliding_hg64_events": q_sliding_hg64_events,
     }
 
 
@@ -1279,6 +1337,7 @@ def _core_oracles() -> dict[str, str]:
             "epoch_us(ts) AS us FROM events "
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
         ),
+        "sliding_hg64_events": _sliding_hg64_oracle(),
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"
