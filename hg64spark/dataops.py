@@ -1352,8 +1352,12 @@ def q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`bloom_words_relational`) in front, or fall back to the banded
     `minhash_neardup_pairs` machinery."""
     c = augmented_corpus(spark, sf_dir)
+    # hash the RAW probe shingle stream, then ONE distinct over the hashed
+    # keys — a distinct on the raw strings first would be a second, wasted
+    # shuffle (hashing is injective enough that the post-hash distinct
+    # already defines the set, as in the oracle's keyed-shingles CTE)
     probe_sh = (
-        shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS))
+        raw_shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS))
         .select(F.col("doc_id").alias("probe_id"), _tokhash_spark(F.col("sh")).alias("hh"))
         .distinct()
     )

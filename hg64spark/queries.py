@@ -849,6 +849,19 @@ def q_streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append_parquet(spark, stream, base)
 
 
+def _tz_proof_event_time():
+    """Timezone-proof event-time instant from the parquet ``ts`` column —
+    the ONE place this load-bearing discipline lives: parquet ts loads as
+    TIMESTAMP_NTZ, but watermarks/windows need TIMESTAMP, and a plain cast
+    would shift by the session timezone.  So: NTZ-diff to integer
+    microseconds (tz-free), rebuild the instant with timestamp_micros
+    (tz-free); consumers export with unix_micros (tz-free) and every
+    oracle mirrors in pure integer µs (epoch_us)."""
+    return F.timestamp_micros(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    )
+
+
 def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The state-BOUNDED streaming dedup — ``withWatermark`` +
     ``dropDuplicates([h, tse])`` over the events stream (events carries the
@@ -865,14 +878,13 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     from hg64spark.streaming import dedup_stream_watermarked
 
     base, src_dir, schema = _stream_source(spark, sf_dir)
-    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     src = (
         spark.readStream.schema(schema)
         .parquet(src_dir)
         .filter("ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL")
         .select(
             F.md5(F.concat_ws("|", F.col("user_id").cast("string"), "event_type")).alias("h"),
-            F.timestamp_micros(us).alias("tse"),
+            _tz_proof_event_time().alias("tse"),
         )
     )
     deduped = dedup_stream_watermarked(
@@ -891,17 +903,11 @@ def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hg64spark.streaming import windowed_hg64_counts
 
     base, src_dir, schema = _stream_source(spark, sf_dir)
-    # parquet ts loads as TIMESTAMP_NTZ, but watermarks require TIMESTAMP —
-    # and a plain cast would shift by the session timezone.  Timezone-proof
-    # instead: NTZ-diff to integer microseconds (tz-free), rebuild the
-    # instant with timestamp_micros (tz-free), and export window starts with
-    # unix_micros (tz-free) — the oracle mirrors in pure integer µs.
-    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     stream = (
         spark.readStream.schema(schema)
         .parquet(src_dir)
         .select(
-            F.timestamp_micros(us).alias("tse"),
+            _tz_proof_event_time().alias("tse"),
             F.floor(F.col("value") * 1000).cast("long").alias("v"),
         )
     )
@@ -943,9 +949,8 @@ def q_sliding_hg64_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = io.read_table(spark, sf_dir, "events").filter(
         "ts IS NOT NULL AND value IS NOT NULL"
     )
-    us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     d = ev.select(
-        F.timestamp_micros(us).alias("tse"),
+        _tz_proof_event_time().alias("tse"),
         F.floor(F.col("value") * 1000).cast("long").alias("v"),
     )
     keyed = relational.with_hg64_key(d, "v", SIGBITS)

@@ -567,7 +567,7 @@ def test_decontaminate_neardup_finds_planted_probe_copies(spark):
     near-dup contamination of its source probe with jaccard >= tau, probe
     docs themselves never appear as contaminated, and every reported pair
     meets the threshold."""
-    out = dataops.q_decontaminate_neardup(spark, "/root/testdata/sf0.001").collect()
+    out = dataops.q_decontaminate_neardup(spark, SF_DIR).collect()
     assert out, "no contamination found — the planted copies guarantee some"
     for r in out:
         assert r["doc_id"] >= dataops.DECON_PROBE_DOCS
