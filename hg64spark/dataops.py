@@ -1391,6 +1391,60 @@ def q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_neardup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned near-dup decontamination — the composition the exact
+    operator's docstring points at for probe sets too large to broadcast
+    raw: a relationally-built Bloom of the probe shingle HASHES prunes the
+    corpus shingle stream map-side (broadcast bit-test joins — the corpus
+    is never Exchanged before the survivor stage), then the exact
+    intersection + Jaccard runs on the survivors.  Identical answer to
+    `q_decontaminate_neardup` by the Bloom no-false-negative guarantee
+    (false positives die in the exact intersection; the Jaccard
+    denominator still counts every distinct shingle of the hit docs from
+    the un-pruned stream) — one oracle serves both, like the
+    overlap/bloom pair."""
+    from hg64spark import relational
+    from hg64spark.sketches import Bloom
+
+    c = augmented_corpus(spark, sf_dir)
+    probe_sh = (
+        raw_shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS))
+        .select(F.col("doc_id").alias("probe_id"), _tokhash_spark(F.col("sh")).alias("hh"))
+        .distinct()
+    )
+    n_bits, n_hashes = Bloom.params_for_capacity(DECON_BLOOM_CAPACITY_HINT)
+    words = relational.bloom_words_relational(probe_sh.select("hh"), "hh", n_bits, n_hashes)
+    corpus_sh = raw_shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS)).select(
+        "doc_id", _tokhash_spark(F.col("sh")).alias("hh")
+    )
+    survivors = relational.bloom_prune_relational(corpus_sh, "hh", words, n_bits, n_hashes)
+    inter = (
+        survivors.join(F.broadcast(probe_sh), "hh")
+        .select("doc_id", "probe_id", "hh")
+        .distinct()
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("c"))
+    )
+    hitdocs = inter.select("doc_id").distinct()
+    na = (
+        corpus_sh.join(F.broadcast(hitdocs), "doc_id", "left_semi")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("na"))
+    )
+    nb = probe_sh.groupBy("probe_id").agg(F.count("*").alias("nb"))
+    jac = (
+        F.col("c").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
+    )
+    return (
+        inter.join(na, "doc_id")
+        .join(F.broadcast(nb), "probe_id")
+        .select("doc_id", "probe_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= DECON_NEARDUP_TAU)
+    )
+
+
 def _decontaminate_neardup_sql() -> str:
     ks = _keyed_shingles_sql(AUGMENTED_SQL, hashed=True)
     p = DECON_PROBE_DOCS
@@ -2272,6 +2326,7 @@ def dataops_queries():
         "decontaminate_overlap": q_decontaminate_overlap,
         "decontaminate_bloom": q_decontaminate_bloom,
         "decontaminate_neardup": q_decontaminate_neardup,
+        "decontaminate_neardup_bloom": q_decontaminate_neardup_bloom,
         "pack_token_shards": q_pack_token_shards,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_rewrite": q_dedup_substring_rewrite,
@@ -2310,6 +2365,8 @@ def dataops_oracles():
         # broadcast operator — one oracle serves both
         "decontaminate_bloom": _decontaminate_sql(),
         "decontaminate_neardup": _decontaminate_neardup_sql(),
+        # Bloom-pruned variant must reach the same answer — one oracle
+        "decontaminate_neardup_bloom": _decontaminate_neardup_sql(),
         "pack_token_shards": _pack_token_shards_sql(),
         "dedup_substring": _dedup_substring_sql(),
         "dedup_substring_rewrite": _dedup_substring_rewrite_sql(),

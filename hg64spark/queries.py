@@ -1131,7 +1131,6 @@ _GATE_ORDER = [
     "decontaminate_bloom",
     "ann_ivf_recall",
     "corpus_pipeline",
-    "sample_correlated_lineitem",
     "sample_temperature",
     "sample_temperature_tokens",
     "quota_topk_by_lang",
@@ -1144,6 +1143,7 @@ _GATE_ORDER = [
     "dedup_simhash",
     "dedup_embedding_cosine",
     "text_winnow",
+    "sample_correlated_lineitem",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",
