@@ -611,3 +611,69 @@ def test_pack_token_shards_exact_and_partitioning_invariant(spark):
         per_shard.setdefault(s, []).append(n)
     for s, ns in per_shard.items():
         assert sum(ns) <= budget + max(ns), (s, sum(ns))
+
+
+def test_pack_token_shards_plan_is_two_level_prefix_sum(spark):
+    """The packing plan's ONLY single-partition exchange must feed the
+    256-row bucket-totals window — the data itself flows through
+    hashpartitioning windows.  A global data window would show a second
+    SinglePartition exchange (or one whose immediate child is not the
+    totals aggregate)."""
+    import re
+
+    plan = (
+        dataops.pack_token_shards(dataops._docs(spark, SF_DIR))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    seg = plan.split("Exchange SinglePartition", 1)[1]
+    first_node = re.search(r"\+- (\w+)", seg)
+    assert first_node and first_node.group(1) == "HashAggregate", plan
+    # the per-bucket data window rides a hash partitioning
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_decontaminate_neardup_plan_broadcasts_only(spark):
+    """Every join in the near-dup decontamination plan must be broadcast
+    (the probe side is tiny by definition); a SortMerge/shuffled join or a
+    cartesian would mean the corpus got shuffled against the probes.  And
+    every hashpartitioning Exchange must sit ABOVE a broadcast join — i.e.
+    only already-pruned / post-join streams get shuffled, never the raw
+    corpus shingle stream (the prune-before-distinct discipline): a
+    pre-prune distinct would show an Exchange whose subtree is just
+    Generate/Scan with no join below it."""
+    import re
+
+    def node_depth(line):
+        m = re.search(r"[A-Za-z]", line)
+        return m.start() if m else None
+
+    for q in (dataops.q_decontaminate_neardup, dataops.q_decontaminate_neardup_bloom):
+        plan = q(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        for bad in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+            assert bad not in plan, (q.__name__, bad, plan)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange hashpartitioning" not in line:
+                continue
+            d = node_depth(line)
+            subtree = []
+            for nxt in lines[i + 1:]:
+                nd = node_depth(nxt)
+                if nd is not None and nd <= d:
+                    break
+                subtree.append(nxt)
+            # a subtree with no join below may only be a PROBE-side build:
+            # probe shingle distincts (probe_id, hh) or the Bloom words
+            # aggregation (word_idx, <= n_bits/64 rows) — tiny by
+            # definition.  Any doc_id-keyed exchange must be above a
+            # broadcast join, i.e. of an already-pruned corpus stream.
+            if any("BroadcastHashJoin" in s for s in subtree):
+                continue
+            col = r"(probe_id#\d+L?|hh#\d+L?|word_idx#\d+L?)"
+            assert re.search(rf"hashpartitioning\({col}(, {col})*,", line), (
+                q.__name__, "un-pruned corpus stream exchanged", line, plan
+            )
