@@ -1467,6 +1467,100 @@ def _decontaminate_neardup_sql() -> str:
     """
 
 
+# --------------------------------------------- chunking / fixed-K sampling
+
+#: chunk geometry for the gate: 64-token windows advancing 32 tokens, so
+#: typical documents produce several overlapping chunks
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 32
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_chunk_tokens): overlapping
+    fixed-window sequence chunking — the context-window preparation step of
+    a training pipeline (chunk i covers tokens [i*stride+1, i*stride+
+    chunk_tokens], 1-based, clipped at the document end; strides continue
+    while they still start inside the document, so tail chunks may be
+    short).  Pure Catalyst: one posexplode over the per-doc start sequence
+    and HOF slice/join — per-row fan-out is ceil(n/stride), bounded by
+    document length, with no shuffle at all (chunking is embarrassingly
+    parallel; asserted zero-Exchange in tests)."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.col("text"), " ")
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("l"), (F.size(toks) - 1).alias("nm1")
+    )
+    piece = F.expr(f"slice(l, chunk_idx * {stride} + 1, {chunk_tokens})")
+    return (
+        d.select(
+            "doc_id",
+            "l",
+            F.explode(F.expr(f"sequence(0, nm1 div {stride})")).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join(piece, " ").alias("chunk_text"),
+            F.size(piece).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking gate over the documents table (see :func:`chunk_documents`);
+    the oracle reproduces the identical 1-based slices with a positional
+    struct-comprehension unnest."""
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def _chunk_documents_sql() -> str:
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS chunk_idx,
+           array_to_string(l[u.i * {s} + 1 : u.i * {s} + {c}], ' ') AS chunk_text,
+           CAST(len(l[u.i * {s} + 1 : u.i * {s} + {c}]) AS BIGINT) AS n_chunk_tokens
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE text IS NOT NULL),
+         unnest([{{'i': i}} FOR i IN range(0, (len(l) - 1) // {s} + 1)]) AS t(u)
+    """
+
+
+#: fixed-size per-language sample: eval carve-outs and audits want "exactly
+#: K docs per language, uniform, reproducible" — rank by md5(doc_id) (a
+#: deterministic uniform order) and keep the K smallest per language
+SAMPLE_FIXED_K = 50
+
+
+def q_sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, doc_id): exactly min(K, |lang|) documents per language,
+    chosen by the K smallest md5(doc_id) — uniform w/o replacement under
+    the hash's uniformity, bit-reproducible anywhere.  Rides
+    ``salted_topk`` (local top-K per hash-salt bucket, then a global rank
+    over <= salts x K survivors), so no language — however large at
+    100 TB — is ever sorted in a single task; languages smaller than K
+    come back whole."""
+    d = _docs(spark, sf_dir).select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    return salted_topk(
+        d, "lang", [F.asc("h"), F.asc("doc_id")], "doc_id", SAMPLE_FIXED_K
+    ).select("lang", "doc_id")
+
+
+def _sample_fixed_k_sql() -> str:
+    return f"""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= {SAMPLE_FIXED_K}
+    """
+
+
 # --------------------------------------------------- token-budget packing
 
 #: tokens per training shard for the packing gate — small enough that the
@@ -2328,6 +2422,8 @@ def dataops_queries():
         "decontaminate_neardup": q_decontaminate_neardup,
         "decontaminate_neardup_bloom": q_decontaminate_neardup_bloom,
         "pack_token_shards": q_pack_token_shards,
+        "chunk_documents": q_chunk_documents,
+        "sample_fixed_k_per_lang": q_sample_fixed_k_per_lang,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_rewrite": q_dedup_substring_rewrite,
         "dedup_cluster": q_dedup_cluster,
@@ -2368,6 +2464,8 @@ def dataops_oracles():
         # Bloom-pruned variant must reach the same answer — one oracle
         "decontaminate_neardup_bloom": _decontaminate_neardup_sql(),
         "pack_token_shards": _pack_token_shards_sql(),
+        "chunk_documents": _chunk_documents_sql(),
+        "sample_fixed_k_per_lang": _sample_fixed_k_sql(),
         "dedup_substring": _dedup_substring_sql(),
         "dedup_substring_rewrite": _dedup_substring_rewrite_sql(),
         "dedup_cluster": _dedup_cluster_sql(),

@@ -1125,9 +1125,7 @@ _GATE_ORDER = [
     "dedup_minhash_lsh",
     "dedup_substring",
     "dedup_substring_rewrite",
-    "dedup_cluster",
     "dedup_cluster_star",
-    "decontaminate_overlap",
     "decontaminate_bloom",
     "ann_ivf_recall",
     "corpus_pipeline",
@@ -1144,6 +1142,9 @@ _GATE_ORDER = [
     "dedup_embedding_cosine",
     "text_winnow",
     "sample_correlated_lineitem",
+    # same-oracle twins of in-window siblings (cluster_star / bloom stay)
+    "dedup_cluster",
+    "decontaminate_overlap",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",

@@ -677,3 +677,59 @@ def test_decontaminate_neardup_plan_broadcasts_only(spark):
             assert re.search(rf"hashpartitioning\({col}(, {col})*,", line), (
                 q.__name__, "un-pruned corpus stream exchanged", line, plan
             )
+
+
+def test_chunk_documents_semantics_and_zero_exchange(spark):
+    """Chunks must tile each doc with the declared stride/width (clipped
+    tails), reassemble to the original text via the stride-aligned pieces,
+    and the plan must contain NO Exchange (chunking is embarrassingly
+    parallel)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(150))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = dataops.chunk_documents(docs, chunk_tokens=64, stride=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
+           for r in out.collect()}
+    toks = [f"t{i}" for i in range(150)]
+    # doc 1: starts 0,32,64,96,128 -> 5 chunks, last clipped to 22 tokens
+    assert sorted(i for (d, i) in got if d == 1) == [0, 1, 2, 3, 4]
+    for i in range(5):
+        piece = toks[i * 32 : i * 32 + 64]
+        assert got[(1, i)] == (" ".join(piece), len(piece)), i
+    # doc 2 (3 tokens < stride): exactly one whole chunk
+    assert got[(2, 0)] == ("a b c", 3) and (2, 1) not in got
+    with pytest.raises(ValueError, match="positive"):
+        dataops.chunk_documents(docs, chunk_tokens=0)
+
+
+def test_sample_fixed_k_matches_naive_rank_and_caps_small_groups(spark):
+    """The salted fixed-K sampler must equal the naive per-group md5 rank
+    exactly: K rows for big groups, the whole group when smaller than K."""
+    import hashlib
+
+    rows = [(i, "big" if i % 3 else "small") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    docs = docs.withColumn("text", F.lit("x"))
+    import hg64spark.dataops as d
+
+    got = (
+        d.salted_topk(
+            docs.select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")),
+            "lang", [F.asc("h"), F.asc("doc_id")], "doc_id", 50,
+        )
+        .select("lang", "doc_id")
+        .collect()
+    )
+    by_lang = {}
+    for doc_id, lang in rows:
+        by_lang.setdefault(lang, []).append(doc_id)
+    want = set()
+    for lang, ids in by_lang.items():
+        ranked = sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))
+        want |= {(lang, x) for x in ranked[:50]}
+    assert {(r["lang"], r["doc_id"]) for r in got} == want
+    n_small = sum(1 for r in got if r["lang"] == "small")
+    assert n_small == min(50, len(by_lang["small"]))
