@@ -1481,24 +1481,37 @@ def chunk_documents(
     """(doc_id, chunk_idx, chunk_text, n_chunk_tokens): overlapping
     fixed-window sequence chunking — the context-window preparation step of
     a training pipeline (chunk i covers tokens [i*stride+1, i*stride+
-    chunk_tokens], 1-based, clipped at the document end; strides continue
-    while they still start inside the document, so tail chunks may be
-    short).  Pure Catalyst: one posexplode over the per-doc start sequence
-    and HOF slice/join — per-row fan-out is ceil(n/stride), bounded by
-    document length, with no shuffle at all (chunking is embarrassingly
-    parallel; asserted zero-Exchange in tests)."""
+    chunk_tokens], 1-based, clipped at the document end).  Emission stops
+    at the FIRST chunk that reaches the document end: a later start would
+    only produce a strict sub-window of its predecessor (adding no new
+    context), which happens whenever chunk_tokens >= 2*stride.  With
+    stride > chunk_tokens (gapped sampling) starts are additionally capped
+    to lie inside the document.  Tail chunks may be short.  Pure Catalyst:
+    one explode over the per-doc start sequence and HOF slice/join —
+    per-row fan-out is <= ceil(n/stride), bounded by document length, with
+    no shuffle at all (chunking is embarrassingly parallel; asserted
+    zero-Exchange in tests)."""
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    c, s = int(chunk_tokens), int(stride)
     toks = F.split(F.col("text"), " ")
     d = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", toks.alias("l"), (F.size(toks) - 1).alias("nm1")
     )
-    piece = F.expr(f"slice(l, chunk_idx * {stride} + 1, {chunk_tokens})")
+    # last start index: first i whose window reaches the end — for n > c
+    # that is ceil((n-c)/s), capped by (n-1) div s so every start stays
+    # inside the doc even when stride > chunk (n = nm1 + 1)
+    max_i = F.expr(
+        f"CASE WHEN nm1 + 1 > {c} "
+        f"THEN least((nm1 + 1 - {c} + {s} - 1) div {s}, nm1 div {s}) "
+        f"ELSE 0 END"
+    )
+    piece = F.expr(f"slice(l, chunk_idx * {s} + 1, {c})")
     return (
         d.select(
             "doc_id",
             "l",
-            F.explode(F.expr(f"sequence(0, nm1 div {stride})")).alias("chunk_idx"),
+            F.explode(F.sequence(F.lit(0), max_i)).alias("chunk_idx"),
         )
         .select(
             "doc_id",
@@ -1518,13 +1531,18 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _chunk_documents_sql() -> str:
     c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    max_i = (
+        f"CASE WHEN len(l) > {c} "
+        f"THEN LEAST((len(l) - {c} + {s} - 1) // {s}, (len(l) - 1) // {s}) "
+        f"ELSE 0 END"
+    )
     return f"""
     SELECT doc_id,
            CAST(u.i AS BIGINT) AS chunk_idx,
            array_to_string(l[u.i * {s} + 1 : u.i * {s} + {c}], ' ') AS chunk_text,
            CAST(len(l[u.i * {s} + 1 : u.i * {s} + {c}]) AS BIGINT) AS n_chunk_tokens
     FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents WHERE text IS NOT NULL),
-         unnest([{{'i': i}} FOR i IN range(0, (len(l) - 1) // {s} + 1)]) AS t(u)
+         unnest([{{'i': i}} FOR i IN range(0, ({max_i}) + 1)]) AS t(u)
     """
 
 
@@ -1534,20 +1552,23 @@ def _chunk_documents_sql() -> str:
 SAMPLE_FIXED_K = 50
 
 
-def q_sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(lang, doc_id): exactly min(K, |lang|) documents per language,
-    chosen by the K smallest md5(doc_id) — uniform w/o replacement under
+def sample_fixed_k(docs: DataFrame, k: int = SAMPLE_FIXED_K) -> DataFrame:
+    """(lang, doc_id): exactly min(k, |lang|) documents per language,
+    chosen by the k smallest md5(doc_id) — uniform w/o replacement under
     the hash's uniformity, bit-reproducible anywhere.  Rides
     ``salted_topk`` (local top-K per hash-salt bucket, then a global rank
     over <= salts x K survivors), so no language — however large at
-    100 TB — is ever sorted in a single task; languages smaller than K
+    100 TB — is ever sorted in a single task; languages smaller than k
     come back whole."""
-    d = _docs(spark, sf_dir).select(
-        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    d = docs.select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    return salted_topk(d, "lang", [F.asc("h"), F.asc("doc_id")], "doc_id", k).select(
+        "lang", "doc_id"
     )
-    return salted_topk(
-        d, "lang", [F.asc("h"), F.asc("doc_id")], "doc_id", SAMPLE_FIXED_K
-    ).select("lang", "doc_id")
+
+
+def q_sample_fixed_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-K uniform per-language sample gate (see :func:`sample_fixed_k`)."""
+    return sample_fixed_k(_docs(spark, sf_dir))
 
 
 def _sample_fixed_k_sql() -> str:

@@ -1142,7 +1142,10 @@ _GATE_ORDER = [
     "dedup_embedding_cosine",
     "text_winnow",
     "sample_correlated_lineitem",
-    # same-oracle twins of in-window siblings (cluster_star / bloom stay)
+    # twins of in-window siblings (cluster_star / bloom stay): equality of
+    # the two implementations is pytest-asserted directly
+    # (test_rotated_out_twins_equal_in_window_siblings), not merely implied
+    # by the shared oracle string
     "dedup_cluster",
     "decontaminate_overlap",
     "latency_quantiles_by_tool_rel",

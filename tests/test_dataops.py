@@ -694,35 +694,42 @@ def test_chunk_documents_semantics_and_zero_exchange(spark):
     got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chunk_tokens"])
            for r in out.collect()}
     toks = [f"t{i}" for i in range(150)]
-    # doc 1: starts 0,32,64,96,128 -> 5 chunks, last clipped to 22 tokens
-    assert sorted(i for (d, i) in got if d == 1) == [0, 1, 2, 3, 4]
-    for i in range(5):
+    # doc 1: starts 0,32,64,96 -> 4 chunks; chunk 3 (tokens 97-150) reaches
+    # the end, so NO chunk 4 — a start at 128 would be a strict sub-window
+    # of chunk 3 adding no new context
+    assert sorted(i for (d, i) in got if d == 1) == [0, 1, 2, 3]
+    for i in range(4):
         piece = toks[i * 32 : i * 32 + 64]
         assert got[(1, i)] == (" ".join(piece), len(piece)), i
     # doc 2 (3 tokens < stride): exactly one whole chunk
     assert got[(2, 0)] == ("a b c", 3) and (2, 1) not in got
+    # every token of doc 1 is covered by some chunk
+    covered = set()
+    for i in range(4):
+        covered |= set(range(i * 32, min(i * 32 + 64, 150)))
+    assert covered == set(range(150))
+    # gapped sampling (stride > chunk): starts stay inside the doc — no
+    # empty trailing chunks
+    gap = {(r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"]
+           for r in dataops.chunk_documents(docs, chunk_tokens=10, stride=100).collect()}
+    assert {i for (d, i) in gap if d == 1} == {0, 1} and gap[(1, 1)] == 10
     with pytest.raises(ValueError, match="positive"):
         dataops.chunk_documents(docs, chunk_tokens=0)
 
 
 def test_sample_fixed_k_matches_naive_rank_and_caps_small_groups(spark):
-    """The salted fixed-K sampler must equal the naive per-group md5 rank
-    exactly: K rows for big groups, the whole group when smaller than K."""
+    """The PRODUCTION sampler (sample_fixed_k, the body of the driver
+    gate) must equal the naive per-group md5 rank exactly: K rows for big
+    groups, and a genuinely-smaller-than-K group ("tiny", 10 members)
+    returned whole."""
     import hashlib
 
-    rows = [(i, "big" if i % 3 else "small") for i in range(400)]
-    docs = spark.createDataFrame(rows, "doc_id long, lang string")
-    docs = docs.withColumn("text", F.lit("x"))
-    import hg64spark.dataops as d
+    def lang_of(i):
+        return "tiny" if i % 40 == 0 else ("big" if i % 3 else "small")
 
-    got = (
-        d.salted_topk(
-            docs.select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")),
-            "lang", [F.asc("h"), F.asc("doc_id")], "doc_id", 50,
-        )
-        .select("lang", "doc_id")
-        .collect()
-    )
+    rows = [(i, lang_of(i)) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = dataops.sample_fixed_k(docs, k=50).collect()
     by_lang = {}
     for doc_id, lang in rows:
         by_lang.setdefault(lang, []).append(doc_id)
@@ -731,5 +738,19 @@ def test_sample_fixed_k_matches_naive_rank_and_caps_small_groups(spark):
         ranked = sorted(ids, key=lambda x: (hashlib.md5(str(x).encode()).hexdigest(), x))
         want |= {(lang, x) for x in ranked[:50]}
     assert {(r["lang"], r["doc_id"]) for r in got} == want
-    n_small = sum(1 for r in got if r["lang"] == "small")
-    assert n_small == min(50, len(by_lang["small"]))
+    n_tiny = sum(1 for r in got if r["lang"] == "tiny")
+    assert len(by_lang["tiny"]) == 10 and n_tiny == 10  # whole group, < K
+
+
+def test_rotated_out_twins_equal_in_window_siblings(spark):
+    """dedup_cluster and decontaminate_overlap rotate out of the driver's
+    50-row correctness window justified by an in-window sibling computing
+    the same answer — this asserts that equivalence directly (not just a
+    shared oracle string) so a regression in the rotated-out form cannot
+    hide behind its sibling's green row."""
+    a = {tuple(r) for r in dataops.q_dedup_cluster(spark, SF_DIR).collect()}
+    b = {tuple(r) for r in dataops.q_dedup_cluster_star(spark, SF_DIR).collect()}
+    assert a == b and a
+    c = {tuple(r) for r in dataops.q_decontaminate_overlap(spark, SF_DIR).collect()}
+    d = {tuple(r) for r in dataops.q_decontaminate_bloom(spark, SF_DIR).collect()}
+    assert c == d and c
