@@ -516,6 +516,18 @@ def _hw_percore_calibration(n_lo: int, n_hi: int, secs: float = 3.0) -> dict:
     return {"percore_lo": round(lo, 0), "percore_hi": round(hi, 0), "hw_ceiling": round(hi / lo, 3)}
 
 
+def _cpu_steal_snapshot() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — on a KVM guest, host-side
+    CPU contention is visible ONLY here (guest loadavg sees guest
+    processes; the ALU droop calibration sees frequency, not core
+    availability).  None where /proc/stat is unavailable."""
+    try:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:11]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def scaling_probe() -> dict:
     """Interleaved rounds per parallelism (4,16,4,16,...), best kept — this
     sandbox is a shared-hypervisor VM with visible run-to-run CPU variance,
@@ -527,6 +539,7 @@ def scaling_probe() -> dict:
 
     out = {}
     runs: dict[int, list[float]] = {}
+    steals: dict[int, list[float]] = {}
     all_shas: set = set()
     taskset = shutil.which("taskset")
 
@@ -536,7 +549,18 @@ def scaling_probe() -> dict:
         cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)]
         if taskset:
             cmd = [taskset, "-c", f"0-{cpus - 1}"] + cmd
+        st0 = _cpu_steal_snapshot()
         res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=900)
+        st1 = _cpu_steal_snapshot()
+        if st0 and st1 and st1[1] > st0[1]:
+            # hypervisor steal during THIS child's window, % of jiffies: a
+            # sub-0.8 pair with elevated steal on its local16 run is host
+            # contention, not a plan property (a recorded 0.786 run showed
+            # exactly that signature: every local16 attempt ~9% slow, every
+            # local4 attempt nominal, ALU calibration blind to it)
+            steals.setdefault(cpus, []).append(
+                round(100.0 * (st1[0] - st0[0]) / (st1[1] - st0[1]), 2)
+            )
         line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
         got = json.loads(line)
         runs.setdefault(cpus, []).append(round(got["sec"], 3))
@@ -620,6 +644,7 @@ def scaling_probe() -> dict:
         # two-cluster-size experiment under the same box weather), so a
         # recorded headline can be audited against the raw attempts
         "attempts_sec": {f"local{c}": runs.get(c, []) for c in (n, n4)},
+        "steal_pct": {f"local{c}": steals.get(c, []) for c in (n, n4)},
         "pair_efficiency": pair_effs(),
         "pair_efficiency_median": round(median_pair(), 3),
         "pair_efficiency_min": round(min(pair_effs()), 3),
