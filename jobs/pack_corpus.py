@@ -1,0 +1,94 @@
+"""Production job: token-budget shard packing (optionally after chunking),
+runnable via spark-submit at any cluster size:
+
+    zip -r hg64spark.zip hg64spark
+    spark-submit --master <cluster> \\
+        --py-files hg64spark.zip \\
+        jobs/pack_corpus.py \\
+        --input  s3://bucket/documents/     # parquet with (doc_id, text)
+        --budget 1048576                    # tokens per shard
+        --chunk-tokens 4096 --stride 2048   # optional: pre-chunk long docs
+        --output /path/out
+
+Emits (doc_id, n_tokens, shard_id) — or the chunked form with chunk_idx —
+partitioned BY shard_id on disk, so each training shard is one directory,
+plus a one-line JSON summary with the shard count and the per-shard token
+distribution as hg64 quantiles (bounded bytes to the driver at any corpus
+size).
+
+Scale shape (see hg64spark/dataops.py docstrings): chunking is a
+zero-Exchange fan-out; packing is the two-level distributed prefix sum
+(range-bucket windows + a broadcast offset table, never a global
+single-partition window over data); the summary sketch is the relational
+keyed-count plan whose shuffle is bounded by ~1920 counters.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir (doc_id, text)")
+    ap.add_argument("--budget", type=int, default=None, help="tokens per shard")
+    ap.add_argument("--chunk-tokens", type=int, default=None, help="pre-chunk window (optional)")
+    ap.add_argument("--stride", type=int, default=None, help="pre-chunk stride (with --chunk-tokens)")
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("hg64spark-pack").getOrCreate()
+
+    from hg64spark import agg, dataops
+
+    corpus = spark.read.parquet(args.input).select("doc_id", "text")
+
+    t0 = time.perf_counter()
+    if args.chunk_tokens is not None:
+        ckw = {"chunk_tokens": args.chunk_tokens}
+        if args.stride is not None:
+            ckw["stride"] = args.stride
+        chunks = dataops.chunk_documents(corpus, **ckw)
+        # chunks pack like docs: the composite "doc#chunk" unit id keeps
+        # the md5 layout order well-defined per (doc, chunk) and stays
+        # parseable back to its source document
+        units = chunks.select(
+            F.concat_ws(
+                "#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+            ).alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        out_df = dataops.pack_token_shards(
+            units, **({"budget": args.budget} if args.budget is not None else {})
+        )
+    else:
+        kw = {"budget": args.budget} if args.budget is not None else {}
+        out_df = dataops.pack_token_shards(corpus, **kw)
+
+    out_df.write.mode("overwrite").partitionBy("shard_id").parquet(args.output)
+    out = spark.read.parquet(args.output)
+
+    shard_tokens = out.groupBy("shard_id").agg(F.sum("n_tokens").alias("v"))
+    qdf = agg.hg64_quantiles(agg.hg64_agg(shard_tokens, "v", [], 5), [], [0.1, 0.5, 0.9])
+    quantiles = {str(r["q"]): int(r["value"]) for r in qdf.collect()}
+    n_shards = shard_tokens.count()
+    print(
+        json.dumps(
+            {
+                "job": "pack_corpus",
+                "rows_out": out.count(),
+                "n_shards": n_shards,
+                "shard_token_quantiles": quantiles,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
