@@ -927,6 +927,45 @@ def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_append_parquet(spark, flat, base)
 
 
+def q_hg64_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between each
+    event_type's hg64 bucket distribution and the global one
+    (`relational.hg64_tv_drift`) — integer-exact numerator, one final
+    division, so the oracle reproduces it bit-for-bit despite being a
+    sum over buckets."""
+    from hg64spark import relational
+
+    ev = io.read_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS v"
+    )
+    return relational.hg64_tv_drift(ev, "v", "event_type", SIGBITS)
+
+
+def _hg64_drift_oracle() -> str:
+    k = sqloracle.key_expr("v", SIGBITS)
+    return f"""
+    WITH src AS (
+        SELECT event_type AS g, {k} AS k
+        FROM ({_EVENTS_VALUE_SQL}) WHERE v IS NOT NULL
+    ),
+    gc AS (SELECT g, k, count(*) AS c_g FROM src GROUP BY 1, 2),
+    gall AS (SELECT k, sum(c_g) AS c_all FROM gc GROUP BY 1),
+    ng AS (SELECT g, sum(c_g) AS n_g FROM gc GROUP BY 1),
+    nall AS (SELECT sum(c_all) AS n_all FROM gall),
+    fl AS (
+        SELECT ng.g, ng.n_g, gall.c_all, COALESCE(gc.c_g, 0) AS c_g, nall.n_all
+        FROM ng CROSS JOIN gall
+        LEFT JOIN gc ON gc.g = ng.g AND gc.k = gall.k
+        CROSS JOIN nall
+    )
+    SELECT g AS event_type,
+           CAST(sum(abs(c_g * n_all - c_all * n_g)) AS BIGINT) AS tv_numerator,
+           CAST(sum(abs(c_g * n_all - c_all * n_g)) AS DOUBLE)
+               / (2.0 * CAST(n_g AS DOUBLE) * CAST(n_all AS DOUBLE)) AS tv
+    FROM fl GROUP BY g, n_g, n_all
+    """
+
+
 #: sliding (hopping) window geometry: 2-day windows advancing by 1 day, so
 #: every event lands in exactly window/slide = 2 overlapping windows
 _SLIDE_WINDOW_S = 2 * 86_400
@@ -1119,7 +1158,6 @@ _GATE_ORDER = [
     "cms_top_custkeys",
     "bloom_membership",
     "kll_latency_by_tool",
-    "cms_top_tools_by_role_rel",
     "cms_weighted_parts_rel",
     "text_selfrepeat",
     "dedup_minhash_lsh",
@@ -1148,6 +1186,7 @@ _GATE_ORDER = [
     # by the shared oracle string
     "dedup_cluster",
     "decontaminate_overlap",
+    "cms_top_tools_by_role_rel",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",
@@ -1220,6 +1259,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
         "sliding_hg64_events": q_sliding_hg64_events,
+        "hg64_drift_events": q_hg64_drift_events,
     }
 
 
@@ -1347,6 +1387,7 @@ def _core_oracles() -> dict[str, str]:
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_type IS NOT NULL"
         ),
         "sliding_hg64_events": _sliding_hg64_oracle(),
+        "hg64_drift_events": _hg64_drift_oracle(),
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

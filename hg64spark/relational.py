@@ -587,6 +587,61 @@ def cms_estimate_relational(
     )
 
 
+def hg64_tv_drift(
+    df: DataFrame, value_col: str, group_col: str, sigbits: int = 5
+) -> DataFrame:
+    """(group, tv_numerator, tv): total-variation distance between each
+    group's hg64 bucket distribution and the GLOBAL one — the
+    distribution-drift monitor a sketch library owes its users (is this
+    shard / day / source distributed like the corpus?).  TV over the
+    bucketed space lower-bounds TV over raw values and inherits the
+    histogram's 2^-sigbits value resolution.
+
+    Exactness discipline: TV = 0.5 * sum_k |c_gk/n_g - c_k/n|, but a
+    float sum over buckets would be summation-order-sensitive and could
+    never hash-match an oracle.  So the sum runs on the INTEGER numerator
+    |c_gk * n - c_k * n_g| (exact in int64 up to ~3*10^9 rows per side —
+    beyond that, decimal(38,0) is the swap-in), and the single final
+    division by 2*n_g*n happens once per group: bit-identical in any
+    engine, any partitioning.
+
+    Plan shape: one keyed-count aggregate per (group, key) — the global
+    per-key counts and per-group totals derive from it (ROLLUP-free:
+    two tiny re-aggregations of <= groups x 1920 rows), then a broadcast
+    join on the <= 1920-row global table.  Buckets a group misses are
+    restored by cross-joining the group list with the global key table
+    (both tiny) so the |0 - c_k * n_g| mass is counted.  Nothing after
+    the first aggregate scales with input rows."""
+    gc = hg64_counts(df, value_col, [group_col], sigbits)
+    glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
+    n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
+    n_all = glob.agg(F.sum("c_all").alias("n_all"))
+    full = (
+        n_g.crossJoin(F.broadcast(glob))
+        .join(gc, [group_col, "hg64_key"], "left")
+        .select(
+            group_col,
+            "n_g",
+            "c_all",
+            F.coalesce("count", F.lit(0)).alias("c_g"),
+        )
+        .crossJoin(F.broadcast(n_all))
+    )
+    num = F.abs(F.col("c_g") * F.col("n_all") - F.col("c_all") * F.col("n_g"))
+    return (
+        full.groupBy(group_col, "n_g", "n_all")
+        .agg(F.sum(num).alias("tv_numerator"))
+        .select(
+            group_col,
+            "tv_numerator",
+            (
+                F.col("tv_numerator").cast("double")
+                / (2.0 * F.col("n_g").cast("double") * F.col("n_all").cast("double"))
+            ).alias("tv"),
+        )
+    )
+
+
 def hg64_from_counts(rows, sigbits: int) -> HG64:
     """Fold collected (hg64_key, count) rows into a sketch, driver-side.
     For global aggregations this replaces the applyInPandas stage entirely:

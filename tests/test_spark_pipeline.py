@@ -687,3 +687,22 @@ def test_read_table_catalog_branch_is_config_not_code(spark):
     finally:
         spark.conf.set(hio.FORMAT_CONF, "parquet")
         spark.catalog.dropTempView("documents")
+
+
+def test_hg64_tv_drift_exact_bounds(spark):
+    """TV drift sanity with exactly-known answers: two equal-size groups in
+    disjoint bucket ranges each sit at TV 0.5 from the pooled global
+    distribution (half their mass is elsewhere), and a single group IS the
+    global distribution (TV exactly 0.0 — the integer numerator makes
+    these equalities exact, not approximate)."""
+    from hg64spark import relational
+
+    a = spark.range(1000).selectExpr("'a' AS g", "CAST(id % 7 + 1 AS LONG) AS v")
+    b = spark.range(1000).selectExpr("'b' AS g", "CAST((id % 7 + 1) * 1048576 AS LONG) AS v")
+    out = {
+        r["g"]: (r["tv_numerator"], r["tv"])
+        for r in relational.hg64_tv_drift(a.unionAll(b), "v", "g", 5).collect()
+    }
+    assert out["a"][1] == 0.5 and out["b"][1] == 0.5, out
+    single = relational.hg64_tv_drift(a, "v", "g", 5).collect()
+    assert single[0]["tv"] == 0.0 and single[0]["tv_numerator"] == 0
