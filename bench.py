@@ -516,14 +516,29 @@ def _hw_percore_calibration(n_lo: int, n_hi: int, secs: float = 3.0) -> dict:
     return {"percore_lo": round(lo, 0), "percore_hi": round(hi, 0), "hw_ceiling": round(hi / lo, 3)}
 
 
-def _cpu_steal_snapshot() -> tuple[int, int] | None:
-    """(steal, total) jiffies from /proc/stat — on a KVM guest, host-side
-    CPU contention is visible ONLY here (guest loadavg sees guest
-    processes; the ALU droop calibration sees frequency, not core
-    availability).  None where /proc/stat is unavailable."""
+def _cpu_steal_snapshot(cpus: int) -> tuple[int, int] | None:
+    """(steal, total) jiffies summed over cpu0..cpu{cpus-1} — the cores the
+    taskset-pinned child actually runs on, so steal concentrated there is
+    not diluted by the other vCPUs (and steal elsewhere does not inflate a
+    clean run).  On a KVM guest host-side contention is visible ONLY here:
+    guest loadavg sees guest processes, and the ALU droop calibration sees
+    frequency, not core availability.  guest/guest_nice (fields 9-10) are
+    already included in user/nice on Linux, so the total sums fields 1-8
+    only.  None where /proc/stat is unavailable."""
     try:
-        vals = [int(x) for x in open("/proc/stat").readline().split()[1:11]]
-        return vals[7], sum(vals)
+        steal = total = 0
+        found = 0
+        for line in open("/proc/stat"):
+            parts = line.split()
+            if not (parts and parts[0].startswith("cpu") and parts[0] != "cpu"):
+                continue
+            if int(parts[0][3:]) >= cpus:
+                continue
+            vals = [int(x) for x in parts[1:9]]
+            steal += vals[7]
+            total += sum(vals)
+            found += 1
+        return (steal, total) if found == cpus else None
     except (OSError, ValueError, IndexError):
         return None
 
@@ -549,18 +564,23 @@ def scaling_probe() -> dict:
         cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child", str(cpus)]
         if taskset:
             cmd = [taskset, "-c", f"0-{cpus - 1}"] + cmd
-        st0 = _cpu_steal_snapshot()
+        st0 = _cpu_steal_snapshot(cpus)
         res = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=900)
-        st1 = _cpu_steal_snapshot()
+        st1 = _cpu_steal_snapshot(cpus)
         if st0 and st1 and st1[1] > st0[1]:
-            # hypervisor steal during THIS child's window, % of jiffies: a
-            # sub-0.8 pair with elevated steal on its local16 run is host
-            # contention, not a plan property (a recorded 0.786 run showed
-            # exactly that signature: every local16 attempt ~9% slow, every
-            # local4 attempt nominal, ALU calibration blind to it)
+            # hypervisor steal on the child's pinned cores during ITS
+            # window, % of their jiffies: a sub-0.8 pair with elevated
+            # steal on its local16 run is host contention, not a plan
+            # property (a recorded 0.786 run showed exactly that
+            # signature: every local16 attempt ~9% slow, every local4
+            # attempt nominal, ALU calibration blind to it)
             steals.setdefault(cpus, []).append(
                 round(100.0 * (st1[0] - st0[0]) / (st1[1] - st0[1]), 2)
             )
+        else:
+            # keep the list index-aligned with attempts_sec so a steal
+            # spike can never be attributed to the wrong attempt
+            steals.setdefault(cpus, []).append(None)
         line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
         got = json.loads(line)
         runs.setdefault(cpus, []).append(round(got["sec"], 3))

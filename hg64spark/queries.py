@@ -955,7 +955,7 @@ def _hg64_drift_oracle() -> str:
     fl AS (
         SELECT ng.g, ng.n_g, gall.c_all, COALESCE(gc.c_g, 0) AS c_g, nall.n_all
         FROM ng CROSS JOIN gall
-        LEFT JOIN gc ON gc.g = ng.g AND gc.k = gall.k
+        LEFT JOIN gc ON gc.g IS NOT DISTINCT FROM ng.g AND gc.k = gall.k
         CROSS JOIN nall
     )
     SELECT g AS event_type,
@@ -1150,7 +1150,6 @@ _GATE_ORDER = [
     "hg64_stats_events",
     "latency_quantiles_by_tool",
     "textlen_buckets_by_role",
-    "turncount_quantiles",
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",
     "hg64_weighted_buckets",
@@ -1158,6 +1157,7 @@ _GATE_ORDER = [
     "cms_top_custkeys",
     "bloom_membership",
     "kll_latency_by_tool",
+    "cms_top_tools_by_role_rel",
     "cms_weighted_parts_rel",
     "text_selfrepeat",
     "dedup_minhash_lsh",
@@ -1186,7 +1186,10 @@ _GATE_ORDER = [
     # by the shared oracle string
     "dedup_cluster",
     "decontaminate_overlap",
-    "cms_top_tools_by_role_rel",
+    # 4-rounds-green (r1–r4) core veteran whose machinery (global hg64
+    # quantiles over a derived count) is exercised by the in-window
+    # hg64_quantiles_events + flagship family
+    "turncount_quantiles",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",

@@ -600,8 +600,9 @@ def hg64_tv_drift(
     Exactness discipline: TV = 0.5 * sum_k |c_gk/n_g - c_k/n|, but a
     float sum over buckets would be summation-order-sensitive and could
     never hash-match an oracle.  So the sum runs on the INTEGER numerator
-    |c_gk * n - c_k * n_g| (exact in int64 up to ~3*10^9 rows per side —
-    beyond that, decimal(38,0) is the swap-in), and the single final
+    |c_gk * n - c_k * n_g|, whose summed bound is 2*n_g*n — exact in
+    int64 while n_g*n < 2^62, i.e. up to ~2.1*10^9 rows per side (beyond
+    that, decimal(38,0) is the swap-in) — and the single final
     division by 2*n_g*n happens once per group: bit-identical in any
     engine, any partitioning.
 
@@ -616,9 +617,22 @@ def hg64_tv_drift(
     glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
     n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
     n_all = glob.agg(F.sum("c_all").alias("n_all"))
+    # NULL-SAFE group equality: a NULL group value is a group like any
+    # other in hg64_counts, and a plain equi-join would never match its
+    # counts back — every bucket would coalesce to c_g = 0 and the NULL
+    # group would report maximal drift regardless of its actual
+    # distribution (the oracle mirrors with IS NOT DISTINCT FROM)
+    gcr = gc.select(
+        F.col(group_col).alias("__g"), F.col("hg64_key").alias("__k"), "count"
+    )
     full = (
         n_g.crossJoin(F.broadcast(glob))
-        .join(gc, [group_col, "hg64_key"], "left")
+        .join(
+            gcr,
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col("hg64_key") == F.col("__k")),
+            "left",
+        )
         .select(
             group_col,
             "n_g",

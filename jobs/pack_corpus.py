@@ -10,11 +10,14 @@ runnable via spark-submit at any cluster size:
         --chunk-tokens 4096 --stride 2048   # optional: pre-chunk long docs
         --output /path/out
 
-Emits (doc_id, n_tokens, shard_id) — or the chunked form with chunk_idx —
-partitioned BY shard_id on disk, so each training shard is one directory,
-plus a one-line JSON summary with the shard count and the per-shard token
-distribution as hg64 quantiles (bounded bytes to the driver at any corpus
-size).
+Emits (doc_id, n_tokens, shard_id) — in the chunked form doc_id is the
+composite "<source_doc_id>#<chunk_idx>"; recover the parts with
+rsplit('#', 1), which is unambiguous even when source ids contain '#'
+(chunk_idx is always the final all-digits segment) — partitioned BY
+shard_id on disk, so each training shard is one directory, plus a
+one-line JSON summary with the shard count and the per-shard token
+distribution as hg64 quantiles (bounded bytes to the driver at any
+corpus size).
 
 Scale shape (see hg64spark/dataops.py docstrings): chunking is a
 zero-Exchange fan-out; packing is the two-level distributed prefix sum
@@ -38,6 +41,10 @@ def main() -> None:
     ap.add_argument("--stride", type=int, default=None, help="pre-chunk stride (with --chunk-tokens)")
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
+    if args.stride is not None and args.chunk_tokens is None:
+        # fail FAST: silently ignoring --stride would pack whole documents
+        # and blow the shard budget, discovered only after the job
+        ap.error("--stride requires --chunk-tokens")
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -72,16 +79,27 @@ def main() -> None:
     out_df.write.mode("overwrite").partitionBy("shard_id").parquet(args.output)
     out = spark.read.parquet(args.output)
 
-    shard_tokens = out.groupBy("shard_id").agg(F.sum("n_tokens").alias("v"))
-    qdf = agg.hg64_quantiles(agg.hg64_agg(shard_tokens, "v", [], 5), [], [0.1, 0.5, 0.9])
-    quantiles = {str(r["q"]): int(r["value"]) for r in qdf.collect()}
-    n_shards = shard_tokens.count()
+    # ONE scan of the written output feeds the whole summary: the shard
+    # aggregate is cached, shard count + row count come from one action
+    # over it, and the quantile sketch reduces it to <= 1920 rows
+    shard_tokens = out.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("v"), F.count("*").alias("rows")
+    )
+    shard_tokens.cache()
+    try:
+        stats = shard_tokens.agg(
+            F.count("*").alias("n_shards"), F.sum("rows").alias("rows_out")
+        ).collect()[0]
+        qdf = agg.hg64_quantiles(agg.hg64_agg(shard_tokens, "v", [], 5), [], [0.1, 0.5, 0.9])
+        quantiles = {str(r["q"]): int(r["value"]) for r in qdf.collect()}
+    finally:
+        shard_tokens.unpersist()
     print(
         json.dumps(
             {
                 "job": "pack_corpus",
-                "rows_out": out.count(),
-                "n_shards": n_shards,
+                "rows_out": stats["rows_out"],
+                "n_shards": stats["n_shards"],
                 "shard_token_quantiles": quantiles,
                 "sec": round(time.perf_counter() - t0, 2),
             }

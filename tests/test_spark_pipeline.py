@@ -706,3 +706,13 @@ def test_hg64_tv_drift_exact_bounds(spark):
     assert out["a"][1] == 0.5 and out["b"][1] == 0.5, out
     single = relational.hg64_tv_drift(a, "v", "g", 5).collect()
     assert single[0]["tv"] == 0.0 and single[0]["tv_numerator"] == 0
+    # NULL is a group like any other: a NULL-keyed group with the SAME
+    # distribution as a named group must report the same drift — a
+    # null-unsafe join would never match its counts back and report the
+    # worst-possible tv=0.5 instead
+    n = spark.range(1000).selectExpr("CAST(NULL AS STRING) AS g", "CAST(id % 7 + 1 AS LONG) AS v")
+    out2 = {
+        r["g"]: r["tv"]
+        for r in relational.hg64_tv_drift(a.unionAll(n), "v", "g", 5).collect()
+    }
+    assert out2["a"] == 0.0 and out2[None] == 0.0, out2
