@@ -256,6 +256,21 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         return dataops.q_corpus_pipeline(spark, "/root/testdata/sf0.01").count()
 
+    def q_pack_token_shards():
+        from hg64spark import dataops
+
+        return dataops.q_pack_token_shards(spark, "/root/testdata/sf0.01").count()
+
+    def q_hg64_drift():
+        from hg64spark import queries as hq
+
+        return hq.q_hg64_drift_events(spark, "/root/testdata/sf0.01").count()
+
+    def q_sliding_hg64():
+        from hg64spark import queries as hq
+
+        return hq.q_sliding_hg64_events(spark, "/root/testdata/sf0.01").count()
+
     def q_dedup_substring():
         from hg64spark import dataops
 
@@ -286,6 +301,9 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("ann_ivf_recall", q_ann_ivf),
         ("ann_brute_topk", q_ann_brute),
         ("corpus_pipeline", q_corpus_pipeline),
+        ("pack_token_shards", q_pack_token_shards),
+        ("hg64_drift_events", q_hg64_drift),
+        ("sliding_hg64_events", q_sliding_hg64),
     ]
     # best-of-2 per query, attempts SEPARATED by a full sweep: this
     # shared-hypervisor box intermittently stalls 10-15s under sustained
