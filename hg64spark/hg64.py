@@ -136,6 +136,26 @@ class HG64:
                 self.put(vmin, vmax, cnt)
         return self
 
+    def subtract(self, source: "HG64") -> "HG64":
+        """Retract a sub-sketch: the exact inverse of the same-sigbits
+        merge, mutating ``self`` (an extension — the reference has no
+        retraction, `hg64.h` ends at merge).  This is the sliding-corpus
+        maintenance op: drop an expired day's sketch out of a running
+        aggregate instead of rebuilding from scratch.  Only defined when
+        ``source`` is a genuine sub-stream of what ``self`` ingested —
+        enforced per counter (any underflow raises; uint64 wraparound
+        would otherwise corrupt every later query silently).  Same-sigbits
+        only: a cross-precision retraction is not exactly invertible
+        (pro-rata put spreads mass)."""
+        if source.sigbits != self.sigbits:
+            raise ValueError(
+                f"subtract requires equal sigbits; {self.sigbits} != {source.sigbits}"
+            )
+        if np.any(source.counters > self.counters):
+            raise ValueError("subtract: source is not a sub-sketch (counter underflow)")
+        self.counters -= source.counters
+        return self
+
     def downsample(self, sigbits: int) -> "HG64":
         """Re-bucket into a new sketch at a different precision
         (`test.c:159-168` exercises 5 -> 1..10). Population is exactly

@@ -941,6 +941,36 @@ def q_hg64_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.hg64_tv_drift(ev, "v", "event_type", SIGBITS)
 
 
+def q_hg64_retract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RETRACTION gate: subtract the even-user sub-stream's keyed
+    counts from the full stream's (`relational.hg64_counts_subtract` — the
+    sliding-corpus maintenance op: expire a day out of a running aggregate
+    without rebuilding).  The retracted result must equal a from-scratch
+    build of the surviving rows bucket-for-bucket, which is exactly what
+    the oracle computes on the complement predicate."""
+    from hg64spark import relational
+
+    ev = io.read_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "CAST(floor(value * 1000) AS BIGINT) AS v"
+    )
+    total = relational.hg64_counts(ev, "v", [], SIGBITS)
+    expired = relational.hg64_counts(ev.filter("user_id % 2 = 0"), "v", [], SIGBITS)
+    out = relational.hg64_counts_subtract(total, expired)
+    return out.select(
+        F.col("hg64_key").cast("long").alias("key"), F.col("count").cast("long").alias("count")
+    )
+
+
+def _hg64_retract_oracle() -> str:
+    k = sqloracle.key_expr("v", SIGBITS)
+    return f"""
+    SELECT {k} AS key, count(*) AS count
+    FROM (SELECT user_id, CAST(floor(value * 1000) AS BIGINT) AS v FROM events)
+    WHERE v IS NOT NULL AND (user_id IS NULL OR user_id % 2 <> 0)
+    GROUP BY 1
+    """
+
+
 def _hg64_drift_oracle() -> str:
     k = sqloracle.key_expr("v", SIGBITS)
     return f"""
@@ -1149,7 +1179,6 @@ _GATE_ORDER = [
     "hg64_qov_events",
     "hg64_stats_events",
     "latency_quantiles_by_tool",
-    "textlen_buckets_by_role",
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",
     "hg64_weighted_buckets",
@@ -1186,10 +1215,12 @@ _GATE_ORDER = [
     # by the shared oracle string
     "dedup_cluster",
     "decontaminate_overlap",
-    # 4-rounds-green (r1–r4) core veteran whose machinery (global hg64
-    # quantiles over a derived count) is exercised by the in-window
-    # hg64_quantiles_events + flagship family
+    # 4-rounds-green (r1–r4) core veterans whose machinery is exercised by
+    # in-window family siblings (hg64_quantiles_events + flagship cover
+    # the global-quantile shape; hg64_buckets_events covers the grouped
+    # bucket export)
     "turncount_quantiles",
+    "textlen_buckets_by_role",
     "latency_quantiles_by_tool_rel",
     "hll_distinct_users_rel",
     "bloom_membership_rel",
@@ -1263,6 +1294,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
         "sliding_hg64_events": q_sliding_hg64_events,
         "hg64_drift_events": q_hg64_drift_events,
+        "hg64_retract_events": q_hg64_retract_events,
     }
 
 
@@ -1391,6 +1423,7 @@ def _core_oracles() -> dict[str, str]:
         ),
         "sliding_hg64_events": _sliding_hg64_oracle(),
         "hg64_drift_events": _hg64_drift_oracle(),
+        "hg64_retract_events": _hg64_retract_oracle(),
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

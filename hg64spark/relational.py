@@ -656,6 +656,36 @@ def hg64_tv_drift(
     )
 
 
+def hg64_counts_subtract(
+    total: DataFrame, expired: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Relational sketch RETRACTION: ``total`` minus ``expired`` where both
+    are (group..., hg64_key, count) frames — the sliding-corpus maintenance
+    op at scale (drop an expired partition's counts out of a running
+    aggregate without rebuilding).  One outer-join of two already-reduced
+    count frames (each <= groups x 1920 rows — nothing here scales with
+    input data); an expired count exceeding its total FAILS the job
+    plan-side, because a silent negative count would corrupt every later
+    quantile.  Zero-count buckets are dropped to match a from-scratch
+    build of the surviving stream exactly."""
+    group_cols = list(group_cols)
+    keys = [*group_cols, "hg64_key"]
+    e = expired.withColumnRenamed("count", "__expired")
+    joined = total.join(e, keys, "full_outer").select(
+        *keys,
+        F.coalesce("count", F.lit(0)).alias("c_tot"),
+        F.coalesce("__expired", F.lit(0)).alias("c_exp"),
+    )
+    guard = F.when(
+        F.col("c_exp") > F.col("c_tot"),
+        F.expr("CAST(raise_error('retraction underflow: expired counts exceed total') AS LONG)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        joined.select(*keys, (F.col("c_tot") - F.col("c_exp") + guard).alias("count"))
+        .filter(F.col("count") > 0)
+    )
+
+
 def hg64_from_counts(rows, sigbits: int) -> HG64:
     """Fold collected (hg64_key, count) rows into a sketch, driver-side.
     For global aggregations this replaces the applyInPandas stage entirely:

@@ -716,3 +716,42 @@ def test_hg64_tv_drift_exact_bounds(spark):
         for r in relational.hg64_tv_drift(a.unionAll(n), "v", "g", 5).collect()
     }
     assert out2["a"] == 0.0 and out2[None] == 0.0, out2
+
+
+def test_retraction_is_exact_inverse_of_merge(spark):
+    """Sketch retraction: (A+B).subtract(B) == A locally, the relational
+    counts subtraction equals a from-scratch build of the survivors
+    byte-for-byte through the fold, and underflow / sigbits mismatch fail
+    loudly (silent uint64 wraparound would corrupt every later query)."""
+    from hg64spark import relational
+
+    rng = np.random.default_rng(3)
+    va = rng.integers(1, 10**9, 4000).astype(np.uint64)
+    vb = rng.integers(1, 10**9, 2500).astype(np.uint64)
+    a = HG64(5).add_values(va)
+    ab = HG64(5).add_values(va).add_values(vb)
+    b = HG64(5).add_values(vb)
+    assert ab.subtract(b) == a
+    with pytest.raises(ValueError, match="underflow|sub-sketch"):
+        HG64(5).add_values(va[:10]).subtract(HG64(5).add_values(va))
+    with pytest.raises(ValueError, match="sigbits"):
+        HG64(5).subtract(HG64(4))
+    # relational: totals minus expired == from-scratch survivors
+    df = spark.createDataFrame(
+        [(int(v), int(v) % 3 == 0) for v in va], "v long, expired boolean"
+    )
+    total = relational.hg64_counts(df, "v", [], 5)
+    exp = relational.hg64_counts(df.filter("expired"), "v", [], 5)
+    got = {
+        (r["hg64_key"], r["count"])
+        for r in relational.hg64_counts_subtract(total, exp).collect()
+    }
+    want = {
+        (r["hg64_key"], r["count"])
+        for r in relational.hg64_counts(df.filter("NOT expired"), "v", [], 5).collect()
+    }
+    assert got == want
+    # plan-side underflow guard: expired counts exceeding the total fail
+    bigger = relational.hg64_counts(df.unionAll(df), "v", [], 5)
+    with pytest.raises(Exception, match="underflow"):
+        relational.hg64_counts_subtract(total, bigger).collect()
