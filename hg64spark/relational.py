@@ -670,9 +670,20 @@ def hg64_counts_subtract(
     build of the surviving stream exactly."""
     group_cols = list(group_cols)
     keys = [*group_cols, "hg64_key"]
-    e = expired.withColumnRenamed("count", "__expired")
-    joined = total.join(e, keys, "full_outer").select(
-        *keys,
+    # NULL-SAFE key equality (the hg64_tv_drift convention): a NULL group
+    # is a group like any other in hg64_counts, and a plain equi-join
+    # would put its expired rows on their own full-outer rows with
+    # c_tot = 0 — tripping the underflow guard on a perfectly valid
+    # retraction
+    e = expired.select(
+        *[F.col(k).alias(f"__e_{k}") for k in keys], F.col("count").alias("__expired")
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__e_{k}"))
+        cond = c if cond is None else cond & c
+    joined = total.join(e, cond, "full_outer").select(
+        *[F.coalesce(F.col(k), F.col(f"__e_{k}")).alias(k) for k in keys],
         F.coalesce("count", F.lit(0)).alias("c_tot"),
         F.coalesce("__expired", F.lit(0)).alias("c_exp"),
     )

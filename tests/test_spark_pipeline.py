@@ -755,3 +755,21 @@ def test_retraction_is_exact_inverse_of_merge(spark):
     bigger = relational.hg64_counts(df.unionAll(df), "v", [], 5)
     with pytest.raises(Exception, match="underflow"):
         relational.hg64_counts_subtract(total, bigger).collect()
+    # GROUPED retraction with a NULL group: NULL is a group like any other
+    # (null-safe join) — its retraction must succeed and match the
+    # from-scratch survivors, not trip the underflow guard
+    gdf = spark.createDataFrame(
+        [(int(v), None if v % 2 else "g1", int(v) % 3 == 0) for v in va[:1000]],
+        "v long, g string, expired boolean",
+    )
+    gt = relational.hg64_counts(gdf, "v", ["g"], 5)
+    ge = relational.hg64_counts(gdf.filter("expired"), "v", ["g"], 5)
+    got_g = {
+        (r["g"], r["hg64_key"], r["count"])
+        for r in relational.hg64_counts_subtract(gt, ge, ["g"]).collect()
+    }
+    want_g = {
+        (r["g"], r["hg64_key"], r["count"])
+        for r in relational.hg64_counts(gdf.filter("NOT expired"), "v", ["g"], 5).collect()
+    }
+    assert got_g == want_g and any(g is None for g, _, _ in got_g)
