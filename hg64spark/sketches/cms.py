@@ -97,6 +97,25 @@ class CMS:
         self.counts += other.counts
         return self
 
+    def subtract(self, other: "CMS") -> "CMS":
+        """Retract a sub-sketch — CMS is LINEAR (cells are sums of
+        non-negative adds), so subtracting a genuine sub-stream's sketch is
+        exact and preserves the never-underestimate guarantee; among the
+        companions only CMS (and hg64) have this property — HLL/Bloom are
+        max/or-monotone and KLL/t-digest/MG discard information, none is
+        invertible.  A cell underflow (other not a sub-sketch) raises
+        rather than silently breaking every later estimate."""
+        if (other.width, other.depth, other.hash_family) != (
+            self.width,
+            self.depth,
+            self.hash_family,
+        ):
+            raise ValueError("cannot subtract CMS with different dimensions/hash family")
+        if np.any(other.counts > self.counts):
+            raise ValueError("subtract: source is not a sub-sketch (cell underflow)")
+        self.counts -= other.counts  # total is derived from counts
+        return self
+
     def serialize(self) -> bytes:
         header = struct.pack("<IIB", self.width, self.depth, self.hash_family)
         return serde.pack(serde.TYPE_CMS, header, self.counts.astype("<i8").tobytes())

@@ -584,3 +584,24 @@ def test_hg64_qov_empty_sketch_is_nan():
 
     q = HG64(5).snapshot().quantile_of_value([0, 5, 100])
     assert np.isnan(q).all()
+
+
+def test_cms_subtract_is_exact_inverse_and_guards():
+    """CMS is linear, so retracting a genuine sub-stream's sketch is the
+    exact inverse of merge (cells AND estimates); dimension/hash-family
+    mismatch and cell underflow raise."""
+    import numpy as np
+
+    from hg64spark.sketches import CMS
+
+    rng = np.random.default_rng(9)
+    a_items = rng.integers(0, 500, 4000).astype(str)
+    b_items = rng.integers(0, 500, 1500).astype(str)
+    a = CMS(256, 4).add_values(a_items)
+    ab = CMS(256, 4).add_values(a_items).add_values(b_items)
+    b = CMS(256, 4).add_values(b_items)
+    assert ab.subtract(b) == a and ab.total == a.total
+    with pytest.raises(ValueError, match="underflow|sub-sketch"):
+        CMS(256, 4).add_values(a_items[:5]).subtract(CMS(256, 4).add_values(a_items))
+    with pytest.raises(ValueError, match="dimensions|hash family"):
+        CMS(256, 4).subtract(CMS(128, 4))
