@@ -1351,11 +1351,18 @@ def q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     For probe sets too large to broadcast raw, compose the Bloom prune
     (`bloom_words_relational`) in front, or fall back to the banded
     `minhash_neardup_pairs` machinery."""
+    corpus_sh, probe_sh = _decon_hashed_streams(spark, sf_dir)
+    return _probe_jaccard_flags(corpus_sh, corpus_sh, probe_sh)
+
+
+def _decon_hashed_streams(spark: SparkSession, sf_dir: str):
+    """(corpus_sh, probe_sh): the hashed shingle streams both near-dup
+    decontamination variants start from.  The probe stream hashes the RAW
+    shingles, then ONE distinct over the hashed keys — a distinct on the
+    raw strings first would be a second, wasted shuffle (hashing is
+    injective enough that the post-hash distinct already defines the set,
+    as in the oracle's keyed-shingles CTE)."""
     c = augmented_corpus(spark, sf_dir)
-    # hash the RAW probe shingle stream, then ONE distinct over the hashed
-    # keys — a distinct on the raw strings first would be a second, wasted
-    # shuffle (hashing is injective enough that the post-hash distinct
-    # already defines the set, as in the oracle's keyed-shingles CTE)
     probe_sh = (
         raw_shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS))
         .select(F.col("doc_id").alias("probe_id"), _tokhash_spark(F.col("sh")).alias("hh"))
@@ -1364,8 +1371,22 @@ def q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sh = raw_shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS)).select(
         "doc_id", _tokhash_spark(F.col("sh")).alias("hh")
     )
+    return corpus_sh, probe_sh
+
+
+def _probe_jaccard_flags(
+    corpus_sh: DataFrame, candidate_sh: DataFrame, probe_sh: DataFrame
+) -> DataFrame:
+    """Shared verification body of the two near-dup decontamination
+    variants — ONE implementation so the 'identical answer, one oracle
+    serves both' contract cannot drift.  ``candidate_sh`` is the stream
+    the intersection runs on (the full corpus stream, or its Bloom-pruned
+    survivors — pruning cannot change the intersection by the no-false-
+    negative guarantee); ``corpus_sh`` is always the full stream, because
+    the Jaccard denominator must count every distinct shingle of the hit
+    docs."""
     inter = (
-        corpus_sh.join(F.broadcast(probe_sh), "hh")
+        candidate_sh.join(F.broadcast(probe_sh), "hh")
         .select("doc_id", "probe_id", "hh")
         .distinct()
         .groupBy("doc_id", "probe_id")
@@ -1406,43 +1427,11 @@ def q_decontaminate_neardup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     from hg64spark import relational
     from hg64spark.sketches import Bloom
 
-    c = augmented_corpus(spark, sf_dir)
-    probe_sh = (
-        raw_shingles(c.filter(F.col("doc_id") < DECON_PROBE_DOCS))
-        .select(F.col("doc_id").alias("probe_id"), _tokhash_spark(F.col("sh")).alias("hh"))
-        .distinct()
-    )
+    corpus_sh, probe_sh = _decon_hashed_streams(spark, sf_dir)
     n_bits, n_hashes = Bloom.params_for_capacity(DECON_BLOOM_CAPACITY_HINT)
     words = relational.bloom_words_relational(probe_sh.select("hh"), "hh", n_bits, n_hashes)
-    corpus_sh = raw_shingles(c.filter(F.col("doc_id") >= DECON_PROBE_DOCS)).select(
-        "doc_id", _tokhash_spark(F.col("sh")).alias("hh")
-    )
     survivors = relational.bloom_prune_relational(corpus_sh, "hh", words, n_bits, n_hashes)
-    inter = (
-        survivors.join(F.broadcast(probe_sh), "hh")
-        .select("doc_id", "probe_id", "hh")
-        .distinct()
-        .groupBy("doc_id", "probe_id")
-        .agg(F.count("*").alias("c"))
-    )
-    hitdocs = inter.select("doc_id").distinct()
-    na = (
-        corpus_sh.join(F.broadcast(hitdocs), "doc_id", "left_semi")
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("na"))
-    )
-    nb = probe_sh.groupBy("probe_id").agg(F.count("*").alias("nb"))
-    jac = (
-        F.col("c").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("c")).cast("double")
-    )
-    return (
-        inter.join(na, "doc_id")
-        .join(F.broadcast(nb), "probe_id")
-        .select("doc_id", "probe_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= DECON_NEARDUP_TAU)
-    )
+    return _probe_jaccard_flags(corpus_sh, survivors, probe_sh)
 
 
 def _decontaminate_neardup_sql() -> str:
@@ -1559,8 +1548,13 @@ def sample_fixed_k(docs: DataFrame, k: int = SAMPLE_FIXED_K) -> DataFrame:
     ``salted_topk`` (local top-K per hash-salt bucket, then a global rank
     over <= salts x K survivors), so no language — however large at
     100 TB — is ever sorted in a single task; languages smaller than k
-    come back whole."""
-    d = docs.select("lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    come back whole.  Rows with a NULL doc_id are excluded up front: a
+    NULL id has no identity to sample by, and engines disagree on where
+    NULL sorts (Spark NULLS FIRST vs DuckDB NULLS LAST) so including it
+    would also break cross-engine reproducibility."""
+    d = docs.filter(F.col("doc_id").isNotNull()).select(
+        "lang", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
     return salted_topk(d, "lang", [F.asc("h"), F.asc("doc_id")], "doc_id", k).select(
         "lang", "doc_id"
     )
@@ -1577,7 +1571,7 @@ def _sample_fixed_k_sql() -> str:
         SELECT lang, doc_id,
                row_number() OVER (PARTITION BY lang
                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ) WHERE rk <= {SAMPLE_FIXED_K}
     """
 

@@ -1154,7 +1154,15 @@ _WEIGHTED_GATE_ORACLE = (
 #:      to an in-window sibling is pytest-asserted (the *_rel twins) or that
 #:      have had green driver rows every round since r1.
 #: Rotate per round so every exposed query keeps a recent driver row.
-_GATE_ORDER = [
+#:
+#: Split into ACTIVE (inside the 50-row window together with the
+#: auto-fronted new queries) and ROTATED_OUT so the window arithmetic is
+#: testable: len(new unlisted queries) + len(_GATE_ACTIVE) must equal the
+#: driver cap exactly (asserted by tests/test_gate_window.py — adding a
+#: query without rotating a veteran out silently ungates the window tail).
+DRIVER_GATE_CAP = 50
+
+_GATE_ACTIVE = [
     # -- never driver-gated before round 5
     "streaming_hg64_by_type",
     "streaming_windowed_hg64",
@@ -1199,11 +1207,11 @@ _GATE_ORDER = [
     "sample_temperature",
     "sample_temperature_tokens",
     "quota_topk_by_lang",
-    # -- rotated out for round 5 (green r1–r4; *_rel twins byte-equality
-    #    pytest-asserted against in-window siblings).  NOTE: sections above
-    #    this line plus the auto-fronted NEW queries must total <= 50 — the
-    #    observed driver cap — or the tail of the in-window set silently
-    #    loses its round's driver row
+]
+
+#: rotated out for round 5 (green r1–r4; *_rel twins byte-equality
+#: pytest-asserted against in-window siblings)
+_GATE_ROTATED_OUT = [
     "tfidf_top_terms",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -1237,6 +1245,8 @@ _GATE_ORDER = [
     "multimodal_payloads",
     "sample_stratified",
 ]
+
+_GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -666,8 +666,11 @@ def hg64_counts_subtract(
     count frames (each <= groups x 1920 rows — nothing here scales with
     input data); an expired count exceeding its total FAILS the job
     plan-side, because a silent negative count would corrupt every later
-    quantile.  Zero-count buckets are dropped to match a from-scratch
-    build of the surviving stream exactly."""
+    quantile.  Buckets whose retracted count is zero are dropped — for
+    UNWEIGHTED builds that matches a from-scratch rebuild of the survivors
+    row-for-row (a fully-expired bucket has no surviving rows); a WEIGHTED
+    build can emit explicit zero-sum buckets from scratch (surviving rows
+    whose weights sum to 0), so compare weighted frames on count > 0."""
     group_cols = list(group_cols)
     keys = [*group_cols, "hg64_key"]
     # NULL-SAFE key equality (the hg64_tv_drift convention): a NULL group

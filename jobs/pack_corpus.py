@@ -77,7 +77,10 @@ def main() -> None:
         out_df = dataops.pack_token_shards(corpus, **kw)
 
     out_df.write.mode("overwrite").partitionBy("shard_id").parquet(args.output)
-    out = spark.read.parquet(args.output)
+    # explicit schema: a zero-row effective input (empty glob / all-NULL
+    # text) writes only _SUCCESS, and schema inference on that would throw
+    # AFTER the write — the summary must still print
+    out = spark.read.schema(out_df.schema).parquet(args.output)
 
     # ONE scan of the written output feeds the whole summary: the shard
     # aggregate is cached, shard count + row count come from one action
@@ -88,7 +91,8 @@ def main() -> None:
     shard_tokens.cache()
     try:
         stats = shard_tokens.agg(
-            F.count("*").alias("n_shards"), F.sum("rows").alias("rows_out")
+            F.count("*").alias("n_shards"),
+            F.coalesce(F.sum("rows"), F.lit(0)).alias("rows_out"),
         ).collect()[0]
         qdf = agg.hg64_quantiles(agg.hg64_agg(shard_tokens, "v", [], 5), [], [0.1, 0.5, 0.9])
         quantiles = {str(r["q"]): int(r["value"]) for r in qdf.collect()}
