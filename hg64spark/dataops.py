@@ -1608,8 +1608,17 @@ def pack_token_shards(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     per-bucket running totals are an ordinary partitioned window, bucket
     totals are 256 rows whose own running offset is driver-trivial, and one
     broadcast join composes the exact global running total.  Everything is
-    integer arithmetic on both engines, so the oracle matches bit-for-bit."""
-    d = docs.filter(F.col("text").isNotNull()).select(
+    integer arithmetic on both engines, so the oracle matches bit-for-bit.
+
+    NULL ``doc_id`` rows are excluded up front, mirroring
+    :func:`sample_fixed_k_per_lang`'s documented discipline: ``md5(NULL)``
+    is NULL, the null-unsafe equi-join on the bucket would silently drop
+    the row while its tokens still inflated the offset table, and the two
+    engines order NULLs oppositely (Spark NULLS FIRST, DuckDB NULLS LAST),
+    so every downstream shard id would shift."""
+    d = docs.filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    ).select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
@@ -1650,14 +1659,19 @@ def _pack_token_shards_sql() -> str:
     WITH d AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                md5(CAST(doc_id AS VARCHAR)) AS h
-        FROM documents WHERE text IS NOT NULL
+        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     c AS (
         SELECT doc_id, n_tokens,
                sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         FROM d
     )
-    SELECT doc_id, n_tokens, (cum - n_tokens) // {PACK_BUDGET} AS shard_id FROM c
+    -- the windowed sum(BIGINT) is a DuckDB HUGEINT and // keeps it; pandas
+    -- materializes HUGEINT as float64, so without this cast the driver's
+    -- value hash sees 62.0 vs Spark's 62 (the round-5 red row)
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS shard_id
+    FROM c
     """
 
 

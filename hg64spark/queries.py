@@ -810,9 +810,20 @@ _STREAM_WINDOW_S = 86_400
 _STREAM_DELAY_S = 3_600
 
 
-def _run_append_parquet(spark: SparkSession, stream_df, base: str) -> DataFrame:
+def _run_append_parquet(
+    spark: SparkSession, stream_df, base: str, expect_single_batch: bool = False
+) -> DataFrame:
     """Shared sink scaffold for the file-sink streaming gates: availableNow
-    append-mode parquet write under ``base``, await, read back."""
+    append-mode parquet write under ``base``, await, read back.
+
+    ``expect_single_batch`` asserts that the whole source landed in ONE
+    data micro-batch.  Gates whose batch-oracle equivalence reasons
+    "with one availableNow micro-batch nothing is late" (the watermarked
+    dedup) depend on it: were the file source to split the run (many
+    files, or maxFilesPerTrigger set) with files out of event-time order,
+    the watermark advancing between batches could drop genuinely on-time
+    rows and the emitted set would no longer equal the batch DISTINCT —
+    so the assumption is enforced, not assumed."""
     out = os.path.join(base, "out")
     q = (
         stream_df.writeStream.outputMode("append")
@@ -823,6 +834,14 @@ def _run_append_parquet(spark: SparkSession, stream_df, base: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    if expect_single_batch:
+        data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(data_batches) != 1:
+            raise AssertionError(
+                f"expected exactly one data micro-batch, saw {len(data_batches)} "
+                "(the single-batch oracle-equivalence assumption is broken; "
+                "did the source directory grow extra files?)"
+            )
     return spark.read.parquet(out)
 
 
@@ -872,9 +891,10 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     so every row has a genuine duplicate and the operator demonstrably
     halves the input.  With one availableNow micro-batch nothing is late,
     so the emitted set is exactly DISTINCT (h, us) — the oracle's batch
-    answer; the late-drop/eviction semantics are asserted across a
-    checkpoint restart in tests/test_streaming.py (a fact a single-run
-    oracle can't see)."""
+    answer; the single-batch assumption is ENFORCED by the sink scaffold
+    (``expect_single_batch`` checks the query progress), and the
+    late-drop/eviction semantics are asserted across a checkpoint restart
+    in tests/test_streaming.py (a fact a single-run oracle can't see)."""
     from hg64spark.streaming import dedup_stream_watermarked
 
     base, src_dir, schema = _stream_source(spark, sf_dir)
@@ -891,7 +911,7 @@ def q_streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         src.unionAll(src), ["h"], "tse", watermark_delay=f"{_STREAM_DELAY_S} seconds"
     )
     flat = deduped.select("h", F.unix_micros("tse").alias("us"))
-    return _run_append_parquet(spark, flat, base)
+    return _run_append_parquet(spark, flat, base, expect_single_batch=True)
 
 
 def q_streaming_windowed_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,8 +102,9 @@ def hg64_counts(
     hg64 key are fused into a single long (group*nkeys + key) so the
     per-row HashAggregate probe hashes/compares ONE column instead of two,
     then un-fused exactly after the (tiny) aggregate.  Measured ~1.5x on
-    the sketch-marginal ingest rate at 500M rows (309 -> 472M upd/s,
-    local[32]).  Exactness is preserved: NULL group values get their own
+    the sketch-marginal ingest rate at 500M rows, local[32]: 309 -> 472M
+    upd/s on one recorded run, 367 -> 513M on another — absolute numbers
+    move with box weather, the ~1.5x ratio is the stable part.  Exactness is preserved: NULL group values get their own
     fused slot (= domain) and come back as NULL; a value outside the
     declared domain FAILS the job plan-side rather than aliasing into
     another group's slot."""
@@ -604,7 +605,11 @@ def hg64_tv_drift(
     int64 while n_g*n < 2^62, i.e. up to ~2.1*10^9 rows per side (beyond
     that, decimal(38,0) is the swap-in) — and the single final
     division by 2*n_g*n happens once per group: bit-identical in any
-    engine, any partitioning.
+    engine, any partitioning.  The bound is ENFORCED plan-side: any group
+    with n_g * n > 2^62 fails the job via raise_error rather than
+    silently wrapping — checked as n_g > (2^62-1) div n (exact in
+    integers; the product form would itself overflow int64 at the very
+    scales the guard exists for).
 
     Plan shape: one keyed-count aggregate per (group, key) — the global
     per-key counts and per-group totals derive from it (ROLLUP-free:
@@ -613,7 +618,17 @@ def hg64_tv_drift(
     restored by cross-joining the group list with the global key table
     (both tiny) so the |0 - c_k * n_g| mass is counted.  Nothing after
     the first aggregate scales with input rows."""
-    gc = hg64_counts(df, value_col, [group_col], sigbits)
+    return hg64_tv_drift_from_counts(
+        hg64_counts(df, value_col, [group_col], sigbits), group_col
+    )
+
+
+def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
+    """:func:`hg64_tv_drift` over an already-reduced (group, hg64_key,
+    count) frame — the entry point when the keyed counts are retained
+    state (a checkpointed aggregate, a retraction survivor, yesterday's
+    partials) rather than raw rows.  Same exactness discipline and the
+    same plan-side 2^62 overflow guard as the raw-rows form."""
     glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
     n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
     n_all = glob.agg(F.sum("c_all").alias("n_all"))
@@ -641,7 +656,20 @@ def hg64_tv_drift(
         )
         .crossJoin(F.broadcast(n_all))
     )
-    num = F.abs(F.col("c_g") * F.col("n_all") - F.col("c_all") * F.col("n_g"))
+    # exactness guard: n_g > floor((2^62-1)/n_all)  <=>  n_g*n_all >= 2^62
+    # (floor+1 times n_all strictly exceeds 2^62-1), the point past which
+    # the int64 numerator sum could wrap — fail loudly, don't drift the
+    # drift monitor
+    # the guard must SHORT-CIRCUIT (when/otherwise == lazy If): past the
+    # bound the products themselves overflow, and ANSI mode would throw
+    # its generic ARITHMETIC_OVERFLOW before an additive guard could fire
+    num = F.when(
+        F.expr("n_g > (4611686018427387903L div n_all)"),
+        F.expr(
+            "CAST(raise_error('hg64_tv_drift: n_g*n exceeds 2^62; "
+            "use a decimal(38,0) numerator at this scale') AS LONG)"
+        ),
+    ).otherwise(F.abs(F.col("c_g") * F.col("n_all") - F.col("c_all") * F.col("n_g")))
     return (
         full.groupBy(group_col, "n_g", "n_all")
         .agg(F.sum(num).alias("tv_numerator"))

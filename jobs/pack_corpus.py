@@ -52,7 +52,15 @@ def main() -> None:
 
     from hg64spark import agg, dataops
 
-    corpus = spark.read.parquet(args.input).select("doc_id", "text")
+    # NULL doc_id rows are dropped at the front door: pack_token_shards
+    # excludes them anyway (md5(NULL) breaks the bucket join), and in the
+    # chunked path concat_ws would silently collapse a NULL source id into
+    # an ambiguous "#<idx>" composite before packing could see it
+    corpus = (
+        spark.read.parquet(args.input)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
 
     t0 = time.perf_counter()
     if args.chunk_tokens is not None:

@@ -613,6 +613,29 @@ def test_pack_token_shards_exact_and_partitioning_invariant(spark):
         assert sum(ns) <= budget + max(ns), (s, sum(ns))
 
 
+def test_pack_token_shards_excludes_null_doc_ids(spark):
+    """NULL doc_id rows must be excluded ENTIRELY — md5(NULL) is NULL, so
+    without the filter the null-unsafe bucket join drops the row from the
+    output while its tokens still inflate the offset table, shifting every
+    later doc's shard id (and Spark/DuckDB order NULLs oppositely).  The
+    assignment with a NULL row present must equal the assignment with it
+    pre-removed."""
+    rows = [(str(i), " ".join(["w"] * ((i * 37) % 400 + 1))) for i in range(100)]
+    clean = spark.createDataFrame(rows, "doc_id string, text string")
+    dirty = clean.unionAll(
+        spark.createDataFrame([(None, "x " * 5000)], "doc_id string, text string")
+    )
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in dataops.pack_token_shards(clean, budget=1000).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["shard_id"])
+        for r in dataops.pack_token_shards(dirty, budget=1000).collect()
+    }
+    assert got == want and None not in got
+
+
 def test_pack_token_shards_plan_is_two_level_prefix_sum(spark):
     """The packing plan's ONLY single-partition exchange must feed the
     256-row bucket-totals window — the data itself flows through

@@ -718,6 +718,31 @@ def test_hg64_tv_drift_exact_bounds(spark):
     assert out2["a"] == 0.0 and out2[None] == 0.0, out2
 
 
+def test_hg64_tv_drift_overflow_guard(spark):
+    """The int64-exactness bound (n_g * n < 2^62) is enforced plan-side:
+    counts frames past it must FAIL, not silently wrap the numerator.
+    Driven through the counts entry point (the only way to reach the
+    bound without 2^31 raw rows); a frame just UNDER the bound passes."""
+    import pyspark.errors
+    import pytest
+
+    from hg64spark import relational
+
+    over = spark.createDataFrame(
+        [("a", 100, 1 << 31), ("b", 200, 1 << 31)],
+        "g string, hg64_key int, count long",
+    )
+    with pytest.raises(pyspark.errors.PySparkException, match="2\\^62"):
+        relational.hg64_tv_drift_from_counts(over, "g").collect()
+    under = spark.createDataFrame(
+        [("a", 100, 1 << 30), ("b", 200, 1 << 30)],
+        "g string, hg64_key int, count long",
+    )
+    out = {r["g"]: r["tv"] for r in relational.hg64_tv_drift_from_counts(under, "g").collect()}
+    # disjoint single-bucket groups of equal mass: each is half the pool
+    assert out == {"a": 0.5, "b": 0.5}, out
+
+
 def test_retraction_is_exact_inverse_of_merge(spark):
     """Sketch retraction: (A+B).subtract(B) == A locally, the relational
     counts subtraction equals a from-scratch build of the survivors
