@@ -1206,6 +1206,55 @@ FROM documents
 """
 
 
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round-trip gate: per item, synthesize a closed-form
+    RGB image (multimodal.synth_image), encode it to genuine binary PPM
+    bytes, ship the opaque binary column through Spark, decode with the
+    dependency-free P6 parser, and emit integer stats (width, height, exact
+    pixel sum).  The oracle predicts those stats straight from item_id —
+    any bug in either codec direction, the binary plumbing, or the Arrow
+    batch shape breaks the value hash.  This closes the 'decoders are
+    honest stubs' gap: PPM decode is a real parser (comments, whitespace
+    grammar, truncation checks), not a fake."""
+    from hg64spark.multimodal import image_stats, synth_items
+
+    return image_stats(synth_items(_docs(spark, sf_dir), "image"))
+
+
+# closed-form stat prediction; DuckDB's correlated fan-out idiom is a list
+# comprehension over range(n) (generate_series rejects lateral column args)
+Q_MM_IMAGE_SQL = """
+SELECT doc_id AS item_id,
+       CAST(doc_id % 5 + 2 AS BIGINT) AS width,
+       CAST(doc_id % 3 + 2 AS BIGINT) AS height,
+       CAST(list_sum([(doc_id * 31 + i) % 256
+                      FOR i IN range((doc_id % 5 + 2) * (doc_id % 3 + 2) * 3)])
+            AS BIGINT) AS px_sum
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec round-trip gate: synthesize a closed-form int16
+    waveform per item, encode to genuine RIFF/WAVE PCM bytes, decode with
+    the dependency-free chunk-walking parser, emit (sample_rate, n_samples,
+    exact |amplitude| sum); oracle predicts all three from item_id."""
+    from hg64spark.multimodal import audio_stats, synth_items
+
+    return audio_stats(synth_items(_docs(spark, sf_dir), "audio"))
+
+
+Q_MM_AUDIO_SQL = """
+SELECT doc_id AS item_id,
+       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+       CAST(doc_id % 50 + 10 AS BIGINT) AS n_samples,
+       CAST(list_sum([abs((doc_id * 7 + i * 13) % 2048 - 1024)
+                      FOR i IN range(doc_id % 50 + 10)])
+            AS BIGINT) AS amp_sum
+FROM documents WHERE doc_id IS NOT NULL
+"""
+
+
 # ------------------------------------------------------------- registration
 
 def q_text_selfrepeat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2438,6 +2487,8 @@ def dataops_queries():
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "multimodal_payloads": q_multimodal_payloads,
+        "multimodal_image_decode": q_multimodal_image_decode,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
         "corpus_pipeline": q_corpus_pipeline,
         "sample_stratified": q_sample_stratified,
         "sample_correlated_lineitem": q_sample_correlated_lineitem,
@@ -2477,6 +2528,8 @@ def dataops_oracles():
         "ann_lsh_recall": Q_ANN_LSH_SQL,
         "ann_ivf_recall": Q_ANN_IVF_SQL,
         "multimodal_payloads": Q_MULTIMODAL_SQL,
+        "multimodal_image_decode": Q_MM_IMAGE_SQL,
+        "multimodal_audio_decode": Q_MM_AUDIO_SQL,
         "corpus_pipeline": _corpus_pipeline_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_correlated_lineitem": _sample_correlated_sql(),

@@ -991,6 +991,59 @@ def _hg64_retract_oracle() -> str:
     """
 
 
+def q_hg64_retract_weighted_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sketch retraction gate — oracle-checks the comparison
+    semantics `hg64_counts_subtract`'s docstring could previously only
+    document: a weighted from-scratch rebuild can emit explicit ZERO-SUM
+    buckets (surviving rows whose weights sum to 0), which the retracted
+    result never contains, so the two sides are compared on count > 0.
+    The weight zeroes out below-threshold lines (quantity counted only for
+    bulk-priced lines, price >= 1000) — every bucket wholly below the
+    threshold is a zero-sum survivor in a from-scratch weighted build, so
+    the count > 0 comparison contract is exercised by real dropped buckets,
+    not decorative (4 zero-sum survivors at sf0.001 and sf0.01, checked at
+    gate-authoring time).  Expired set: every 4th
+    order's lines; the retracted weighted counts must equal the
+    from-scratch weighted build of the complement on the positive
+    buckets."""
+    from hg64spark import relational
+
+    li = io.read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.when(F.col("l_extendedprice") >= 1000, F.col("l_quantity").cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("w"),
+    )
+    total = relational.hg64_counts(li, "v", [], SIGBITS, weight_col="w")
+    expired = relational.hg64_counts(
+        li.filter("l_orderkey % 4 = 0"), "v", [], SIGBITS, weight_col="w"
+    )
+    out = relational.hg64_counts_subtract(total, expired)
+    return out.select(
+        F.col("hg64_key").cast("long").alias("key"), F.col("count").cast("long").alias("count")
+    )
+
+
+def _hg64_retract_weighted_oracle() -> str:
+    k = sqloracle.key_expr("v", SIGBITS)
+    # per-row cast BEFORE the sum (the weighted-oracle discipline), and the
+    # outer CAST keeps DuckDB's HUGEINT sum out of the driver's pandas/hash
+    # path; count > 0 is the documented weighted comparison contract
+    return f"""
+    SELECT key, count FROM (
+        SELECT {k} AS key, CAST(sum(w) AS BIGINT) AS count
+        FROM (SELECT l_orderkey,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                     CASE WHEN l_extendedprice >= 1000
+                          THEN CAST(l_quantity AS BIGINT) ELSE 0 END AS w
+              FROM lineitem)
+        WHERE v IS NOT NULL AND (l_orderkey IS NULL OR l_orderkey % 4 <> 0)
+        GROUP BY 1
+    ) WHERE count > 0
+    """
+
+
 def _hg64_drift_oracle() -> str:
     k = sqloracle.key_expr("v", SIGBITS)
     return f"""
@@ -1183,70 +1236,16 @@ _WEIGHTED_GATE_ORACLE = (
 DRIVER_GATE_CAP = 50
 
 _GATE_ACTIVE = [
-    # -- never driver-gated before round 5
-    "streaming_hg64_by_type",
-    "streaming_windowed_hg64",
-    "streaming_stateful_hg64",
-    "streaming_hll_distinct",
-    "streaming_dedup_exact",
-    "mg_top_parts_rel",
-    "kll_weighted_lineitem",
-    "tdigest_weighted_lineitem",
-    # -- displaced from the round-4 window (last driver row: r2)
-    "bloom_tools_by_role_rel",
-    "mg_top_tools",
-    "mg_top_tools_by_role",
-    "sessionize",
-    "session_length_hist",
-    "tdigest_latency_by_tool",
-    "textlen_quantiles_cube",
-    # -- in-window set
-    "hg64_buckets_events",
-    "hg64_quantiles_events",
-    "hg64_ranks_events",
-    "hg64_qov_events",
-    "hg64_stats_events",
-    "latency_quantiles_by_tool",
-    "hg64_downsample_lineitem",
-    "hg64_upsample_lineitem",
-    "hg64_weighted_buckets",
-    "hll_distinct_users",
-    "cms_top_custkeys",
-    "bloom_membership",
-    "kll_latency_by_tool",
-    "cms_top_tools_by_role_rel",
-    "cms_weighted_parts_rel",
-    "text_selfrepeat",
-    "dedup_minhash_lsh",
-    "dedup_substring",
-    "dedup_substring_rewrite",
-    "dedup_cluster_star",
-    "decontaminate_bloom",
-    "ann_ivf_recall",
-    "corpus_pipeline",
-    "sample_temperature",
-    "sample_temperature_tokens",
-    "quota_topk_by_lang",
-]
-
-#: rotated out for round 5 (green r1–r4; *_rel twins byte-equality
-#: pytest-asserted against in-window siblings)
-_GATE_ROTATED_OUT = [
+    # -- ROTATED IN for round 6: the 24 queries whose last driver row is
+    # r<=4 (rotated out for r5, all green on the local replica since) —
+    # freshness policy: no exposed query's driver row older than 2 rounds
     "tfidf_top_terms",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "text_winnow",
     "sample_correlated_lineitem",
-    # twins of in-window siblings (cluster_star / bloom stay): equality of
-    # the two implementations is pytest-asserted directly
-    # (test_rotated_out_twins_equal_in_window_siblings), not merely implied
-    # by the shared oracle string
     "dedup_cluster",
     "decontaminate_overlap",
-    # 4-rounds-green (r1–r4) core veterans whose machinery is exercised by
-    # in-window family siblings (hg64_quantiles_events + flagship cover
-    # the global-quantile shape; hg64_buckets_events covers the grouped
-    # bucket export)
     "turncount_quantiles",
     "textlen_buckets_by_role",
     "latency_quantiles_by_tool_rel",
@@ -1264,6 +1263,64 @@ _GATE_ROTATED_OUT = [
     "ann_lsh_recall",
     "multimodal_payloads",
     "sample_stratified",
+    # -- r5-green keepers: pack_token_shards re-gates after its r5 red row
+    # (oracle-typing fix this round), the rest keep one representative of
+    # every operator family in-window
+    "pack_token_shards",
+    "hg64_buckets_events",
+    "hg64_quantiles_events",
+    "hg64_stats_events",
+    "hg64_downsample_lineitem",
+    "hg64_upsample_lineitem",
+    "hg64_weighted_buckets",
+    "latency_quantiles_by_tool",
+    "hll_distinct_users",
+    "cms_top_custkeys",
+    "bloom_membership",
+    "kll_latency_by_tool",
+    "tdigest_latency_by_tool",
+    "mg_top_tools",
+    "textlen_quantiles_cube",
+    "sessionize",
+    "corpus_pipeline",
+    "dedup_minhash_lsh",
+    "dedup_substring",
+    "decontaminate_bloom",
+    "ann_ivf_recall",
+    "sample_temperature",
+    "streaming_hg64_by_type",
+]
+
+#: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
+#: so their driver freshness is 1 round; they rotate back in for r7
+_GATE_ROTATED_OUT = [
+    "hg64_ranks_events",
+    "hg64_qov_events",
+    "session_length_hist",
+    "streaming_windowed_hg64",
+    "streaming_stateful_hg64",
+    "streaming_hll_distinct",
+    "streaming_dedup_exact",
+    "streaming_dedup_watermarked",
+    "mg_top_parts_rel",
+    "kll_weighted_lineitem",
+    "tdigest_weighted_lineitem",
+    "bloom_tools_by_role_rel",
+    "mg_top_tools_by_role",
+    "cms_top_tools_by_role_rel",
+    "cms_weighted_parts_rel",
+    "text_selfrepeat",
+    "dedup_substring_rewrite",
+    "dedup_cluster_star",
+    "sample_temperature_tokens",
+    "quota_topk_by_lang",
+    "decontaminate_neardup",
+    "decontaminate_neardup_bloom",
+    "chunk_documents",
+    "sample_fixed_k_per_lang",
+    "sliding_hg64_events",
+    "hg64_drift_events",
+    "hg64_retract_events",
 ]
 
 _GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]
@@ -1325,6 +1382,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hg64_events": q_sliding_hg64_events,
         "hg64_drift_events": q_hg64_drift_events,
         "hg64_retract_events": q_hg64_retract_events,
+        "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
     }
 
 
@@ -1454,6 +1512,7 @@ def _core_oracles() -> dict[str, str]:
         "sliding_hg64_events": _sliding_hg64_oracle(),
         "hg64_drift_events": _hg64_drift_oracle(),
         "hg64_retract_events": _hg64_retract_oracle(),
+        "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

@@ -377,13 +377,95 @@ def test_multimodal_feature_plumbing(spark):
     assert np.array_equal(f1[0], f1[1]) and not np.array_equal(f1[0], f1[2])
 
 
-def test_multimodal_decoders_are_gated_stubs():
+def test_multimodal_heavy_formats_are_gated_stubs():
+    """Formats needing absent libraries still fail loudly with
+    NotImplementedError (never a silent fake); the NATIVE formats (PPM/WAV)
+    are real codecs tested below."""
     from hg64spark import multimodal
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"RIFF...")
+        multimodal.decode_audio(b"OggS....")
+
+
+def test_ppm_codec_roundtrip_and_grammar():
+    import numpy as np
+
+    from hg64spark import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (16, 2)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = mm.decode_ppm(mm.encode_ppm(img))
+        assert out.shape == (h, w, 3) and (out == img).all()
+    # dispatcher routes P6 natively
+    img = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    assert (mm.decode_image(mm.encode_ppm(img)) == img).all()
+    # full header grammar: comments between tokens, arbitrary whitespace
+    raster = bytes(range(2 * 2 * 3))
+    fancy = b"P6 # comment\n# another\n 2\t2 # sizes\n255\n" + raster
+    assert (mm.decode_ppm(fancy).reshape(-1) == np.frombuffer(raster, np.uint8)).all()
+    # corruption: ValueError, never IndexError/struct.error
+    good = mm.encode_ppm(img)
+    for bad in [b"", b"P5\n1 1\n255\nxxx", good[:-1], b"P6\n2 2\n255", b"P6\n2 2\n65535\n" + raster]:
+        with pytest.raises(ValueError):
+            mm.decode_ppm(bad)
+
+
+def test_wav_codec_roundtrip_chunks_and_stereo():
+    import struct
+
+    import numpy as np
+
+    from hg64spark import multimodal as mm
+
+    mono = (np.arange(100, dtype=np.int16) * 37) % 2048 - 1024
+    rate, out = mm.decode_wav(mm.encode_wav(mono, 8000))
+    assert rate == 8000 and out.shape == (100, 1) and (out[:, 0] == mono).all()
+    stereo = np.stack([mono, -mono], axis=1).astype(np.int16)
+    rate, out = mm.decode_wav(mm.encode_wav(stereo, 44100))
+    assert rate == 44100 and out.shape == (100, 2) and (out == stereo).all()
+    # RIFF chunk-walking: an extra ODD-SIZED chunk before fmt/data must be
+    # skipped with word alignment (the spec's pad byte)
+    buf = mm.encode_wav(mono, 16000)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = buf[:12] + extra + buf[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, out = mm.decode_wav(patched)
+    assert rate == 16000 and (out[:, 0] == mono).all()
+    # dispatcher routes RIFF natively
+    assert mm.decode_audio(buf)[0] == 16000
+    # corruption: ValueError
+    for bad in [b"", b"RIFF....", buf[:-3], buf[:12]]:
+        with pytest.raises(ValueError):
+            mm.decode_wav(bad)
+    # non-PCM format tag rejected
+    tag_pos = buf.index(b"fmt ") + 8
+    nonpcm = buf[:tag_pos] + struct.pack("<H", 3) + buf[tag_pos + 2 :]
+    with pytest.raises(ValueError):
+        mm.decode_wav(nonpcm)
+
+
+def test_synth_stats_match_closed_form():
+    """The synthesized payload builders agree with the closed-form stats the
+    oracles predict — pinned here so a synthesis change that silently
+    diverges from the SQL constants fails in unit tests, not just at the
+    driver gate."""
+    import numpy as np
+
+    from hg64spark import multimodal as mm
+
+    for d in [0, 1, 7, 49, 123456]:
+        img = mm.synth_image(d)
+        assert img.shape == (d % 3 + 2, d % 5 + 2, 3)
+        n = img.size
+        assert int(img.astype(np.int64).sum()) == sum((d * 31 + i) % 256 for i in range(n))
+        rate, wave = mm.synth_audio(d)
+        assert rate == 8000 + (d % 3) * 4000 and wave.shape == (d % 50 + 10,)
+        assert int(np.abs(wave.astype(np.int64)).sum()) == sum(
+            abs((d * 7 + i * 13) % 2048 - 1024) for i in range(d % 50 + 10)
+        )
 
 
 def test_langid_is_deterministic_and_total(spark):
@@ -766,11 +848,12 @@ def test_sample_fixed_k_matches_naive_rank_and_caps_small_groups(spark):
 
 
 def test_rotated_out_twins_equal_in_window_siblings(spark):
-    """dedup_cluster and decontaminate_overlap rotate out of the driver's
-    50-row correctness window justified by an in-window sibling computing
-    the same answer — this asserts that equivalence directly (not just a
-    shared oracle string) so a regression in the rotated-out form cannot
-    hide behind its sibling's green row."""
+    """The twin implementations (cluster min-label vs star contraction;
+    decontaminate broadcast-probe vs Bloom-pruned) take turns in the
+    driver's 50-row correctness window across rounds — this asserts their
+    equivalence directly (not just a shared oracle string) so a regression
+    in whichever form is currently rotated out cannot hide behind its
+    sibling's green row."""
     a = {tuple(r) for r in dataops.q_dedup_cluster(spark, SF_DIR).collect()}
     b = {tuple(r) for r in dataops.q_dedup_cluster_star(spark, SF_DIR).collect()}
     assert a == b and a
