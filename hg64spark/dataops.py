@@ -1724,6 +1724,84 @@ def _pack_token_shards_sql() -> str:
     """
 
 
+#: curriculum-binning quantile grid: 3 thresholds -> 4 difficulty bins
+CURRICULUM_QS = (0.25, 0.5, 0.75)
+
+
+def curriculum_bins(
+    docs: DataFrame, qs: tuple = CURRICULUM_QS, sigbits: int = 5
+) -> DataFrame:
+    """(doc_id, n_tokens, bin): SKETCH-GUIDED curriculum binning — the hg64
+    histogram's quantile thresholds over the corpus token-count
+    distribution, fed straight back into the pipeline to grade every
+    document into len(qs)+1 difficulty bins (bin = number of thresholds
+    strictly below n_tokens).  This is the composition a training pipeline
+    runs for curriculum ordering / length-bucketed batching: one cheap
+    mergeable sketch of the global distribution, then a full-corpus pass
+    that never shuffles.
+
+    Scale shape: the threshold side reduces to <= 1920 keyed counts and
+    finalizes relationally (`hg64_quantiles_relational`, zero Python),
+    pivots to ONE row, and broadcast-joins onto the corpus — the corpus
+    itself is scanned once with no Exchange (plan-asserted in tests).
+    Thresholds are sketch quantiles, so they inherit hg64's 2^-sigbits
+    relative resolution — exactly the trade a 10^12-row curriculum pass
+    wants (the alternative is a full sort).  NULL doc_id rows are excluded
+    (the sampling discipline: cross-engine NULL handling)."""
+    from hg64spark import relational
+
+    d = docs.filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull()).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    thr = relational.hg64_quantiles_relational(d, "n_tokens", list(qs), [], sigbits)
+    one = thr.agg(
+        *[
+            F.max(F.when(F.col("q") == float(q), F.col("value"))).alias(f"t{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bin_expr = sum(
+        (F.col("n_tokens") > F.col(f"t{i}")).cast("long") for i in range(len(qs))
+    )
+    return d.crossJoin(F.broadcast(one)).select(
+        "doc_id", "n_tokens", bin_expr.alias("bin")
+    )
+
+
+def q_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-binning gate over the documents table (see
+    :func:`curriculum_bins`); the oracle reproduces the hg64 quantile
+    thresholds with the exact SQL sketch math and applies the same
+    binning rule."""
+    return curriculum_bins(_docs(spark, sf_dir))
+
+
+def _curriculum_bins_sql() -> str:
+    from hg64spark import sqloracle
+
+    base = (
+        "SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v "
+        "FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL"
+    )
+    thr = sqloracle.quantiles_sql(base, "v", 5, list(CURRICULUM_QS))
+    cases = " + ".join(
+        f"CASE WHEN n_tokens > one.t{i} THEN 1 ELSE 0 END"
+        for i in range(len(CURRICULUM_QS))
+    )
+    tsel = ", ".join(
+        f"max(CASE WHEN q = {float(q)!r} THEN value END) AS t{i}"
+        for i, q in enumerate(CURRICULUM_QS)
+    )
+    return f"""
+    WITH thr AS ({thr}),
+    one AS (SELECT {tsel} FROM thr),
+    d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL)
+    SELECT d.doc_id, d.n_tokens, CAST({cases} AS BIGINT) AS bin
+    FROM d CROSS JOIN one
+    """
+
+
 # ------------------------------------- exact-substring spans / clustering
 
 #: minimum repeated-substring length in TOKENS for span dedup (the
@@ -2489,6 +2567,7 @@ def dataops_queries():
         "multimodal_payloads": q_multimodal_payloads,
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
+        "curriculum_bins": q_curriculum_bins,
         "corpus_pipeline": q_corpus_pipeline,
         "sample_stratified": q_sample_stratified,
         "sample_correlated_lineitem": q_sample_correlated_lineitem,
@@ -2530,6 +2609,7 @@ def dataops_oracles():
         "multimodal_payloads": Q_MULTIMODAL_SQL,
         "multimodal_image_decode": Q_MM_IMAGE_SQL,
         "multimodal_audio_decode": Q_MM_AUDIO_SQL,
+        "curriculum_bins": _curriculum_bins_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_correlated_lineitem": _sample_correlated_sql(),

@@ -1069,6 +1069,46 @@ def _hg64_drift_oracle() -> str:
     """
 
 
+def q_hg64_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram overlap (intersection) coefficient between every pair of
+    event_type groups' hg64 distributions (`relational.hg64_overlap`) —
+    group-vs-group similarity complementing the drift monitor's
+    group-vs-pool distance.  Integer-exact numerator, one final division;
+    NULL group participates (ordered deterministically last)."""
+    from hg64spark import relational
+
+    ev = io.read_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS v"
+    )
+    out = relational.hg64_overlap(ev, "v", "event_type", SIGBITS)
+    return out.select(
+        "g_a", "g_b", F.col("ov_numerator").cast("long").alias("ov_numerator"), "overlap"
+    )
+
+
+def _hg64_overlap_oracle() -> str:
+    k = sqloracle.key_expr("v", SIGBITS)
+    return f"""
+    WITH src AS (
+        SELECT event_type AS g, {k} AS k
+        FROM ({_EVENTS_VALUE_SQL}) WHERE v IS NOT NULL
+    ),
+    cnt AS (SELECT g, k, count(*) AS c FROM src GROUP BY 1, 2),
+    tot AS (SELECT g, count(*) AS n FROM src GROUP BY 1),
+    sides AS (
+        SELECT c.g, c.k, c.c, t.n FROM cnt c
+        JOIN tot t ON c.g IS NOT DISTINCT FROM t.g
+    )
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(sum(least(a.c * b.n, b.c * a.n)) AS BIGINT) AS ov_numerator,
+           CAST(sum(least(a.c * b.n, b.c * a.n)) AS DOUBLE)
+               / (CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)) AS overlap
+    FROM sides a JOIN sides b ON a.k = b.k
+    WHERE a.g < b.g OR (b.g IS NULL AND a.g IS NOT NULL)
+    GROUP BY a.g, b.g, a.n, b.n
+    """
+
+
 #: sliding (hopping) window geometry: 2-day windows advancing by 1 day, so
 #: every event lands in exactly window/slide = 2 overlapping windows
 _SLIDE_WINDOW_S = 2 * 86_400
@@ -1281,19 +1321,19 @@ _GATE_ACTIVE = [
     "tdigest_latency_by_tool",
     "mg_top_tools",
     "textlen_quantiles_cube",
-    "sessionize",
     "corpus_pipeline",
     "dedup_minhash_lsh",
     "dedup_substring",
     "decontaminate_bloom",
     "ann_ivf_recall",
-    "sample_temperature",
     "streaming_hg64_by_type",
 ]
 
 #: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
 #: so their driver freshness is 1 round; they rotate back in for r7
 _GATE_ROTATED_OUT = [
+    "sessionize",
+    "sample_temperature",
     "hg64_ranks_events",
     "hg64_qov_events",
     "session_length_hist",
@@ -1383,6 +1423,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hg64_drift_events": q_hg64_drift_events,
         "hg64_retract_events": q_hg64_retract_events,
         "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
+        "hg64_overlap_events": q_hg64_overlap_events,
     }
 
 
@@ -1513,6 +1554,7 @@ def _core_oracles() -> dict[str, str]:
         "hg64_drift_events": _hg64_drift_oracle(),
         "hg64_retract_events": _hg64_retract_oracle(),
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),
+        "hg64_overlap_events": _hg64_overlap_oracle(),
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

@@ -684,6 +684,81 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def hg64_overlap(
+    df: DataFrame, value_col: str, group_col: str, sigbits: int = 5
+) -> DataFrame:
+    """(g_a, g_b, ov_numerator, overlap): the histogram OVERLAP (intersection)
+    coefficient between every unordered pair of groups' hg64 distributions —
+    sum_k min(c_ak/n_a, c_bk/n_b) in [0, 1], the standard histogram-
+    intersection similarity (1 = identical bucket distributions, 0 =
+    disjoint support).  Complements :func:`hg64_tv_drift` (each group vs
+    the pool) with group-vs-group structure: which tools/sources/shards
+    have interchangeable distributions.
+
+    Exactness discipline (the tv_drift convention): the sum runs on the
+    INTEGER numerator min(c_ak * n_b, c_bk * n_a) with ONE final division
+    by n_a * n_b — bit-identical in any engine, any partitioning — and the
+    same plan-side 2^62 guard fails the job past int64 exactness.
+
+    Plan shape: one keyed-count aggregate; buckets missing from either
+    group contribute min(..., 0) = 0, so a plain INNER self-join on
+    hg64_key over the <= groups x 1920-row frame needs no missing-bucket
+    restoration.  Corollary: a pair with fully DISJOINT support emits no
+    row at all (its overlap is identically 0) — callers wanting explicit
+    zeros outer-join against the group-pair list.  NULL is a group like any other: pairs are ordered by an
+    explicit engine-independent predicate (a < b, with the NULL group
+    deterministically LAST) rather than engine-specific NULL sort order.
+    Nothing after the first aggregate scales with input rows."""
+    gc = hg64_counts(df, value_col, [group_col], sigbits)
+    gcr = gc.select(F.col(group_col).alias("g"), "hg64_key", "count")
+    # null-safe totals join (the tv_drift convention: NULL is a group)
+    n_g = (
+        gc.groupBy(group_col)
+        .agg(F.sum("count").alias("n"))
+        .select(F.col(group_col).alias("__gn"), "n")
+    )
+    sides = gcr.join(n_g, F.col("g").eqNullSafe(F.col("__gn")), "inner").select(
+        "g", "hg64_key", "count", "n"
+    )
+    a = sides.select(
+        F.col("g").alias("g_a"),
+        F.col("hg64_key").alias("k"),
+        F.col("count").alias("c_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("g").alias("g_b"),
+        F.col("hg64_key").alias("k"),
+        F.col("count").alias("c_b"),
+        F.col("n").alias("n_b"),
+    )
+    # engine-independent unordered-pair predicate: NULL group sorts LAST
+    pair = (F.col("g_a") < F.col("g_b")) | (
+        F.col("g_b").isNull() & F.col("g_a").isNotNull()
+    )
+    joined = a.join(b, ["k"], "inner").filter(pair)
+    term = F.when(
+        F.expr("n_a > (4611686018427387903L div n_b)"),
+        F.expr(
+            "CAST(raise_error('hg64_overlap: n_a*n_b exceeds 2^62; "
+            "use a decimal(38,0) numerator at this scale') AS LONG)"
+        ),
+    ).otherwise(F.least(F.col("c_a") * F.col("n_b"), F.col("c_b") * F.col("n_a")))
+    return (
+        joined.groupBy("g_a", "g_b", "n_a", "n_b")
+        .agg(F.sum(term).alias("ov_numerator"))
+        .select(
+            "g_a",
+            "g_b",
+            "ov_numerator",
+            (
+                F.col("ov_numerator").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("overlap"),
+        )
+    )
+
+
 def hg64_counts_subtract(
     total: DataFrame, expired: DataFrame, group_cols: Sequence[str] = ()
 ) -> DataFrame:

@@ -695,6 +695,36 @@ def test_pack_token_shards_exact_and_partitioning_invariant(spark):
         assert sum(ns) <= budget + max(ns), (s, sum(ns))
 
 
+def test_curriculum_bins_corpus_never_shuffles(spark):
+    """The corpus branch of the curriculum plan must flow FileScan ->
+    Filter -> Project -> broadcast join with NO Exchange (the whole point:
+    sketch thresholds come to the data, the data never moves), and the
+    NULL/text filters must reach the parquet scan."""
+    plan = (
+        dataops.q_curriculum_bins(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    corpus_branch = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_branch, plan
+    assert "PushedFilters: [IsNotNull(text), IsNotNull(doc_id)]" in plan, plan
+
+
+def test_curriculum_bins_semantics(spark):
+    """Bins are monotone in n_tokens, cover all len(qs)+1 grades at gate
+    scale, and every document (with text + id) is graded exactly once."""
+    rows = dataops.q_curriculum_bins(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expect = docs.filter("text IS NOT NULL AND doc_id IS NOT NULL").count()
+    assert len(rows) == expect
+    assert len({r["doc_id"] for r in rows}) == expect
+    by_tok = sorted(rows, key=lambda r: r["n_tokens"])
+    bins = [r["bin"] for r in by_tok]
+    assert bins == sorted(bins), "bin must be monotone in n_tokens"
+    assert set(bins) == {0, 1, 2, 3}
+
+
 def test_pack_token_shards_excludes_null_doc_ids(spark):
     """NULL doc_id rows must be excluded ENTIRELY — md5(NULL) is NULL, so
     without the filter the null-unsafe bucket join drops the row from the

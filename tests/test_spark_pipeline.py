@@ -743,6 +743,29 @@ def test_hg64_tv_drift_overflow_guard(spark):
     assert out == {"a": 0.5, "b": 0.5}, out
 
 
+def test_hg64_overlap_exact_bounds(spark):
+    """Histogram overlap sanity with exactly-known answers: a group
+    compared against an identically-distributed twin scores exactly 1.0
+    (integer numerator makes it equality, not approximation), disjoint
+    supports emit NO row (documented corollary of the inner join), and a
+    NULL-keyed group participates, deterministically ordered last."""
+    from hg64spark import relational
+
+    a = spark.range(1000).selectExpr("'a' AS g", "CAST(id % 7 + 1 AS LONG) AS v")
+    b = spark.range(1000).selectExpr("'b' AS g", "CAST(id % 7 + 1 AS LONG) AS v")
+    d = spark.range(500).selectExpr("'d' AS g", "CAST((id % 7 + 1) * 1048576 AS LONG) AS v")
+    n = spark.range(1000).selectExpr("CAST(NULL AS STRING) AS g", "CAST(id % 7 + 1 AS LONG) AS v")
+    out = {
+        (r["g_a"], r["g_b"]): r["overlap"]
+        for r in relational.hg64_overlap(a.unionAll(b).unionAll(d).unionAll(n), "v", "g", 5).collect()
+    }
+    assert out[("a", "b")] == 1.0
+    assert ("a", "d") not in out and ("b", "d") not in out  # disjoint: no row
+    # NULL group pairs exist, NULL always on the g_b side, overlap exact 1.0
+    assert out[("a", None)] == 1.0 and out[("b", None)] == 1.0
+    assert all(k[0] is not None for k in out)
+
+
 def test_retraction_is_exact_inverse_of_merge(spark):
     """Sketch retraction: (A+B).subtract(B) == A locally, the relational
     counts subtraction equals a from-scratch build of the survivors
