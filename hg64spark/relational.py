@@ -589,7 +589,11 @@ def cms_estimate_relational(
 
 
 def hg64_tv_drift(
-    df: DataFrame, value_col: str, group_col: str, sigbits: int = 5
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    sigbits: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(group, tv_numerator, tv): total-variation distance between each
     group's hg64 bucket distribution and the GLOBAL one — the
@@ -617,9 +621,13 @@ def hg64_tv_drift(
     join on the <= 1920-row global table.  Buckets a group misses are
     restored by cross-joining the group list with the global key table
     (both tiny) so the |0 - c_k * n_g| mass is counted.  Nothing after
-    the first aggregate scales with input rows."""
+    the first aggregate scales with input rows.
+
+    With ``weight_col`` the distributions are weight-mass distributions
+    (the weighted `hg64_add` build) — same math, counts are weight sums."""
     return hg64_tv_drift_from_counts(
-        hg64_counts(df, value_col, [group_col], sigbits), group_col
+        hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col),
+        group_col,
     )
 
 
@@ -628,7 +636,15 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
     count) frame — the entry point when the keyed counts are retained
     state (a checkpointed aggregate, a retraction survivor, yesterday's
     partials) rather than raw rows.  Same exactness discipline and the
-    same plan-side 2^62 overflow guard as the raw-rows form."""
+    same plan-side 2^62 overflow guard as the raw-rows form.  Weighted
+    counts work unchanged (weight-mass distributions); a group whose
+    weights all sum to zero reports tv = NaN (0/0, identically in both
+    engines) — filter zero-mass groups first if that matters.  The count
+    column must be INTEGRAL: a fractional (double) count — e.g. a weighted
+    build over a double weight column — has no integer-exact numerator,
+    which is this monitor's entire correctness story, so it is rejected
+    up front (cast the weight to BIGINT first if truncation is intended)."""
+    _require_integral_counts(gc, "hg64_tv_drift")
     glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
     n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
     n_all = glob.agg(F.sum("c_all").alias("n_all"))
@@ -684,8 +700,28 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
     )
 
 
+def _require_integral_counts(counts: DataFrame, op: str) -> None:
+    """The integer-exactness monitors (drift / overlap) are only exact over
+    INTEGRAL counts; a double count (weighted build over a double weight
+    column) would silently degrade the partitioning-invariance guarantee —
+    and the int64 overflow guard's `div` does not even typecheck on
+    doubles.  Fail with intent instead."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    ctype = dict((f.name, f.dataType) for f in counts.schema.fields)["count"]
+    if not isinstance(ctype, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{op} requires integral counts (got count: {ctype}); cast the "
+            "weight column to BIGINT first if truncation is intended"
+        )
+
+
 def hg64_overlap(
-    df: DataFrame, value_col: str, group_col: str, sigbits: int = 5
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    sigbits: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(g_a, g_b, ov_numerator, overlap): the histogram OVERLAP (intersection)
     coefficient between every unordered pair of groups' hg64 distributions —
@@ -709,7 +745,8 @@ def hg64_overlap(
     explicit engine-independent predicate (a < b, with the NULL group
     deterministically LAST) rather than engine-specific NULL sort order.
     Nothing after the first aggregate scales with input rows."""
-    gc = hg64_counts(df, value_col, [group_col], sigbits)
+    gc = hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col)
+    _require_integral_counts(gc, "hg64_overlap")
     gcr = gc.select(F.col(group_col).alias("g"), "hg64_key", "count")
     # null-safe totals join (the tv_drift convention: NULL is a group)
     n_g = (

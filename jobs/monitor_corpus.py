@@ -1,0 +1,144 @@
+"""Production job: distribution monitoring over any parquet table,
+runnable via spark-submit at any cluster size:
+
+    zip -r hg64spark.zip hg64spark
+    spark-submit --master <cluster> \\
+        --py-files hg64spark.zip \\
+        jobs/monitor_corpus.py \\
+        --input  s3://bucket/events/        # parquet
+        --value-col value --group-col source \\
+        --weight-col n_tokens               # optional: weight-mass dists
+        --output /path/out
+
+Computes, in ONE pass over the data (a single keyed-count aggregate feeds
+everything):
+
+  * per-group hg64 TV drift vs the pooled distribution
+    (`relational.hg64_tv_drift_from_counts`) — "is this source/day/shard
+    distributed like the corpus?"
+  * pairwise histogram overlap coefficients (`hg64_overlap` shape over the
+    same counts) — "which groups are interchangeable?"
+  * global quantile band (p01/p50/p99, `hg64_quantiles_from_counts`)
+
+and writes drift + overlap tables under --output plus a one-line JSON
+summary (worst drifting group, least-overlapping pair, quantile band) —
+bounded bytes to the driver at any input size.
+
+Scale shape: everything downstream of the first aggregate operates on
+<= groups x 1920 keyed-count rows; the input is scanned exactly once.
+NULL group values are groups like any other (null-safe joins throughout);
+values must be non-negative integers after the caller's own transform
+(use --value-expr for an inline cast/scale).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir")
+    ap.add_argument("--value-col", required=True)
+    ap.add_argument(
+        "--value-expr",
+        default=None,
+        help="optional SQL expression producing the non-negative BIGINT to "
+        "sketch (default: CAST(<value-col> AS BIGINT))",
+    )
+    ap.add_argument("--group-col", required=True)
+    ap.add_argument("--weight-col", default=None)
+    ap.add_argument("--sigbits", type=int, default=5)
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("hg64spark-monitor").getOrCreate()
+
+    from hg64spark import relational
+
+    vexpr = args.value_expr or f"CAST({args.value_col} AS BIGINT)"
+    # weight cast to BIGINT explicitly: the drift/overlap monitors REQUIRE
+    # integral counts (their exactness story) and reject doubles
+    cols = [F.col(args.group_col).alias("g"), F.expr(vexpr).alias("v")] + (
+        [F.col(args.weight_col).cast("long").alias("wt")] if args.weight_col else []
+    )
+    src = spark.read.parquet(args.input).select(*cols).filter("v IS NOT NULL")
+
+    t0 = time.perf_counter()
+    # ONE keyed-count aggregate; localCheckpoint so drift/overlap/quantiles
+    # reuse the reduced frame (<= groups x 1920 rows) instead of re-scanning
+    # the input three times
+    counts = relational.hg64_counts(
+        src, "v", ["g"], args.sigbits, weight_col="wt" if args.weight_col else None
+    ).localCheckpoint()
+
+    drift = relational.hg64_tv_drift_from_counts(counts, "g")
+    # overlap over the SAME counts frame (hg64_overlap re-aggregates from
+    # raw rows; inline its post-counts algebra here to keep the one-pass
+    # promise) — mirror its null-safe totals + deterministic pair order
+    gcr = counts.select(F.col("g"), "hg64_key", "count")
+    n_g = (
+        counts.groupBy("g").agg(F.sum("count").alias("n")).select(F.col("g").alias("__gn"), "n")
+    )
+    sides = gcr.join(n_g, F.col("g").eqNullSafe(F.col("__gn")), "inner").select(
+        "g", "hg64_key", "count", "n"
+    )
+    a = sides.select(
+        F.col("g").alias("g_a"), F.col("hg64_key").alias("k"),
+        F.col("count").alias("c_a"), F.col("n").alias("n_a"),
+    )
+    b = sides.select(
+        F.col("g").alias("g_b"), F.col("hg64_key").alias("k"),
+        F.col("count").alias("c_b"), F.col("n").alias("n_b"),
+    )
+    pair = (F.col("g_a") < F.col("g_b")) | (F.col("g_b").isNull() & F.col("g_a").isNotNull())
+    overlap = (
+        a.join(b, ["k"], "inner")
+        .filter(pair)
+        .groupBy("g_a", "g_b", "n_a", "n_b")
+        .agg(F.sum(F.least(F.col("c_a") * F.col("n_b"), F.col("c_b") * F.col("n_a"))).alias("num"))
+        .select(
+            "g_a", "g_b",
+            (F.col("num").cast("double") / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))).alias("overlap"),
+        )
+    )
+    glob = counts.groupBy("hg64_key").agg(F.sum("count").alias("count"))
+    band = relational.hg64_quantiles_from_counts(glob, [0.01, 0.5, 0.99], [], args.sigbits)
+
+    drift.write.mode("overwrite").parquet(f"{args.output}/drift")
+    overlap.write.mode("overwrite").parquet(f"{args.output}/overlap")
+
+    worst = drift.orderBy(F.desc("tv")).limit(1).collect()
+    least = overlap.orderBy("overlap").limit(1).collect()
+    qs = {repr(r["q"]): int(r["value"]) for r in band.collect()}
+    print(
+        json.dumps(
+            {
+                "job": "monitor_corpus",
+                "n_groups": drift.count(),
+                "worst_drift": (
+                    {"group": worst[0]["g"], "tv": round(worst[0]["tv"], 6)} if worst else None
+                ),
+                "least_overlap": (
+                    {
+                        "pair": [least[0]["g_a"], least[0]["g_b"]],
+                        "overlap": round(least[0]["overlap"], 6),
+                    }
+                    if least
+                    else None
+                ),
+                "quantile_band": qs,
+                "weighted": bool(args.weight_col),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -718,6 +718,39 @@ def test_hg64_tv_drift_exact_bounds(spark):
     assert out2["a"] == 0.0 and out2[None] == 0.0, out2
 
 
+def test_weighted_drift_and_overlap(spark):
+    """weight_col threads through both monitors: integer weights behave as
+    row multiplicity (weight w == w copies of the row), verified by
+    comparing the weighted build against an exploded unweighted one."""
+    from hg64spark import relational
+
+    w = spark.range(2000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "CAST(id % 11 + 1 AS LONG) AS v",
+        "CAST(id % 3 AS LONG) AS wt",  # includes zero weights
+    )
+    # array_repeat, NOT sequence(1, wt): sequence counts DOWN for wt=0,
+    # producing [1, 0] — two phantom copies of a zero-weight row
+    exploded = w.selectExpr(
+        "g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS _i"
+    ).select("g", "v")
+    for fn in (
+        lambda d, **kw: relational.hg64_tv_drift(d, "v", "g", 5, **kw),
+        lambda d, **kw: relational.hg64_overlap(d, "v", "g", 5, **kw),
+    ):
+        a = sorted(tuple(r) for r in fn(w, weight_col="wt").collect())
+        b = sorted(tuple(r) for r in fn(exploded).collect())
+        assert a == b and a
+    # double weights have no integer-exact numerator: rejected with intent
+    # (plan-build time), not a downstream type error
+    import pytest
+
+    wd = w.selectExpr("g", "v", "CAST(wt AS DOUBLE) AS wt")
+    for fn in (relational.hg64_tv_drift, relational.hg64_overlap):
+        with pytest.raises(ValueError, match="integral counts"):
+            fn(wd, "v", "g", 5, weight_col="wt")
+
+
 def test_hg64_tv_drift_overflow_guard(spark):
     """The int64-exactness bound (n_g * n < 2^62) is enforced plan-side:
     counts frames past it must FAIL, not silently wrap the numerator.
