@@ -142,6 +142,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         if len(body) != size:
             raise ValueError(f"truncated WAV chunk {cid!r}")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"WAV fmt chunk too short ({size} bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -151,6 +153,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     tag, ch, rate, _brate, _block, bits = fmt
     if tag != 1 or bits != 16:
         raise ValueError(f"only 16-bit PCM supported (tag={tag}, bits={bits})")
+    if ch == 0:
+        raise ValueError("WAV fmt declares 0 channels")
     arr = np.frombuffer(data[: len(data) - len(data) % (2 * ch)], dtype="<i2")
     return rate, arr.reshape(-1, ch)
 
@@ -351,7 +355,8 @@ def synth_items(docs: DataFrame, modality: str) -> DataFrame:
             if modality == "image":
                 payloads = [encode_ppm(synth_image(int(d))) for d in ids]
             else:
-                payloads = [encode_wav(synth_audio(int(d))[1], synth_audio(int(d))[0]) for d in ids]
+                waves = [synth_audio(int(d)) for d in ids]
+                payloads = [encode_wav(wave, rate) for rate, wave in waves]
             yield pd.DataFrame({"item_id": ids, "modality": modality, "payload": payloads})
 
     src = docs.filter(F.col("doc_id").isNotNull()).select(

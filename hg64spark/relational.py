@@ -638,8 +638,10 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
     partials) rather than raw rows.  Same exactness discipline and the
     same plan-side 2^62 overflow guard as the raw-rows form.  Weighted
     counts work unchanged (weight-mass distributions); a group whose
-    weights all sum to zero reports tv = NaN (0/0, identically in both
-    engines) — filter zero-mass groups first if that matters.  The count
+    weights all sum to zero reports tv = NULL (the divisor is nullif'd —
+    under Spark 4's default ANSI mode a bare division would crash the
+    whole job with DIVIDE_BY_ZERO) — filter zero-mass groups first if
+    they should not appear at all.  The count
     column must be INTEGRAL: a fractional (double) count — e.g. a weighted
     build over a double weight column — has no integer-exact numerator,
     which is this monitor's entire correctness story, so it is rejected
@@ -679,8 +681,12 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
     # the guard must SHORT-CIRCUIT (when/otherwise == lazy If): past the
     # bound the products themselves overflow, and ANSI mode would throw
     # its generic ARITHMETIC_OVERFLOW before an additive guard could fire
+    # nullif on the divisor: a zero-mass weighted group (n_g = 0, or even
+    # n_all = 0 when every group is zero-mass) must yield tv = NULL, not an
+    # ANSI DIVIDE_BY_ZERO crash — Spark 4 ANSI (default-on) throws for the
+    # integer `div` in the guard AND the final double division
     num = F.when(
-        F.expr("n_g > (4611686018427387903L div n_all)"),
+        F.expr("n_g > (4611686018427387903L div nullif(n_all, 0L))"),
         F.expr(
             "CAST(raise_error('hg64_tv_drift: n_g*n exceeds 2^62; "
             "use a decimal(38,0) numerator at this scale') AS LONG)"
@@ -694,7 +700,10 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
             "tv_numerator",
             (
                 F.col("tv_numerator").cast("double")
-                / (2.0 * F.col("n_g").cast("double") * F.col("n_all").cast("double"))
+                / F.nullif(
+                    2.0 * F.col("n_g").cast("double") * F.col("n_all").cast("double"),
+                    F.lit(0.0),
+                )
             ).alias("tv"),
         )
     )
@@ -745,7 +754,18 @@ def hg64_overlap(
     explicit engine-independent predicate (a < b, with the NULL group
     deterministically LAST) rather than engine-specific NULL sort order.
     Nothing after the first aggregate scales with input rows."""
-    gc = hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col)
+    return hg64_overlap_from_counts(
+        hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col),
+        group_col,
+    )
+
+
+def hg64_overlap_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
+    """:func:`hg64_overlap` over an already-reduced (group, hg64_key, count)
+    frame — the retained-state entry point (the tv_drift_from_counts twin),
+    and what `jobs/monitor_corpus.py` reuses so the job and the library can
+    never drift.  Zero-mass groups (weighted builds) yield NULL overlap
+    rows rather than an ANSI DIVIDE_BY_ZERO crash."""
     _require_integral_counts(gc, "hg64_overlap")
     gcr = gc.select(F.col(group_col).alias("g"), "hg64_key", "count")
     # null-safe totals join (the tv_drift convention: NULL is a group)
@@ -774,8 +794,11 @@ def hg64_overlap(
         F.col("g_b").isNull() & F.col("g_a").isNotNull()
     )
     joined = a.join(b, ["k"], "inner").filter(pair)
+    # nullif in the guard's divisor: a zero-mass group (n_b = 0, weighted
+    # builds) must not crash the ANSI integer `div`; its products are 0 so
+    # the otherwise-branch is exact, and the final division nullif's too
     term = F.when(
-        F.expr("n_a > (4611686018427387903L div n_b)"),
+        F.expr("n_a > (4611686018427387903L div nullif(n_b, 0L))"),
         F.expr(
             "CAST(raise_error('hg64_overlap: n_a*n_b exceeds 2^62; "
             "use a decimal(38,0) numerator at this scale') AS LONG)"
@@ -790,7 +813,10 @@ def hg64_overlap(
             "ov_numerator",
             (
                 F.col("ov_numerator").cast("double")
-                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                / F.nullif(
+                    F.col("n_a").cast("double") * F.col("n_b").cast("double"),
+                    F.lit(0.0),
+                )
             ).alias("overlap"),
         )
     )

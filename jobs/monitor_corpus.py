@@ -77,43 +77,21 @@ def main() -> None:
     ).localCheckpoint()
 
     drift = relational.hg64_tv_drift_from_counts(counts, "g")
-    # overlap over the SAME counts frame (hg64_overlap re-aggregates from
-    # raw rows; inline its post-counts algebra here to keep the one-pass
-    # promise) — mirror its null-safe totals + deterministic pair order
-    gcr = counts.select(F.col("g"), "hg64_key", "count")
-    n_g = (
-        counts.groupBy("g").agg(F.sum("count").alias("n")).select(F.col("g").alias("__gn"), "n")
-    )
-    sides = gcr.join(n_g, F.col("g").eqNullSafe(F.col("__gn")), "inner").select(
-        "g", "hg64_key", "count", "n"
-    )
-    a = sides.select(
-        F.col("g").alias("g_a"), F.col("hg64_key").alias("k"),
-        F.col("count").alias("c_a"), F.col("n").alias("n_a"),
-    )
-    b = sides.select(
-        F.col("g").alias("g_b"), F.col("hg64_key").alias("k"),
-        F.col("count").alias("c_b"), F.col("n").alias("n_b"),
-    )
-    pair = (F.col("g_a") < F.col("g_b")) | (F.col("g_b").isNull() & F.col("g_a").isNotNull())
-    overlap = (
-        a.join(b, ["k"], "inner")
-        .filter(pair)
-        .groupBy("g_a", "g_b", "n_a", "n_b")
-        .agg(F.sum(F.least(F.col("c_a") * F.col("n_b"), F.col("c_b") * F.col("n_a"))).alias("num"))
-        .select(
-            "g_a", "g_b",
-            (F.col("num").cast("double") / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))).alias("overlap"),
-        )
-    )
+    # overlap over the SAME counts frame via the library's retained-state
+    # entry point — one algebra, job and library cannot drift (and the 2^62
+    # exactness guard rides along instead of silently wrapping at scale)
+    overlap = relational.hg64_overlap_from_counts(counts, "g")
     glob = counts.groupBy("hg64_key").agg(F.sum("count").alias("count"))
     band = relational.hg64_quantiles_from_counts(glob, [0.01, 0.5, 0.99], [], args.sigbits)
 
     drift.write.mode("overwrite").parquet(f"{args.output}/drift")
     overlap.write.mode("overwrite").parquet(f"{args.output}/overlap")
 
-    worst = drift.orderBy(F.desc("tv")).limit(1).collect()
-    least = overlap.orderBy("overlap").limit(1).collect()
+    # zero-mass groups report tv / overlap NULL (see the library docstrings)
+    # — exclude them from the min/max picks so the summary stays strict JSON
+    # (json.dumps would otherwise emit non-RFC NaN/None comparisons)
+    worst = drift.filter("tv IS NOT NULL").orderBy(F.desc("tv")).limit(1).collect()
+    least = overlap.filter("overlap IS NOT NULL").orderBy("overlap").limit(1).collect()
     qs = {repr(r["q"]): int(r["value"]) for r in band.collect()}
     print(
         json.dumps(

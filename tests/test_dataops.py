@@ -445,6 +445,24 @@ def test_wav_codec_roundtrip_chunks_and_stereo():
     nonpcm = buf[:tag_pos] + struct.pack("<H", 3) + buf[tag_pos + 2 :]
     with pytest.raises(ValueError):
         mm.decode_wav(nonpcm)
+    # contract: CORRUPT input is ValueError, never struct.error or
+    # ZeroDivisionError — 0-channel fmt and an undersized fmt chunk both
+    # pass the generic length checks (code-review findings)
+    ch_pos = buf.index(b"fmt ") + 8 + 2
+    zero_ch = buf[:ch_pos] + struct.pack("<H", 0) + buf[ch_pos + 2 :]
+    with pytest.raises(ValueError, match="0 channels"):
+        mm.decode_wav(zero_ch)
+    fmt_at = buf.index(b"fmt ")
+    short_fmt = (
+        buf[:12]
+        + b"fmt "
+        + struct.pack("<I", 4)
+        + buf[fmt_at + 8 : fmt_at + 12]
+        + buf[fmt_at + 8 + 16 :]  # rest of original stream incl. data chunk
+    )
+    short_fmt = b"RIFF" + struct.pack("<I", len(short_fmt) - 8) + short_fmt[8:]
+    with pytest.raises(ValueError, match="fmt chunk too short"):
+        mm.decode_wav(short_fmt)
 
 
 def test_synth_stats_match_closed_form():

@@ -749,6 +749,14 @@ def test_weighted_drift_and_overlap(spark):
     for fn in (relational.hg64_tv_drift, relational.hg64_overlap):
         with pytest.raises(ValueError, match="integral counts"):
             fn(wd, "v", "g", 5, weight_col="wt")
+    # a ZERO-MASS group (all weights 0) must yield NULL tv/overlap rows,
+    # not an ANSI DIVIDE_BY_ZERO crash (Spark 4 default) — found by
+    # code review after the weighted path made n_g = 0 reachable
+    z = w.selectExpr("g", "v", "CASE WHEN g = 'b' THEN 0L ELSE wt END AS wt")
+    tv = {r["g"]: r["tv"] for r in relational.hg64_tv_drift(z, "v", "g", 5, weight_col="wt").collect()}
+    assert tv["b"] is None and tv["a"] is not None
+    ov = relational.hg64_overlap(z, "v", "g", 5, weight_col="wt").collect()
+    assert all(r["overlap"] is None for r in ov if r["g_b"] == "b")
 
 
 def test_hg64_tv_drift_overflow_guard(spark):
