@@ -1703,12 +1703,14 @@ def q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_token_shards(_docs(spark, sf_dir))
 
 
-def _pack_token_shards_sql() -> str:
+def _pack_token_shards_sql(src: str = "documents") -> str:
+    """Pack oracle over any SQL relation exposing (doc_id, text) — the
+    composed chunk->pack gate passes the chunk CTE as ``src``."""
     return f"""
     WITH d AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                md5(CAST(doc_id AS VARCHAR)) AS h
-        FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        FROM {src} WHERE text IS NOT NULL AND doc_id IS NOT NULL
     ),
     c AS (
         SELECT doc_id, n_tokens,
@@ -1800,6 +1802,36 @@ def _curriculum_bins_sql() -> str:
     SELECT d.doc_id, d.n_tokens, CAST({cases} AS BIGINT) AS bin
     FROM d CROSS JOIN one
     """
+
+
+def q_pack_chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED gate for the chunk->pack production path
+    (`jobs/pack_corpus.py --chunk-tokens`): overlapping chunking fans every
+    document into context windows, each chunk becomes a packing unit under
+    the composite id "<doc>#<chunk>", and the two-level prefix-sum packing
+    assigns shards — the whole chain mirrored in one nested-CTE oracle, so
+    the job's end-to-end arithmetic (composite id layout order included) is
+    driver-gated, not just spark-submit-smoked."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    chunks = chunk_documents(docs)
+    units = chunks.select(
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    return pack_token_shards(units)
+
+
+def _pack_chunked_corpus_sql() -> str:
+    chunk_sql = _chunk_documents_sql()
+    # NULL source ids filtered AFTER chunking (chunking is per-doc, so the
+    # set is identical to the Spark side's pre-filter)
+    units = (
+        "(SELECT concat_ws('#', CAST(doc_id AS VARCHAR), CAST(chunk_idx AS VARCHAR)) AS doc_id, "
+        f"chunk_text AS text FROM ({chunk_sql}) WHERE doc_id IS NOT NULL)"
+    )
+    return _pack_token_shards_sql(src=units)
 
 
 # ------------------------------------- exact-substring spans / clustering
@@ -2568,6 +2600,7 @@ def dataops_queries():
         "multimodal_image_decode": q_multimodal_image_decode,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "curriculum_bins": q_curriculum_bins,
+        "pack_chunked_corpus": q_pack_chunked_corpus,
         "corpus_pipeline": q_corpus_pipeline,
         "sample_stratified": q_sample_stratified,
         "sample_correlated_lineitem": q_sample_correlated_lineitem,
@@ -2610,6 +2643,7 @@ def dataops_oracles():
         "multimodal_image_decode": Q_MM_IMAGE_SQL,
         "multimodal_audio_decode": Q_MM_AUDIO_SQL,
         "curriculum_bins": _curriculum_bins_sql(),
+        "pack_chunked_corpus": _pack_chunked_corpus_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_correlated_lineitem": _sample_correlated_sql(),

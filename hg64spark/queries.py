@@ -1320,7 +1320,6 @@ _GATE_ACTIVE = [
     "kll_latency_by_tool",
     "tdigest_latency_by_tool",
     "mg_top_tools",
-    "textlen_quantiles_cube",
     "corpus_pipeline",
     "dedup_minhash_lsh",
     "dedup_substring",
@@ -1334,6 +1333,7 @@ _GATE_ACTIVE = [
 _GATE_ROTATED_OUT = [
     "sessionize",
     "sample_temperature",
+    "textlen_quantiles_cube",
     "hg64_ranks_events",
     "hg64_qov_events",
     "session_length_hist",
