@@ -1069,6 +1069,33 @@ def _hg64_drift_oracle() -> str:
     """
 
 
+def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-STATE -> BATCH-ANALYTICS composition gate: the foreachBatch
+    state store builds per-event_type hg64 sketches over the availableNow
+    stream (exactly `q_streaming_hg64_by_type`'s machinery), their exploded
+    buckets feed `hg64_tv_drift_from_counts` — the retained-state entry
+    point doing the job it exists for (analytics over state you already
+    have, no re-scan of the raw stream).  The merge's exact associativity
+    is what makes this equal the batch drift oracle bit-for-bit regardless
+    of micro-batch boundaries."""
+    from hg64spark import relational
+    from hg64spark.streaming import StreamingSketch
+
+    base, src_dir, schema = _stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
+    )
+    ss = StreamingSketch(os.path.join(base, "state"), "v", ["event_type"])
+    q = ss.start(stream, os.path.join(base, "ckpt"), available_now=True)
+    q.awaitTermination()
+    counts = agg.hg64_buckets(ss.result(spark), ["event_type"]).select(
+        "event_type", F.col("key").cast("int").alias("hg64_key"), "count"
+    )
+    return relational.hg64_tv_drift_from_counts(counts, "event_type")
+
+
 def q_hg64_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram overlap (intersection) coefficient between every pair of
     event_type groups' hg64 distributions (`relational.hg64_overlap`) —
@@ -1319,7 +1346,6 @@ _GATE_ACTIVE = [
     "bloom_membership",
     "kll_latency_by_tool",
     "tdigest_latency_by_tool",
-    "mg_top_tools",
     "corpus_pipeline",
     "dedup_minhash_lsh",
     "dedup_substring",
@@ -1334,6 +1360,7 @@ _GATE_ROTATED_OUT = [
     "sessionize",
     "sample_temperature",
     "textlen_quantiles_cube",
+    "mg_top_tools",
     "hg64_ranks_events",
     "hg64_qov_events",
     "session_length_hist",
@@ -1424,6 +1451,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hg64_retract_events": q_hg64_retract_events,
         "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
         "hg64_overlap_events": q_hg64_overlap_events,
+        "streaming_drift_events": q_streaming_drift_events,
     }
 
 
@@ -1555,6 +1583,7 @@ def _core_oracles() -> dict[str, str]:
         "hg64_retract_events": _hg64_retract_oracle(),
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),
         "hg64_overlap_events": _hg64_overlap_oracle(),
+        "streaming_drift_events": _hg64_drift_oracle(),
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

@@ -631,7 +631,9 @@ def hg64_tv_drift(
     )
 
 
-def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
+def hg64_tv_drift_from_counts(
+    gc: DataFrame, group_col: str, numerator: str = "long"
+) -> DataFrame:
     """:func:`hg64_tv_drift` over an already-reduced (group, hg64_key,
     count) frame — the entry point when the keyed counts are retained
     state (a checkpointed aggregate, a retraction survivor, yesterday's
@@ -645,7 +647,19 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
     column must be INTEGRAL: a fractional (double) count — e.g. a weighted
     build over a double weight column — has no integer-exact numerator,
     which is this monitor's entire correctness story, so it is rejected
-    up front (cast the weight to BIGINT first if truncation is intended)."""
+    up front (cast the weight to BIGINT first if truncation is intended).
+
+    ``numerator="decimal"`` is the documented past-int64 swap-in: the
+    products and the summed numerator run in decimal(38,0) — exact while
+    the summed bound 2 * n_g * n_all stays under 10^38 (each side up to
+    ~7 * 10^18, i.e. the whole int64 domain for one side against any
+    physical row count on the other), and past even THAT Spark's ANSI
+    decimal overflow throws loudly rather than wrapping.  No 2^62 guard
+    needed; tv_numerator comes back as decimal(38,0) instead of long.
+    ~2x slower per bucket row — irrelevant next to the data scan that
+    produced the counts."""
+    if numerator not in ("long", "decimal"):
+        raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
     _require_integral_counts(gc, "hg64_tv_drift")
     glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
     n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
@@ -685,13 +699,22 @@ def hg64_tv_drift_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
     # n_all = 0 when every group is zero-mass) must yield tv = NULL, not an
     # ANSI DIVIDE_BY_ZERO crash — Spark 4 ANSI (default-on) throws for the
     # integer `div` in the guard AND the final double division
-    num = F.when(
-        F.expr("n_g > (4611686018427387903L div nullif(n_all, 0L))"),
-        F.expr(
-            "CAST(raise_error('hg64_tv_drift: n_g*n exceeds 2^62; "
-            "use a decimal(38,0) numerator at this scale') AS LONG)"
-        ),
-    ).otherwise(F.abs(F.col("c_g") * F.col("n_all") - F.col("c_all") * F.col("n_g")))
+    if numerator == "decimal":
+        dec = "decimal(38,0)"
+        num = F.abs(
+            F.col("c_g").cast(dec) * F.col("n_all").cast(dec)
+            - F.col("c_all").cast(dec) * F.col("n_g").cast(dec)
+        )
+    else:
+        num = F.when(
+            F.expr("n_g > (4611686018427387903L div nullif(n_all, 0L))"),
+            F.expr(
+                "CAST(raise_error('hg64_tv_drift: n_g*n exceeds 2^62; "
+                "use numerator=\"decimal\" at this scale') AS LONG)"
+            ),
+        ).otherwise(
+            F.abs(F.col("c_g") * F.col("n_all") - F.col("c_all") * F.col("n_g"))
+        )
     return (
         full.groupBy(group_col, "n_g", "n_all")
         .agg(F.sum(num).alias("tv_numerator"))

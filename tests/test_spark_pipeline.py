@@ -782,6 +782,25 @@ def test_hg64_tv_drift_overflow_guard(spark):
     out = {r["g"]: r["tv"] for r in relational.hg64_tv_drift_from_counts(under, "g").collect()}
     # disjoint single-bucket groups of equal mass: each is half the pool
     assert out == {"a": 0.5, "b": 0.5}, out
+    # the documented swap-in: numerator="decimal" agrees exactly with the
+    # long path below the bound AND keeps working ABOVE it (where the long
+    # path just raised) — the guard's advice is a real code path
+    dl = {
+        r["g"]: (int(r["tv_numerator"]), r["tv"])
+        for r in relational.hg64_tv_drift_from_counts(under, "g", numerator="decimal").collect()
+    }
+    ll = {
+        r["g"]: (int(r["tv_numerator"]), r["tv"])
+        for r in relational.hg64_tv_drift_from_counts(under, "g").collect()
+    }
+    assert dl == ll
+    big = {
+        r["g"]: r["tv"]
+        for r in relational.hg64_tv_drift_from_counts(over, "g", numerator="decimal").collect()
+    }
+    assert big == {"a": 0.5, "b": 0.5}, big
+    with pytest.raises(ValueError, match="numerator"):
+        relational.hg64_tv_drift_from_counts(under, "g", numerator="float")
 
 
 def test_hg64_overlap_exact_bounds(spark):
