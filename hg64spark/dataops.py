@@ -1804,23 +1804,37 @@ def _curriculum_bins_sql() -> str:
     """
 
 
-def q_pack_chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPOSED gate for the chunk->pack production path
-    (`jobs/pack_corpus.py --chunk-tokens`): overlapping chunking fans every
-    document into context windows, each chunk becomes a packing unit under
-    the composite id "<doc>#<chunk>", and the two-level prefix-sum packing
-    assigns shards — the whole chain mirrored in one nested-CTE oracle, so
-    the job's end-to-end arithmetic (composite id layout order included) is
-    driver-gated, not just spark-submit-smoked."""
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
-    chunks = chunk_documents(docs)
-    units = chunks.select(
+def chunked_pack_units(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Chunk documents and re-shape the chunks as packing units under the
+    composite id "<source_doc_id>#<chunk_idx>" — THE single definition of
+    the chunk->pack unit layout, shared by the driver gate
+    (`q_pack_chunked_corpus`) and the production job
+    (`jobs/pack_corpus.py`) so the gated computation and the job's output
+    cannot drift.  Recover the parts with rsplit('#', 1): unambiguous even
+    when source ids contain '#' (chunk_idx is the final all-digit
+    segment)."""
+    chunks = chunk_documents(docs, chunk_tokens, stride)
+    return chunks.select(
         F.concat_ws(
             "#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
         ).alias("doc_id"),
         F.col("chunk_text").alias("text"),
     )
-    return pack_token_shards(units)
+
+
+def q_pack_chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED gate for the chunk->pack production path
+    (`jobs/pack_corpus.py --chunk-tokens`): overlapping chunking fans every
+    document into context windows, each chunk becomes a packing unit under
+    the composite id "<doc>#<chunk>" (`chunked_pack_units` — the same
+    helper the job calls), and the two-level prefix-sum packing assigns
+    shards — the whole chain mirrored in one nested-CTE oracle, so the
+    job's end-to-end arithmetic (composite id layout order included) is
+    driver-gated, not just spark-submit-smoked."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    return pack_token_shards(chunked_pack_units(docs))
 
 
 def _pack_chunked_corpus_sql() -> str:

@@ -1079,18 +1079,11 @@ def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what makes this equal the batch drift oracle bit-for-bit regardless
     of micro-batch boundaries."""
     from hg64spark import relational
-    from hg64spark.streaming import StreamingSketch
 
-    base, src_dir, schema = _stream_source(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
-    )
-    ss = StreamingSketch(os.path.join(base, "state"), "v", ["event_type"])
-    q = ss.start(stream, os.path.join(base, "ckpt"), available_now=True)
-    q.awaitTermination()
-    counts = agg.hg64_buckets(ss.result(spark), ["event_type"]).select(
+    # literally that gate's machinery — calling it (not copying it) so the
+    # two can never diverge: its bucket export IS the counts frame
+    buckets = q_streaming_hg64_by_type(spark, sf_dir)
+    counts = buckets.select(
         "event_type", F.col("key").cast("int").alias("hg64_key"), "count"
     )
     return relational.hg64_tv_drift_from_counts(counts, "event_type")

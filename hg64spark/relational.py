@@ -594,6 +594,7 @@ def hg64_tv_drift(
     group_col: str,
     sigbits: int = 5,
     weight_col: str | None = None,
+    numerator: str = "long",
 ) -> DataFrame:
     """(group, tv_numerator, tv): total-variation distance between each
     group's hg64 bucket distribution and the GLOBAL one — the
@@ -624,10 +625,13 @@ def hg64_tv_drift(
     the first aggregate scales with input rows.
 
     With ``weight_col`` the distributions are weight-mass distributions
-    (the weighted `hg64_add` build) — same math, counts are weight sums."""
+    (the weighted `hg64_add` build) — same math, counts are weight sums.
+    ``numerator="decimal"`` is the past-int64 swap-in the overflow guard's
+    error message points at (see :func:`hg64_tv_drift_from_counts`)."""
     return hg64_tv_drift_from_counts(
         hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col),
         group_col,
+        numerator=numerator,
     )
 
 
@@ -688,24 +692,24 @@ def hg64_tv_drift_from_counts(
         )
         .crossJoin(F.broadcast(n_all))
     )
-    # exactness guard: n_g > floor((2^62-1)/n_all)  <=>  n_g*n_all >= 2^62
-    # (floor+1 times n_all strictly exceeds 2^62-1), the point past which
-    # the int64 numerator sum could wrap — fail loudly, don't drift the
-    # drift monitor
-    # the guard must SHORT-CIRCUIT (when/otherwise == lazy If): past the
-    # bound the products themselves overflow, and ANSI mode would throw
-    # its generic ARITHMETIC_OVERFLOW before an additive guard could fire
-    # nullif on the divisor: a zero-mass weighted group (n_g = 0, or even
-    # n_all = 0 when every group is zero-mass) must yield tv = NULL, not an
-    # ANSI DIVIDE_BY_ZERO crash — Spark 4 ANSI (default-on) throws for the
-    # integer `div` in the guard AND the final double division
     if numerator == "decimal":
+        # decimal(38,0) products/sum need no guard: inputs are int64 sums,
+        # max product 8.5e37 < 1e38, and ANSI decimal overflow on the
+        # summed bound throws loudly rather than wrapping
         dec = "decimal(38,0)"
         num = F.abs(
             F.col("c_g").cast(dec) * F.col("n_all").cast(dec)
             - F.col("c_all").cast(dec) * F.col("n_g").cast(dec)
         )
     else:
+        # exactness guard: n_g > floor((2^62-1)/n_all) <=> n_g*n_all >=
+        # 2^62, past which the int64 numerator sum could wrap.  The guard
+        # must SHORT-CIRCUIT (when/otherwise == lazy If): past the bound
+        # the products themselves overflow and ANSI would throw its
+        # generic ARITHMETIC_OVERFLOW before an additive guard could fire.
+        # nullif on the divisor: a zero-mass pool (n_all = 0, weighted
+        # builds) must yield tv = NULL downstream, not a DIVIDE_BY_ZERO
+        # crash from the guard's integer div
         num = F.when(
             F.expr("n_g > (4611686018427387903L div nullif(n_all, 0L))"),
             F.expr(
@@ -754,6 +758,7 @@ def hg64_overlap(
     group_col: str,
     sigbits: int = 5,
     weight_col: str | None = None,
+    numerator: str = "long",
 ) -> DataFrame:
     """(g_a, g_b, ov_numerator, overlap): the histogram OVERLAP (intersection)
     coefficient between every unordered pair of groups' hg64 distributions —
@@ -776,19 +781,28 @@ def hg64_overlap(
     zeros outer-join against the group-pair list.  NULL is a group like any other: pairs are ordered by an
     explicit engine-independent predicate (a < b, with the NULL group
     deterministically LAST) rather than engine-specific NULL sort order.
-    Nothing after the first aggregate scales with input rows."""
+    Nothing after the first aggregate scales with input rows.
+    ``numerator="decimal"`` is the past-int64 swap-in the overflow guard's
+    error message points at (the tv_drift convention)."""
     return hg64_overlap_from_counts(
         hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col),
         group_col,
+        numerator=numerator,
     )
 
 
-def hg64_overlap_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
+def hg64_overlap_from_counts(
+    gc: DataFrame, group_col: str, numerator: str = "long"
+) -> DataFrame:
     """:func:`hg64_overlap` over an already-reduced (group, hg64_key, count)
     frame — the retained-state entry point (the tv_drift_from_counts twin),
     and what `jobs/monitor_corpus.py` reuses so the job and the library can
     never drift.  Zero-mass groups (weighted builds) yield NULL overlap
-    rows rather than an ANSI DIVIDE_BY_ZERO crash."""
+    rows rather than an ANSI DIVIDE_BY_ZERO crash.  ``numerator="decimal"``
+    swaps the guarded int64 products for exact decimal(38,0) past the 2^62
+    bound (see :func:`hg64_tv_drift_from_counts`)."""
+    if numerator not in ("long", "decimal"):
+        raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
     _require_integral_counts(gc, "hg64_overlap")
     gcr = gc.select(F.col(group_col).alias("g"), "hg64_key", "count")
     # null-safe totals join (the tv_drift convention: NULL is a group)
@@ -817,16 +831,26 @@ def hg64_overlap_from_counts(gc: DataFrame, group_col: str) -> DataFrame:
         F.col("g_b").isNull() & F.col("g_a").isNotNull()
     )
     joined = a.join(b, ["k"], "inner").filter(pair)
-    # nullif in the guard's divisor: a zero-mass group (n_b = 0, weighted
-    # builds) must not crash the ANSI integer `div`; its products are 0 so
-    # the otherwise-branch is exact, and the final division nullif's too
-    term = F.when(
-        F.expr("n_a > (4611686018427387903L div nullif(n_b, 0L))"),
-        F.expr(
-            "CAST(raise_error('hg64_overlap: n_a*n_b exceeds 2^62; "
-            "use a decimal(38,0) numerator at this scale') AS LONG)"
-        ),
-    ).otherwise(F.least(F.col("c_a") * F.col("n_b"), F.col("c_b") * F.col("n_a")))
+    if numerator == "decimal":
+        # exact without a guard: int64 inputs, max product 8.5e37 < 1e38,
+        # ANSI decimal overflow throws loudly past even the summed bound
+        dec = "decimal(38,0)"
+        term = F.least(
+            F.col("c_a").cast(dec) * F.col("n_b").cast(dec),
+            F.col("c_b").cast(dec) * F.col("n_a").cast(dec),
+        )
+    else:
+        # nullif in the guard's divisor: a zero-mass group (n_b = 0,
+        # weighted builds) must not crash the ANSI integer `div`; its
+        # products are 0 so the otherwise-branch is exact, and the final
+        # division nullif's too
+        term = F.when(
+            F.expr("n_a > (4611686018427387903L div nullif(n_b, 0L))"),
+            F.expr(
+                "CAST(raise_error('hg64_overlap: n_a*n_b exceeds 2^62; "
+                "use numerator=\"decimal\" at this scale') AS LONG)"
+            ),
+        ).otherwise(F.least(F.col("c_a") * F.col("n_b"), F.col("c_b") * F.col("n_a")))
     return (
         joined.groupBy("g_a", "g_b", "n_a", "n_b")
         .agg(F.sum(term).alias("ov_numerator"))

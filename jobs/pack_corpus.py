@@ -67,16 +67,10 @@ def main() -> None:
         ckw = {"chunk_tokens": args.chunk_tokens}
         if args.stride is not None:
             ckw["stride"] = args.stride
-        chunks = dataops.chunk_documents(corpus, **ckw)
-        # chunks pack like docs: the composite "doc#chunk" unit id keeps
-        # the md5 layout order well-defined per (doc, chunk) and stays
-        # parseable back to its source document
-        units = chunks.select(
-            F.concat_ws(
-                "#", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
-            ).alias("doc_id"),
-            F.col("chunk_text").alias("text"),
-        )
+        # chunks pack like docs under the composite "doc#chunk" unit id —
+        # dataops.chunked_pack_units is the SAME helper the driver gate
+        # (pack_chunked_corpus) runs, so this job's layout is oracle-gated
+        units = dataops.chunked_pack_units(corpus, **ckw)
         out_df = dataops.pack_token_shards(
             units, **({"budget": args.budget} if args.budget is not None else {})
         )

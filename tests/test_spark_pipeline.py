@@ -801,6 +801,15 @@ def test_hg64_tv_drift_overflow_guard(spark):
     assert big == {"a": 0.5, "b": 0.5}, big
     with pytest.raises(ValueError, match="numerator"):
         relational.hg64_tv_drift_from_counts(under, "g", numerator="float")
+    # the overlap twin: same guard, same decimal swap-in
+    shared = spark.createDataFrame(
+        [("a", 100, 1 << 31), ("b", 100, 1 << 31)],
+        "g string, hg64_key int, count long",
+    )
+    with pytest.raises(pyspark.errors.PySparkException, match="2\\^62"):
+        relational.hg64_overlap_from_counts(shared, "g").collect()
+    ov = relational.hg64_overlap_from_counts(shared, "g", numerator="decimal").collect()
+    assert len(ov) == 1 and ov[0]["overlap"] == 1.0
 
 
 def test_hg64_overlap_exact_bounds(spark):
