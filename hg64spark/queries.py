@@ -263,6 +263,44 @@ def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_bound_gate(spark, ev, sk.collect())
 
 
+def q_hll_intersection_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET-ALGEBRA gate: pairwise audience overlap |A ∩ B| between
+    event types' distinct-user sets, estimated by HLL inclusion-exclusion
+    (`HLL.intersection_estimate` — union is exact HLL algebra, intersection
+    is an estimate of estimates) and self-certified against the exact
+    pairwise intersection with the compounded bound
+    3 sigma (|A| + |B| + |A∪B|).  The NULL group participates via the
+    engine-independent NULL-last pair predicate (the hg64_overlap
+    convention)."""
+    ev = io.read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk_rows = agg.sketch_agg(
+        ev, "user_id", ["event_type"], lambda: HLL(14), HLL.deserialize
+    ).collect()
+    hlls = {r["event_type"]: HLL.deserialize(bytes(r["sketch"])) for r in sk_rows}
+    d = ev.filter(F.col("user_id").isNotNull()).distinct()
+    a = d.select(F.col("event_type").alias("g_a"), F.col("user_id").alias("u"))
+    b = d.select(F.col("event_type").alias("g_b"), F.col("user_id").alias("u"))
+    pair = (F.col("g_a") < F.col("g_b")) | (
+        F.col("g_b").isNull() & F.col("g_a").isNotNull()
+    )
+    exact = (
+        a.join(b, ["u"]).filter(pair).groupBy("g_a", "g_b").count()
+        .withColumnRenamed("count", "exact_common")
+    )
+    sigma = HLL.error_bound(14)
+    out = []
+    for r in exact.collect():
+        ha, hb = hlls[r["g_a"]], hlls[r["g_b"]]
+        u = ha.union(hb)
+        ea, eb, eu = ha.estimate(), hb.estimate(), u.estimate()
+        est = max(ea + eb - eu, 0.0)
+        ok = abs(est - r["exact_common"]) <= 3.0 * sigma * (ea + eb + eu)
+        out.append((r["g_a"], r["g_b"], int(r["exact_common"]), bool(ok)))
+    return spark.createDataFrame(
+        out, "g_a string, g_b string, exact_common long, hll_ok boolean"
+    )
+
+
 def q_cms_top_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min heavy hitters: for the exact top-10 o_custkey, the CMS
     estimate must satisfy exact <= est <= exact + eps*N (eps = e/width)."""
@@ -1338,7 +1376,6 @@ _GATE_ACTIVE = [
     "cms_top_custkeys",
     "bloom_membership",
     "kll_latency_by_tool",
-    "tdigest_latency_by_tool",
     "corpus_pipeline",
     "dedup_minhash_lsh",
     "dedup_substring",
@@ -1354,6 +1391,7 @@ _GATE_ROTATED_OUT = [
     "sample_temperature",
     "textlen_quantiles_cube",
     "mg_top_tools",
+    "tdigest_latency_by_tool",
     "hg64_ranks_events",
     "hg64_qov_events",
     "session_length_hist",
@@ -1445,6 +1483,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
         "hg64_overlap_events": q_hg64_overlap_events,
         "streaming_drift_events": q_streaming_drift_events,
+        "hll_intersection_events": q_hll_intersection_events,
     }
 
 
@@ -1577,6 +1616,14 @@ def _core_oracles() -> dict[str, str]:
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),
         "hg64_overlap_events": _hg64_overlap_oracle(),
         "streaming_drift_events": _hg64_drift_oracle(),
+        "hll_intersection_events": (
+            "WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u "
+            "FROM events WHERE user_id IS NOT NULL) "
+            "SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS exact_common, "
+            "true AS hll_ok FROM d a JOIN d b ON a.u = b.u "
+            "AND (a.g < b.g OR (b.g IS NULL AND a.g IS NOT NULL)) "
+            "GROUP BY 1, 2"
+        ),
         "streaming_hll_distinct": (
             "SELECT event_type, count(DISTINCT user_id) AS exact_distinct, "
             "true AS hll_ok FROM events GROUP BY event_type"

@@ -107,6 +107,24 @@ class Bloom:
         self.words |= other.words
         return self
 
+    def intersect(self, other: "Bloom") -> "Bloom":
+        """Bitwise AND — a CONSERVATIVE membership filter for A ∩ B: every
+        true member of the intersection set its bits in BOTH filters, so
+        `contains` on the result never false-negatives for A ∩ B.  It is
+        NOT the Bloom of A ∩ B (bits set by different items in A and B
+        coincide), so its false-positive rate is bounded below by
+        fpp(A)·fpp(B) but above by min(fpp(A), fpp(B)) — use it to prune,
+        never to count.  Union, by contrast, is exact set algebra: `merge`
+        (bitwise OR) IS the Bloom of A ∪ B."""
+        if (other.n_bits, other.n_hashes, other.hash_family) != (
+            self.n_bits,
+            self.n_hashes,
+            self.hash_family,
+        ):
+            raise ValueError("cannot intersect Blooms with different parameters/hash family")
+        self.words &= other.words
+        return self
+
     def serialize(self) -> bytes:
         header = struct.pack("<QIB", self.n_bits, self.n_hashes, self.hash_family)
         return serde.pack(serde.TYPE_BLOOM, header, self.words.astype("<u8").tobytes())

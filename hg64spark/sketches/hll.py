@@ -69,6 +69,29 @@ class HLL:
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def union(self, other: "HLL") -> "HLL":
+        """Non-mutating merge: the HLL of A ∪ B (register max) — EXACT set
+        algebra for HLL (the union sketch is identical to one built from
+        the concatenated streams), unlike intersection which is only
+        estimable (below)."""
+        return HLL(self.p, self.registers.copy(), self.hash_family).merge(other)
+
+    @staticmethod
+    def intersection_estimate(a: "HLL", b: "HLL") -> float:
+        """|A ∩ B| by inclusion-exclusion over three HLL estimates:
+        |A| + |B| - |A ∪ B|, clamped at 0.  No intersection SKETCH exists
+        for HLL (register min is not the intersection's sketch — a shared
+        register can be owned by different items in A and B), so this is
+        an estimate of an estimate: absolute error is bounded by the sum
+        of the three estimates' errors, sigma * (|A| + |B| + |A∪B|) per
+        standard deviation (conservative — the three share one hash
+        function, so their errors are positively correlated and partially
+        cancel).  Relative error explodes as the true intersection shrinks
+        relative to the union: right for 'how much do these groups'
+        audiences overlap', wrong for needle-size intersections."""
+        u = a.union(b)
+        return max(a.estimate() + b.estimate() - u.estimate(), 0.0)
+
     def estimate(self) -> float:
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)

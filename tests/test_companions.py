@@ -47,6 +47,31 @@ def test_hll_merge_p_mismatch():
         HLL(12).merge(HLL(14))
 
 
+def test_hll_set_algebra():
+    """union is EXACT HLL algebra (identical to a concatenated-stream
+    build, inputs untouched); intersection_estimate tracks the true
+    overlap within the compounded 3-sigma(|A|+|B|+|A∪B|) bound across
+    overlap fractions, and clamps to >= 0 on disjoint sets."""
+    for frac in (0.0, 0.2, 0.8):
+        n = 60_000
+        shift = int(n * (1.0 - frac))
+        a_vals = np.arange(n, dtype=np.int64) * 7919 + 13
+        b_vals = (np.arange(n, dtype=np.int64) + shift) * 7919 + 13
+        true_common = n - shift
+        a, b = HLL(14).add_values(a_vals), HLL(14).add_values(b_vals)
+        a_regs = a.registers.copy()
+        u = a.union(b)
+        assert np.array_equal(a.registers, a_regs), "union must not mutate"
+        direct = HLL(14).add_values(np.concatenate([a_vals, b_vals]))
+        assert u == direct
+        est = HLL.intersection_estimate(a, b)
+        assert est >= 0.0
+        bound = 3 * HLL.error_bound(14) * (a.estimate() + b.estimate() + u.estimate())
+        assert abs(est - true_common) <= bound, (frac, est, true_common, bound)
+    with pytest.raises(ValueError):
+        HLL(12).union(HLL(14))
+
+
 # ------------------------------------------------------------------- CMS
 
 
@@ -104,6 +129,25 @@ def test_bloom_merge_is_or():
     b = Bloom(1 << 14, 5).add_values(np.arange(1000, 2000))
     direct = Bloom(1 << 14, 5).add_values(np.arange(2000))
     assert a.merge(b) == direct
+
+
+def test_bloom_intersect_is_conservative_filter():
+    """Bitwise-AND intersect: no false negatives for true A∩B members,
+    never admits anything BOTH sides' filters would reject, and rejects
+    config mismatches like merge."""
+    common = np.arange(5000, dtype=np.int64)
+    a = Bloom(1 << 15, 5).add_values(np.concatenate([common, np.arange(10_000, 14_000)]))
+    b = Bloom(1 << 15, 5).add_values(np.concatenate([common, np.arange(20_000, 24_000)]))
+    both = Bloom.deserialize(a.serialize()).intersect(b)  # keep a intact
+    assert bool(both.contains(common).all()), "intersection member rejected"
+    # conservative: (A AND B) bits are a subset of each side's bits, so
+    # anything the intersect admits, both sides admit
+    probes = np.arange(50_000, 120_000, dtype=np.int64)
+    hits = both.contains(probes)
+    assert bool((~hits | a.contains(probes)).all())
+    assert bool((~hits | b.contains(probes)).all())
+    with pytest.raises(ValueError):
+        Bloom(1 << 15, 5).intersect(Bloom(1 << 14, 5))
 
 
 def test_bloom_serde_roundtrip():
