@@ -1127,6 +1127,64 @@ def q_streaming_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.hg64_tv_drift_from_counts(counts, "event_type")
 
 
+def q_hg64_rank_features_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row percentile-rank feature tagging
+    (`relational.hg64_rank_features`): every lineitem is tagged with its
+    price rank and percentile within its returnflag group's hg64
+    distribution — the sketch as an ML feature transformer, rank equal to
+    `HG64Snapshot.rank_of_value` bit-for-bit and the oracle reproducing
+    the identical key math, window, and FP interpolation order."""
+    from hg64spark import relational
+
+    li = io.read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    out = relational.hg64_rank_features(li, "v", ["l_returnflag"], SIGBITS)
+    return out.select("l_orderkey", "l_linenumber", "v", "hg64_rank", "pct_rank")
+
+
+def _hg64_rank_features_oracle() -> str:
+    k_v = sqloracle.key_expr("b.v", SIGBITS)
+    mn = sqloracle.minval_expr("c.key", SIGBITS)
+    mx = sqloracle.maxval_expr("c.key", SIGBITS)
+    return f"""
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+        FROM lineitem
+    ),
+    keyed AS (
+        SELECT g, {sqloracle.key_expr('v', SIGBITS)} AS key, count(*) AS cnt
+        FROM base WHERE v IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT g, key, cnt,
+               coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               sum(cnt) OVER (PARTITION BY g) AS pop
+        FROM keyed
+    ),
+    tagged AS (
+        SELECT b.l_orderkey, b.l_linenumber, b.v,
+               CAST(c.cb + CASE WHEN {mx} = {mn} THEN c.cnt
+                    ELSE trunc(CAST(c.cnt AS DOUBLE)
+                               * (CAST(b.v - {mn} AS DOUBLE)
+                                  / CAST({mx} - {mn} AS DOUBLE)))
+                    END AS BIGINT) AS hg64_rank,
+               c.pop
+        FROM base b JOIN cum c
+          ON b.g IS NOT DISTINCT FROM c.g AND {k_v} = c.key
+        WHERE b.v IS NOT NULL
+    )
+    SELECT l_orderkey, l_linenumber, v, hg64_rank,
+           CAST(hg64_rank AS DOUBLE) / CAST(pop AS DOUBLE) AS pct_rank
+    FROM tagged
+    """
+
+
 def q_hg64_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram overlap (intersection) coefficient between every pair of
     event_type groups' hg64 distributions (`relational.hg64_overlap`) —
@@ -1375,7 +1433,6 @@ _GATE_ACTIVE = [
     "hll_distinct_users",
     "cms_top_custkeys",
     "bloom_membership",
-    "kll_latency_by_tool",
     "corpus_pipeline",
     "dedup_minhash_lsh",
     "dedup_substring",
@@ -1392,6 +1449,7 @@ _GATE_ROTATED_OUT = [
     "textlen_quantiles_cube",
     "mg_top_tools",
     "tdigest_latency_by_tool",
+    "kll_latency_by_tool",
     "hg64_ranks_events",
     "hg64_qov_events",
     "session_length_hist",
@@ -1484,6 +1542,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hg64_overlap_events": q_hg64_overlap_events,
         "streaming_drift_events": q_streaming_drift_events,
         "hll_intersection_events": q_hll_intersection_events,
+        "hg64_rank_features_lineitem": q_hg64_rank_features_lineitem,
     }
 
 
@@ -1616,6 +1675,7 @@ def _core_oracles() -> dict[str, str]:
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),
         "hg64_overlap_events": _hg64_overlap_oracle(),
         "streaming_drift_events": _hg64_drift_oracle(),
+        "hg64_rank_features_lineitem": _hg64_rank_features_oracle(),
         "hll_intersection_events": (
             "WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u "
             "FROM events WHERE user_id IS NOT NULL) "

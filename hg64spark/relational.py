@@ -736,6 +736,70 @@ def hg64_tv_drift_from_counts(
     )
 
 
+def hg64_rank_features(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    sigbits: int = 5,
+) -> DataFrame:
+    """Input rows + (hg64_rank, pct_rank): tag EVERY ROW with its rank
+    (`hg64s_rank_of_value`, `/root/reference/hg64.c:410-429`) and
+    percentile (`hg64s_quantile_of_value`, `hg64.c:438-442`) within its
+    group's hg64 distribution — the sketch as an ML FEATURE TRANSFORMER.
+    Percentile features over 10^12 rows cost one keyed-count aggregate
+    plus a broadcast join of <= groups x 1920 cumulative rows back onto
+    the data; the exact alternative is a per-group global sort.  NULL
+    values are dropped (the bucket-key convention, mirrored by the
+    oracle's WHERE v IS NOT NULL).
+
+    Exactness: the interpolation uses the reference's exact FP op order —
+    floor(cnt * (off / div)), div == 0 -> cnt — so the tagged rank equals
+    `HG64Snapshot.rank_of_value` bit-for-bit, and pct_rank is that integer
+    rank divided by the group population once (engine-invariant)."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    counts = hg64_counts(df, value_col, group_cols, sigbits)
+    wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))
+    cum = counts.withColumn(
+        "__cb",
+        F.coalesce(
+            F.sum("count").over(
+                wpart.orderBy("hg64_key").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("__pop", F.sum("count").over(wpart))
+    side = cum.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col("hg64_key").alias("__k"),
+        F.col("count").alias("__cnt"),
+        "__cb",
+        "__pop",
+    )
+    keyed = with_hg64_key(df, value_col, sigbits)
+    cond = F.col("hg64_key") == F.col("__k")
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    mn = minval_col("__k", sigbits)
+    mx = maxval_col("__k", sigbits)
+    off = (F.col(value_col) - mn).cast("double")
+    div = (mx - mn).cast("double")
+    in_bucket = F.when(div == 0.0, F.col("__cnt")).otherwise(
+        F.floor(F.col("__cnt").cast("double") * (off / div)).cast("long")
+    )
+    rank = (F.col("__cb") + in_bucket).cast("long")
+    return (
+        keyed.join(F.broadcast(side), cond)
+        .withColumn("hg64_rank", rank)
+        .withColumn(
+            "pct_rank",
+            F.col("hg64_rank").cast("double") / F.col("__pop").cast("double"),
+        )
+        .drop("hg64_key", "__k", "__cnt", "__cb", "__pop", *[f"__g_{c}" for c in group_cols])
+    )
+
+
 def _require_integral_counts(counts: DataFrame, op: str) -> None:
     """The integer-exactness monitors (drift / overlap) are only exact over
     INTEGRAL counts; a double count (weighted build over a double weight

@@ -718,6 +718,41 @@ def test_hg64_tv_drift_exact_bounds(spark):
     assert out2["a"] == 0.0 and out2[None] == 0.0, out2
 
 
+def test_hg64_rank_features_bit_parity_and_plan(spark):
+    """The per-row tagged rank must equal HG64Snapshot.rank_of_value
+    bit-for-bit (same key math, same FP interpolation order), and the
+    data side must reach the join WITHOUT an Exchange — the cumulative
+    table broadcasts to the rows, never the reverse."""
+    import numpy as np
+
+    from hg64spark import relational
+    from hg64spark.hg64 import HG64
+
+    df = spark.range(20_000).selectExpr(
+        "id AS rid", "CAST(pmod(id * 2654435761, 1000000) AS LONG) AS v"
+    )
+    out = relational.hg64_rank_features(df, "v", [], 5).collect()
+    vals = np.array([r["v"] for r in out], dtype=np.uint64)
+    sk = HG64(5)
+    sk.add_values(vals)
+    want = sk.snapshot().rank_of_value(vals)
+    got = np.array([r["hg64_rank"] for r in out], dtype=np.uint64)
+    assert np.array_equal(got, want)
+    pops = {r["pct_rank"] * 0 + 1 for r in out if r["pct_rank"] is not None}
+    assert pops == {1}
+    plan = (
+        relational.hg64_rank_features(df, "v", [], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the row side flows scan -> project -> join with no shuffle: the only
+    # Exchanges belong to the counts/window branch under BroadcastExchange
+    row_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in row_side, plan
+
+
 def test_weighted_drift_and_overlap(spark):
     """weight_col threads through both monitors: integer weights behave as
     row multiplicity (weight w == w copies of the row), verified by
