@@ -1726,6 +1726,66 @@ def _pack_token_shards_sql(src: str = "documents") -> str:
     """
 
 
+def text_novelty(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): fraction of a document's
+    DISTINCT word k-grams that appear in NO other document — the
+    novelty/boilerplate metric of curation pipelines (novelty ~ 0: the doc
+    is assembled from grams that all occur elsewhere — boilerplate,
+    template text, or a near-copy that slipped past dedup; novelty ~ 1:
+    unique content).  The complement of `text_selfrepeat` (within-doc
+    repetition) — this one measures against the CORPUS.
+
+    Scale shape: grams travel as 60-bit md5-prefix hashes (8-byte shuffle
+    keys, the `hashed_shingles` discipline — similarity is DEFINED over
+    the hashed space identically in both engines); gram document-frequency
+    is one map-side-combined groupBy; the join back and per-doc re-count
+    shuffle only hashed keys.  Docs shorter than k tokens emit no row
+    (they have no k-grams)."""
+    hdist = (
+        raw_shingles(docs, k)
+        .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
+        .distinct()
+    )
+    gramdf = hdist.groupBy("hh").agg(F.count("*").alias("df"))
+    per_doc = (
+        hdist.join(gramdf, "hh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double")).alias("novelty"),
+    )
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty gate over the documents table (see
+    :func:`text_novelty`); oracle = the same hashed-shingle df/join in
+    SQL."""
+    return text_novelty(_docs(spark, sf_dir))
+
+
+def _text_novelty_sql() -> str:
+    s = _keyed_shingles_sql("SELECT doc_id, text FROM documents", hashed=True)
+    return f"""
+    WITH s AS ({s}),
+    d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1),
+    p AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM s JOIN d ON s.sh = d.sh GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) AS novelty
+    FROM p
+    """
+
+
 #: curriculum-binning quantile grid: 3 thresholds -> 4 difficulty bins
 CURRICULUM_QS = (0.25, 0.5, 0.75)
 
@@ -2615,6 +2675,7 @@ def dataops_queries():
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "curriculum_bins": q_curriculum_bins,
         "pack_chunked_corpus": q_pack_chunked_corpus,
+        "text_novelty": q_text_novelty,
         "corpus_pipeline": q_corpus_pipeline,
         "sample_stratified": q_sample_stratified,
         "sample_correlated_lineitem": q_sample_correlated_lineitem,
@@ -2658,6 +2719,7 @@ def dataops_oracles():
         "multimodal_audio_decode": Q_MM_AUDIO_SQL,
         "curriculum_bins": _curriculum_bins_sql(),
         "pack_chunked_corpus": _pack_chunked_corpus_sql(),
+        "text_novelty": _text_novelty_sql(),
         "corpus_pipeline": _corpus_pipeline_sql(),
         "sample_stratified": _sample_stratified_sql(),
         "sample_correlated_lineitem": _sample_correlated_sql(),

@@ -1432,7 +1432,6 @@ _GATE_ACTIVE = [
     "latency_quantiles_by_tool",
     "hll_distinct_users",
     "cms_top_custkeys",
-    "bloom_membership",
     "corpus_pipeline",
     "dedup_minhash_lsh",
     "dedup_substring",
@@ -1450,6 +1449,7 @@ _GATE_ROTATED_OUT = [
     "mg_top_tools",
     "tdigest_latency_by_tool",
     "kll_latency_by_tool",
+    "bloom_membership",
     "hg64_ranks_events",
     "hg64_qov_events",
     "session_length_hist",

@@ -713,6 +713,23 @@ def test_pack_token_shards_exact_and_partitioning_invariant(spark):
         assert sum(ns) <= budget + max(ns), (s, sum(ns))
 
 
+def test_text_novelty_semantics(spark):
+    """A doc whose grams exist nowhere else scores exactly 1.0; two
+    identical docs zero each other out; a half-copied doc lands strictly
+    between; sub-k docs emit no row."""
+    uniq = " ".join(f"u{i}" for i in range(20))
+    boil = " ".join(f"b{i}" for i in range(20))
+    half = " ".join(f"b{i}" for i in range(10)) + " " + " ".join(f"h{i}" for i in range(10))
+    rows = [(1, uniq), (2, boil), (3, boil), (4, half), (5, "too short")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dataops.text_novelty(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 has no 5-grams
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0 and out[3]["novelty"] == 0.0
+    assert 0.0 < out[4]["novelty"] < 1.0
+    assert out[1]["n_grams"] == 16 and out[1]["n_novel"] == 16
+
+
 def test_curriculum_bins_corpus_never_shuffles(spark):
     """The corpus branch of the curriculum plan must flow FileScan ->
     Filter -> Project -> broadcast join with NO Exchange (the whole point:
