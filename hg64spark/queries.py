@@ -1368,6 +1368,173 @@ _WEIGHTED_GATE_ORACLE = (
 )
 
 
+# --------------------------------------------------------- temporal joins
+
+#: events with a tz-proof integer-µs event time — the shared base for the
+#: temporal-join gates (Spark twin: :func:`_events_us`)
+_EVENTS_US_SQL = (
+    "SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events "
+    "WHERE user_id IS NOT NULL AND ts IS NOT NULL"
+)
+
+#: range-join lookback: 48 h in µs (avg ~4 same-user events per error at
+#: sf0.01 with a real zero-count tail — both branches of the left join and
+#: the count-0 path are exercised)
+_RANGE_W_US = 48 * 3600 * 1_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        io.read_table(spark, sf_dir, "events")
+        .filter("user_id IS NOT NULL AND ts IS NOT NULL")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+    )
+
+
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase event annotated with the latest
+    same-user signup at-or-before it (`temporal.asof_join` — union-tag +
+    window-carry, ONE Exchange on user_id, no join operator at all).  The
+    oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, so the gate checks our
+    from-scratch Spark operator against an independent engine's built-in
+    semantics — including the >=-tie rule and the NULL row for purchases
+    with no preceding signup.  Markers are deduped per (user_id, us) with
+    max(event_id) so the carried payload is deterministic in both engines.
+    All output columns are integers — bit-exact hash compare."""
+    from hg64spark import temporal
+
+    ev = _events_us(spark, sf_dir)
+    probes = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "us")
+    markers = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("marker_event_id"))
+    )
+    out = temporal.asof_join(
+        probes, markers, ["user_id"], "us", "us", ["marker_event_id", "us"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_marker_event_id").alias("marker_event_id"),
+        (F.col("us") - F.col("asof_us")).alias("us_since_signup"),
+    )
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join: for every error event, the count of same-user
+    events in the strictly-preceding 48 h (`temporal.range_join_count`).
+    Spark side is the grain-bucketed equi-join (probe fans out to <=2 time
+    grains; plan asserted cartesian-free in tests/test_temporal.py); the
+    oracle states the inequality join directly and DuckDB runs it as an
+    IEJoin — two independent physical strategies, one integer answer."""
+    from hg64spark import temporal
+
+    ev = _events_us(spark, sf_dir)
+    probes = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "us")
+    build = ev.select("user_id", "us")
+    out = temporal.range_join_count(
+        probes, build, ["user_id"], "us", "us", 1, _RANGE_W_US, count_col="n_before"
+    )
+    return out.select("event_id", "user_id", "n_before")
+
+
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from two CMS sketches — the classic
+    planner use of count-min (AMS/CM inner product): |R join S on k| is
+    estimated as min over rows j of sum_i R[j,i]*S[j,i].  Both sketches are
+    built on the relational scale path (grouped counts, corpus never
+    collected); the inner product runs in numpy over the two already-reduced
+    (depth x width) arrays.  Gate: the estimate NEVER undershoots (every
+    true join pair lands in matching cells; collisions only add), and stays
+    within the published eps*|R|*|S| slack of exact — both booleans are
+    deterministic given the data and verified at all three test scales.
+    The exact join size is the SQL-oracle side."""
+    import numpy as np
+
+    from hg64spark import relational
+
+    width, depth = 8192, 5
+    orders = io.read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    cust = io.read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    sk_r = relational.cms_agg_relational(orders, "k", width, depth).collect()
+    sk_s = relational.cms_agg_relational(cust, "k", width, depth).collect()
+    R = CMS.deserialize(bytes(sk_r[0]["sketch"]))
+    S = CMS.deserialize(bytes(sk_s[0]["sketch"]))
+    est = int((R.counts * S.counts).sum(axis=1).min())
+    exact = orders.join(F.broadcast(cust), "k").count()
+    slack = R.epsilon() * float(R.total) * float(S.total)
+    row = [(int(exact), bool(est >= exact), bool(float(est) <= float(exact) + slack))]
+    return spark.createDataFrame(
+        row, "exact_join_rows long, cms_lower_ok boolean, cms_upper_ok boolean"
+    )
+
+
+def q_mg_emerging_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sound heavy-hitter EMERGENCE detection: split the transcript stream
+    at its µs midpoint, sketch each half (MG on the late half — a
+    never-OVERestimate; CMS on the early half — a never-UNDERestimate), and
+    flag tools where ``mg_late(t) - cms_early(t) > 0``.  The bracket makes
+    flagging sound by construction: mg_late <= count_late and cms_early >=
+    count_early, so a flagged tool GENUINELY grew — `emerging_sound`
+    asserts exactly that against the exact counts and is mathematically
+    guaranteed true.  `flagged` itself is emitted as a real data column:
+    with k > |tools| MG is exact and at width 1024 over 5 keys CMS is
+    collision-free, so the oracle predicts it as ``c2 > c1`` (deterministic
+    given the data; verified at all three test scales).  Sketch folds run
+    over the already-reduced (half, tool) grouped counts — the relational
+    build pattern; the corpus itself is never collected."""
+    t = (
+        transcripts.transcripts_from_events(spark, sf_dir)
+        .select(
+            "tool",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("us"),
+        )
+        # NULL us would fall into half 2 via otherwise() but into NEITHER
+        # count-filter in the oracle — exclude it in both engines
+        .filter(F.col("us").isNotNull())
+    )
+    bounds = t.agg(F.min("us").alias("lo"), F.max("us").alias("hi")).first()
+    mid = (bounds["lo"] + bounds["hi"]) // 2
+    counts = (
+        t.withColumn("half", F.when(F.col("us") < F.lit(mid), 1).otherwise(2))
+        .groupBy("half", "tool")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    c1 = {r["tool"]: r["c"] for r in counts if r["half"] == 1}
+    c2 = {r["tool"]: r["c"] for r in counts if r["half"] == 2}
+    import numpy as np
+
+    from hg64spark.sketches import MG
+
+    mg_late = MG(k=8).add_values(
+        np.array(sorted(c2), dtype=object), np.array([c2[t_] for t_ in sorted(c2)])
+    )
+    cms_early = CMS(width=1024, depth=5).add_values(
+        np.array(sorted(c1), dtype=str), np.array([c1[t_] for t_ in sorted(c1)])
+    )
+    tools = sorted(set(c1) | set(c2))
+    cms_est = dict(zip(tools, cms_early.estimate(np.array(tools, dtype=str)).tolist()))
+    rows = []
+    for tool in tools:
+        flagged = int(mg_late.estimate(tool)[0]) - int(cms_est[tool]) > 0
+        sound = (not flagged) or (c2.get(tool, 0) - c1.get(tool, 0) > 0)
+        rows.append((tool, int(c1.get(tool, 0)), int(c2.get(tool, 0)), flagged, sound))
+    return spark.createDataFrame(
+        rows, "tool string, c1 long, c2 long, flagged boolean, emerging_sound boolean"
+    )
+
+
 #: Driver-gate rotation order.  The round driver records CORRECTNESS rows
 #: for (only) the first ~50 ``queries()`` entries — observed as an exact
 #: 50-row cap in rounds 3 and 4 while the dict grew 57→65, which left the
@@ -1425,10 +1592,6 @@ _GATE_ACTIVE = [
     "pack_token_shards",
     "hg64_buckets_events",
     "hg64_quantiles_events",
-    "hg64_stats_events",
-    "hg64_downsample_lineitem",
-    "hg64_upsample_lineitem",
-    "hg64_weighted_buckets",
     "latency_quantiles_by_tool",
     "hll_distinct_users",
     "cms_top_custkeys",
@@ -1443,6 +1606,13 @@ _GATE_ACTIVE = [
 #: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
 #: so their driver freshness is 1 round; they rotate back in for r7
 _GATE_ROTATED_OUT = [
+    # displaced mid-round-6 by the four temporal/planner gates (asof, range
+    # join, cms_join_size, mg_emerging) — all four displaced lines are
+    # r5-green, freshness 1 round
+    "hg64_stats_events",
+    "hg64_downsample_lineitem",
+    "hg64_upsample_lineitem",
+    "hg64_weighted_buckets",
     "sessionize",
     "sample_temperature",
     "textlen_quantiles_cube",
@@ -1543,6 +1713,10 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_drift_events": q_streaming_drift_events,
         "hll_intersection_events": q_hll_intersection_events,
         "hg64_rank_features_lineitem": q_hg64_rank_features_lineitem,
+        "asof_join_events": q_asof_join_events,
+        "range_join_events": q_range_join_events,
+        "cms_join_size": q_cms_join_size,
+        "mg_emerging_tools": q_mg_emerging_tools,
     }
 
 
@@ -1676,6 +1850,39 @@ def _core_oracles() -> dict[str, str]:
         "hg64_overlap_events": _hg64_overlap_oracle(),
         "streaming_drift_events": _hg64_drift_oracle(),
         "hg64_rank_features_lineitem": _hg64_rank_features_oracle(),
+        "asof_join_events": (
+            f"WITH b AS ({_EVENTS_US_SQL}), "
+            "m AS (SELECT user_id, us, max(event_id) AS marker_event_id FROM b "
+            "WHERE event_type = 'signup' GROUP BY user_id, us), "
+            "p AS (SELECT event_id, user_id, us FROM b WHERE event_type = 'purchase') "
+            "SELECT p.event_id AS event_id, p.user_id AS user_id, "
+            "m.marker_event_id AS marker_event_id, p.us - m.us AS us_since_signup "
+            "FROM p ASOF LEFT JOIN m ON p.user_id = m.user_id AND p.us >= m.us"
+        ),
+        "range_join_events": (
+            f"WITH b AS ({_EVENTS_US_SQL}) "
+            "SELECT p.event_id AS event_id, p.user_id AS user_id, "
+            "count(x.us) AS n_before "
+            "FROM (SELECT * FROM b WHERE event_type = 'error') p "
+            f"LEFT JOIN b x ON x.user_id = p.user_id "
+            f"AND p.us - x.us BETWEEN 1 AND {_RANGE_W_US} "
+            "GROUP BY p.event_id, p.user_id"
+        ),
+        "cms_join_size": (
+            "SELECT (SELECT count(*) FROM orders o JOIN customer c "
+            "ON o.o_custkey = c.c_custkey) AS exact_join_rows, "
+            "true AS cms_lower_ok, true AS cms_upper_ok"
+        ),
+        "mg_emerging_tools": (
+            f"WITH t AS (SELECT tool, epoch_us(ts) AS us "
+            f"FROM ({transcripts.TRANSCRIPTS_SQL}) WHERE ts IS NOT NULL), "
+            "m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM t), "
+            "c AS (SELECT tool, "
+            "count(*) FILTER (WHERE us < mid) AS c1, "
+            "count(*) FILTER (WHERE us >= mid) AS c2 "
+            "FROM t CROSS JOIN m GROUP BY tool) "
+            "SELECT tool, c1, c2, c2 > c1 AS flagged, true AS emerging_sound FROM c"
+        ),
         "hll_intersection_events": (
             "WITH d AS (SELECT DISTINCT event_type AS g, user_id AS u "
             "FROM events WHERE user_id IS NOT NULL) "
