@@ -281,6 +281,19 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         return dataops.q_curriculum_bins(spark, "/root/testdata/sf0.01").count()
 
+    def q_asof_join():
+        # union-carry as-of: ONE exchange, no join operator — benched so a
+        # regression back to a joinful plan shows up as a step change
+        from hg64spark import queries as hq
+
+        return hq.q_asof_join_events(spark, "/root/testdata/sf0.01").count()
+
+    def q_range_join():
+        # grain-bucketed interval join (<=2 grains per probe)
+        from hg64spark import queries as hq
+
+        return hq.q_range_join_events(spark, "/root/testdata/sf0.01").count()
+
     def q_multimodal_decode():
         # both real codecs end-to-end (synthesize -> encode -> decode ->
         # stats): the Arrow round-trip cost of a genuine binary-payload
@@ -326,6 +339,8 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("sliding_hg64_events", q_sliding_hg64),
         ("hg64_overlap_events", q_hg64_overlap),
         ("curriculum_bins", q_curriculum_bins),
+        ("asof_join_events", q_asof_join),
+        ("range_join_events", q_range_join),
         ("multimodal_decode", q_multimodal_decode),
     ]
     # best-of-2 per query, attempts SEPARATED by a full sweep: this

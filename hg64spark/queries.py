@@ -1535,6 +1535,113 @@ def q_mg_emerging_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup -> click -> purchase per user): each
+    stage's time is the user's earliest event of that type AT-OR-AFTER the
+    previous stage's time — the sequential dependency that makes funnels
+    inexpressible as one flat aggregate.  Spark plan: ONE Exchange on
+    user_id, two RANGE-frame running-min windows over the same sort (the
+    range frame — not rows — is what makes same-microsecond stage ties
+    match the oracle's inclusive >= exactly, independent of event_id
+    order), then one per-user aggregate.  The oracle takes the opposite,
+    join-heavy route (three correlated min-joins) — two independent
+    formulations, one integer answer per user including depth-0 users who
+    never signed up.  At 100 TB this is the shape that matters: the naive
+    per-stage self-join cascade shuffles the events table three times; the
+    window form shuffles it once."""
+    from pyspark.sql import Window
+
+    ev = _events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t1c = F.when(F.col("event_type") == "signup", F.col("us"))
+    staged = (
+        # sequential withColumns: a window function cannot appear inside
+        # another window function's argument, but chained Window operators
+        # over the SAME partitioning+sort reuse one Exchange (plan-checked
+        # in tests/test_temporal.py)
+        ev.withColumn("t1c", t1c)
+        .withColumn("run_t1", F.min("t1c").over(w))
+        .withColumn(
+            "t2c",
+            F.when(
+                (F.col("event_type") == "click") & F.col("run_t1").isNotNull(),
+                F.col("us"),
+            ),
+        )
+        .withColumn("run_t2", F.min("t2c").over(w))
+        .withColumn(
+            "t3c",
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("run_t2").isNotNull(),
+                F.col("us"),
+            ),
+        )
+    )
+    agg_ = staged.groupBy("user_id").agg(
+        F.min("t1c").alias("t1"), F.min("t2c").alias("t2"), F.min("t3c").alias("t3")
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    return agg_.select("user_id", "t1", "t2", "t3", depth.alias("depth"))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-event week, activity
+    counted per (cohort_week, weeks-since-cohort) cell — the classic
+    engagement triangle.  Exact distinct-user counts are the SQL-oracle
+    side; each cell ALSO carries an HLL built on the relational scale path
+    (the count-distinct you'd actually run per cell at 100 TB, where exact
+    countDistinct is a full shuffle of user ids per cell but the HLL
+    partial-merges map-side), self-certified within 3 sigma.  Two
+    aggregates total: first-event per user (one Exchange on user_id,
+    reused by the join), then the cell rollup."""
+    ev = _events_us(spark, sf_dir).select("user_id", "us")
+    first = ev.groupBy("user_id").agg(F.min("us").alias("fus"))
+    first = first.withColumn("cohort_wk", F.expr(f"fus DIV {_WEEK_US}"))
+    act = ev.select("user_id", F.expr(f"us DIV {_WEEK_US}").alias("wk")).distinct()
+    cells = act.join(first, "user_id").select(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"), "user_id"
+    )
+    exact = cells.groupBy("cohort_wk", "offset_wk").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    sk = agg.sketch_agg(
+        cells, "user_id", ["cohort_wk", "offset_wk"], lambda: HLL(14), HLL.deserialize
+    ).collect()
+    ests = {
+        (r["cohort_wk"], r["offset_wk"]): HLL.deserialize(bytes(r["sketch"])).estimate()
+        for r in sk
+    }
+    bound = 3 * HLL.error_bound(14)
+    rows = [
+        (
+            r["cohort_wk"],
+            r["offset_wk"],
+            r["exact_users"],
+            bool(
+                abs(ests.get((r["cohort_wk"], r["offset_wk"]), 0.0) - r["exact_users"])
+                <= bound * r["exact_users"]
+            ),
+        )
+        for r in exact.collect()
+    ]
+    return spark.createDataFrame(
+        rows, "cohort_wk long, offset_wk long, exact_users long, hll_ok boolean"
+    )
+
+
 #: Driver-gate rotation order.  The round driver records CORRECTNESS rows
 #: for (only) the first ~50 ``queries()`` entries — observed as an exact
 #: 50-row cap in rounds 3 and 4 while the dict grew 57→65, which left the
@@ -1593,8 +1700,6 @@ _GATE_ACTIVE = [
     "hg64_buckets_events",
     "hg64_quantiles_events",
     "latency_quantiles_by_tool",
-    "hll_distinct_users",
-    "cms_top_custkeys",
     "corpus_pipeline",
     "dedup_minhash_lsh",
     "dedup_substring",
@@ -1606,13 +1711,16 @@ _GATE_ACTIVE = [
 #: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
 #: so their driver freshness is 1 round; they rotate back in for r7
 _GATE_ROTATED_OUT = [
-    # displaced mid-round-6 by the four temporal/planner gates (asof, range
-    # join, cms_join_size, mg_emerging) — all four displaced lines are
-    # r5-green, freshness 1 round
+    # displaced mid-round-6 by the six temporal/planner/analytics gates
+    # (asof, range join, cms_join_size, mg_emerging, funnel, retention) —
+    # all six displaced lines are r5-green, freshness 1 round; the two
+    # companion displacements keep their _rel twins in-window
     "hg64_stats_events",
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",
     "hg64_weighted_buckets",
+    "hll_distinct_users",
+    "cms_top_custkeys",
     "sessionize",
     "sample_temperature",
     "textlen_quantiles_cube",
@@ -1717,6 +1825,8 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "cms_join_size": q_cms_join_size,
         "mg_emerging_tools": q_mg_emerging_tools,
+        "funnel_events": q_funnel_events,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 
@@ -1872,6 +1982,34 @@ def _core_oracles() -> dict[str, str]:
             "SELECT (SELECT count(*) FROM orders o JOIN customer c "
             "ON o.o_custkey = c.c_custkey) AS exact_join_rows, "
             "true AS cms_lower_ok, true AS cms_upper_ok"
+        ),
+        "funnel_events": (
+            f"WITH b AS ({_EVENTS_US_SQL}), "
+            "s1 AS (SELECT user_id, min(us) AS t1 FROM b "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s2 AS (SELECT b.user_id, min(b.us) AS t2 FROM b "
+            "JOIN s1 ON b.user_id = s1.user_id AND b.us >= s1.t1 "
+            "WHERE b.event_type = 'click' GROUP BY b.user_id), "
+            "s3 AS (SELECT b.user_id, min(b.us) AS t3 FROM b "
+            "JOIN s2 ON b.user_id = s2.user_id AND b.us >= s2.t2 "
+            "WHERE b.event_type = 'purchase' GROUP BY b.user_id), "
+            "u AS (SELECT DISTINCT user_id FROM b) "
+            "SELECT u.user_id AS user_id, s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3, "
+            "CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 "
+            "WHEN s2.t2 IS NOT NULL THEN 2 "
+            "WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth "
+            "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
+            "LEFT JOIN s2 ON u.user_id = s2.user_id "
+            "LEFT JOIN s3 ON u.user_id = s3.user_id"
+        ),
+        "retention_cohorts": (
+            f"WITH b AS ({_EVENTS_US_SQL}), "
+            f"f AS (SELECT user_id, min(us) // {_WEEK_US} AS cohort_wk "
+            "FROM b GROUP BY user_id), "
+            f"a AS (SELECT DISTINCT user_id, us // {_WEEK_US} AS wk FROM b) "
+            "SELECT f.cohort_wk AS cohort_wk, a.wk - f.cohort_wk AS offset_wk, "
+            "count(DISTINCT a.user_id) AS exact_users, true AS hll_ok "
+            "FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2"
         ),
         "mg_emerging_tools": (
             f"WITH t AS (SELECT tool, epoch_us(ts) AS us "

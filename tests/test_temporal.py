@@ -173,3 +173,84 @@ def test_mg_emergence_flag_is_sound_when_approximate():
     for it in flagged:
         assert c2.get(it, 0) - c1.get(it, 0) > 0, it
     assert flagged, "adversarial setup should flag the planted emerging item"
+
+
+def test_funnel_single_exchange_plan(spark):
+    """The funnel's two running-min windows and the final per-user aggregate
+    all share ONE hash partitioning on user_id — a second Exchange means the
+    chain regressed to the join-cascade shape."""
+    from hg64spark import queries as hq
+
+    plan = (
+        hq.q_funnel_events(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2, plan  # 1 data Exchange + possible AQE read
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_funnel_same_microsecond_tie_is_inclusive(spark):
+    """A click at the SAME microsecond as the signup qualifies (>= semantics
+    via the RANGE window frame), regardless of event_id order."""
+    from pyspark.sql import Window
+    from hg64spark import queries as hq
+
+    rows = [
+        # click (lower event_id) and signup share us=100; purchase later
+        (1, 7, "click", 100),
+        (2, 7, "signup", 100),
+        (3, 7, "purchase", 200),
+        # control user: click BEFORE signup never qualifies
+        (4, 8, "click", 50),
+        (5, 8, "signup", 60),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, us long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t1c = F.when(F.col("event_type") == "signup", F.col("us"))
+    staged = (
+        df.withColumn("t1c", t1c)
+        .withColumn("run_t1", F.min("t1c").over(w))
+        .withColumn(
+            "t2c",
+            F.when((F.col("event_type") == "click") & F.col("run_t1").isNotNull(), F.col("us")),
+        )
+        .withColumn("run_t2", F.min("t2c").over(w))
+        .withColumn(
+            "t3c",
+            F.when((F.col("event_type") == "purchase") & F.col("run_t2").isNotNull(), F.col("us")),
+        )
+    )
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in staged.groupBy("user_id")
+        .agg(F.min("t1c").alias("t1"), F.min("t2c").alias("t2"), F.min("t3c").alias("t3"))
+        .collect()
+    }
+    assert got[7] == (100, 100, 200)  # tie click counts
+    assert got[8] == (60, None, None)  # pre-signup click does not
+
+
+def test_retention_offset0_covers_every_user(spark):
+    """Every user is active in their own cohort week, so the offset-0 cells
+    partition the user population exactly."""
+    from hg64spark import queries as hq
+
+    rows = hq.q_retention_cohorts(spark, "/root/testdata/sf0.001").collect()
+    total_users = sum(r["exact_users"] for r in rows if r["offset_wk"] == 0)
+    from hg64spark import io as hio
+
+    expect = (
+        hio.read_table(spark, "/root/testdata/sf0.001", "events")
+        .filter("user_id IS NOT NULL AND ts IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total_users == expect
+    assert all(r["hll_ok"] for r in rows)
