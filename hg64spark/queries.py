@@ -1457,8 +1457,6 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the published eps*|R|*|S| slack of exact — both booleans are
     deterministic given the data and verified at all three test scales.
     The exact join size is the SQL-oracle side."""
-    import numpy as np
-
     from hg64spark import relational
 
     width, depth = 8192, 5
@@ -1468,7 +1466,13 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk_s = relational.cms_agg_relational(cust, "k", width, depth).collect()
     R = CMS.deserialize(bytes(sk_r[0]["sketch"]))
     S = CMS.deserialize(bytes(sk_s[0]["sketch"]))
-    est = int((R.counts * S.counts).sum(axis=1).min())
+    # Python-int accumulation: an int64 elementwise product wraps silently
+    # once a hot cell holds ~3e9 on both sides (exactly the heavy-hitter
+    # regime this estimator exists for) and would fake an undershoot
+    est = min(
+        sum(int(a) * int(b) for a, b in zip(R.counts[j].tolist(), S.counts[j].tolist()))
+        for j in range(depth)
+    )
     exact = orders.join(F.broadcast(cust), "k").count()
     slack = R.epsilon() * float(R.total) * float(S.total)
     row = [(int(exact), bool(est >= exact), bool(float(est) <= float(exact) + slack))]
@@ -1538,6 +1542,44 @@ def q_mg_emerging_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEEK_US = 7 * 86400 * 1_000_000
 
 
+def funnel_stage_times(ev: DataFrame, stages: list[str]) -> DataFrame:
+    """Per-user earliest timestamp of each funnel stage subject to stage
+    ORDER: stage i counts only at-or-after the user's stage-(i-1) time.
+    ``ev`` needs (user_id, event_type, us); returns user_id, t1..tN.
+
+    One Exchange on user_id; each inner stage adds a running-min Window
+    over the SAME partitioning+sort (a window function cannot appear
+    inside another window function's argument, so the chain is sequential
+    withColumns — Catalyst stacks the Window operators on one sort).  The
+    RANGE frame (not ROWS) makes a same-microsecond earlier-stage event
+    qualify regardless of row order within the tie — the inclusive ``>=``
+    the SQL formulation states."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = ev
+    prev_run = None
+    cand_cols = []
+    for i, stage in enumerate(stages, start=1):
+        cond = F.col("event_type") == stage
+        if prev_run is not None:
+            cond = cond & F.col(prev_run).isNotNull()
+        cand = f"__t{i}c"
+        df = df.withColumn(cand, F.when(cond, F.col("us")))
+        cand_cols.append(cand)
+        if i < len(stages):
+            run = f"__run_t{i}"
+            df = df.withColumn(run, F.min(cand).over(w))
+            prev_run = run
+    return df.groupBy("user_id").agg(
+        *[F.min(c).alias(f"t{i}") for i, c in enumerate(cand_cols, start=1)]
+    )
+
+
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (signup -> click -> purchase per user): each
     stage's time is the user's earliest event of that type AT-OR-AFTER the
@@ -1552,41 +1594,8 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     never signed up.  At 100 TB this is the shape that matters: the naive
     per-stage self-join cascade shuffles the events table three times; the
     window form shuffles it once."""
-    from pyspark.sql import Window
-
     ev = _events_us(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t1c = F.when(F.col("event_type") == "signup", F.col("us"))
-    staged = (
-        # sequential withColumns: a window function cannot appear inside
-        # another window function's argument, but chained Window operators
-        # over the SAME partitioning+sort reuse one Exchange (plan-checked
-        # in tests/test_temporal.py)
-        ev.withColumn("t1c", t1c)
-        .withColumn("run_t1", F.min("t1c").over(w))
-        .withColumn(
-            "t2c",
-            F.when(
-                (F.col("event_type") == "click") & F.col("run_t1").isNotNull(),
-                F.col("us"),
-            ),
-        )
-        .withColumn("run_t2", F.min("t2c").over(w))
-        .withColumn(
-            "t3c",
-            F.when(
-                (F.col("event_type") == "purchase") & F.col("run_t2").isNotNull(),
-                F.col("us"),
-            ),
-        )
-    )
-    agg_ = staged.groupBy("user_id").agg(
-        F.min("t1c").alias("t1"), F.min("t2c").alias("t2"), F.min("t3c").alias("t3")
-    )
+    agg_ = funnel_stage_times(ev, ["signup", "click", "purchase"])
     depth = (
         F.when(F.col("t3").isNotNull(), 3)
         .when(F.col("t2").isNotNull(), 2)

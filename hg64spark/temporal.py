@@ -49,7 +49,11 @@ def asof_join(
 
     ``right`` must be unique per ``(on..., right_us)`` — dedup with a
     deterministic tie-break first (the gate keeps ``max(event_id)``), or the
-    carried payload would depend on sort stability.
+    carried payload would depend on sort stability.  Markers with a NULL
+    timestamp are dropped (a marker at an undefined time precedes nothing;
+    without the filter, NULLS-FIRST ordering would carry its payload to
+    every probe before the first real marker).  A probe with a NULL
+    timestamp gets a NULL match — same as ``NULL >= ts`` in the oracle.
 
     Returns all ``left`` columns plus one ``asof_<c>`` column per payload
     column (NULL when no right row precedes the left row).
@@ -76,7 +80,7 @@ def asof_join(
         F.lit(None).cast(pay_type).alias("__pay"),
         *[F.col(c) for c in carry_left],
     )
-    rrows = right.select(
+    rrows = right.filter(F.col(right_us).isNotNull()).select(
         *on,
         F.col(right_us).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -114,6 +118,11 @@ def range_join_count(
     (``lo_us >= 1`` gives a strictly-preceding window that excludes the
     probe row itself).  Returns all probe columns plus ``count_col``;
     probes with no build rows in range get 0 (left join + count-non-null).
+
+    ``probe`` rows must be unique (same precondition style as
+    :func:`asof_join`): the result groups by all probe columns, so two
+    fully identical probe rows would merge into ONE output row with a
+    doubled count — include a unique id column (the gate uses event_id).
 
     Scale path: grain ``G = hi_us`` buckets build time; a probe's window
     ``[p-hi, p-lo]`` spans at most two grains (its width ``hi-lo <= G``),

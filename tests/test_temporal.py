@@ -193,9 +193,9 @@ def test_funnel_single_exchange_plan(spark):
 
 def test_funnel_same_microsecond_tie_is_inclusive(spark):
     """A click at the SAME microsecond as the signup qualifies (>= semantics
-    via the RANGE window frame), regardless of event_id order."""
-    from pyspark.sql import Window
-    from hg64spark import queries as hq
+    via the RANGE window frame), regardless of event_id order — exercised
+    through the PRODUCTION helper the gate uses."""
+    from hg64spark.queries import funnel_stage_times
 
     rows = [
         # click (lower event_id) and signup share us=100; purchase later
@@ -207,33 +207,27 @@ def test_funnel_same_microsecond_tie_is_inclusive(spark):
         (5, 8, "signup", 60),
     ]
     df = spark.createDataFrame(rows, "event_id long, user_id long, event_type string, us long")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    t1c = F.when(F.col("event_type") == "signup", F.col("us"))
-    staged = (
-        df.withColumn("t1c", t1c)
-        .withColumn("run_t1", F.min("t1c").over(w))
-        .withColumn(
-            "t2c",
-            F.when((F.col("event_type") == "click") & F.col("run_t1").isNotNull(), F.col("us")),
-        )
-        .withColumn("run_t2", F.min("t2c").over(w))
-        .withColumn(
-            "t3c",
-            F.when((F.col("event_type") == "purchase") & F.col("run_t2").isNotNull(), F.col("us")),
-        )
-    )
     got = {
         r["user_id"]: (r["t1"], r["t2"], r["t3"])
-        for r in staged.groupBy("user_id")
-        .agg(F.min("t1c").alias("t1"), F.min("t2c").alias("t2"), F.min("t3c").alias("t3"))
-        .collect()
+        for r in funnel_stage_times(df, ["signup", "click", "purchase"]).collect()
     }
     assert got[7] == (100, 100, 200)  # tie click counts
     assert got[8] == (60, None, None)  # pre-signup click does not
+
+
+def test_asof_join_null_marker_timestamp_is_dropped(spark):
+    """A marker with NULL timestamp must not be carried to early probes
+    (NULLS-FIRST ordering would otherwise 'match' it before the first real
+    marker)."""
+    ldf = spark.createDataFrame([(1, 0, 50), (2, 0, 300)], "event_id long, k long, us long")
+    rdf = spark.createDataFrame(
+        [(8, 0, None), (9, 0, 200)], "mid long, k long, us long"
+    )
+    got = {
+        r["event_id"]: r["asof_mid"]
+        for r in temporal.asof_join(ldf, rdf, ["k"], "us", "us", ["mid"]).collect()
+    }
+    assert got == {1: None, 2: 9}
 
 
 def test_retention_offset0_covers_every_user(spark):
