@@ -415,18 +415,24 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
     # decomposition's two operands in the same heap regime.
     q_gen_only()
     q_ingest_hg64()
-    gen_sec, ingest_sec = None, None
-    for _ in range(2):
+    gen_sec, ingest_sec, pairs = None, None, []
+    for _ in range(3):
         g, _ = timed(q_gen_only)
         i, _ = timed(q_ingest_hg64)
         attempts.setdefault("gen_source", []).append(round(g, 3))
         attempts.setdefault("ingest_hg64_global", []).append(round(i, 3))
+        pairs.append((g, i))
         gen_sec = g if gen_sec is None else min(gen_sec, g)
         ingest_sec = i if ingest_sec is None else min(ingest_sec, i)
-    # stall telemetry: ALL raw attempts per line (3 per query, 2 for
-    # gen/ingest), so a recorded outlier can be attributed (one poisoned
-    # attempt vs all) without a re-run
+    # stall telemetry: ALL raw attempts per line (3 per query, 3 gen/ingest
+    # pairs), so a recorded outlier can be attributed (one poisoned attempt
+    # vs all) without a re-run; marginal_pairs additionally records each
+    # pair's own subtraction so a stalled gen pass inside one pair (which
+    # would INFLATE that pair's marginal) is visible next to the headline.
     meta["attempts"] = attempts
+    meta["marginal_pairs"] = [
+        round(SCALE_ROWS / (i - g), 1) if g < 0.95 * i else None for g, i in pairs
+    ]
 
     # decomposition: the generated SOURCE itself (two xxhash64 + mod per row,
     # the stand-in for a scan) costs ~40% of the ingest line; timing it
@@ -790,6 +796,7 @@ def main() -> None:
             "updates_per_sec_ingest": meta["updates_per_sec_ingest"],
             "gen_source_sec": meta["gen_source_sec"],
             "updates_per_sec_sketch_marginal": meta["updates_per_sec_sketch_marginal"],
+            "marginal_pairs": meta["marginal_pairs"],
         },
         "attempts": meta["attempts"],
     }

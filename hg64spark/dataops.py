@@ -927,13 +927,63 @@ WHERE dot > 0
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-k neighbors by dot product for the first N_PROBES
     vectors, in fixed point (floor(x*1e6+0.5) int64) so Spark and DuckDB
-    agree exactly.  The probe side is broadcast; ranking is a window over
-    the per-probe partitions — the standard exact baseline an ANN index is
-    judged against."""
+    agree exactly — the standard exact baseline an ANN index is judged
+    against.
+
+    Shape: the probe matrix (N_PROBES x dim ints) is closure-captured; one
+    mapInPandas pass computes each batch's integer dots against it via
+    matmul and keeps only the batch-local top-K per probe (the global
+    top-K is a subset of the union of batch top-Ks), so the final window
+    ranks at most #batches x N_PROBES x K rows — map-side top-K pruning,
+    the same contract as a partial aggregate.  Dots are exact int64 and
+    the tiebreak (dot desc, neighbor asc) is a total order, so the result
+    is partitioning-invariant and bit-equal to the Catalyst explode-join
+    twin (_ann_brute_catalyst, pytest-asserted) and to the DuckDB oracle."""
+    import numpy as np
+
     e = _scaled(spark, sf_dir)
-    # explode-based dot product: posexplode + broadcast equi-join on the
-    # dimension index + integer sum — stays in whole-stage codegen, unlike
-    # zip_with/aggregate lambdas which run interpreted (measured 4x slower)
+    prows = sorted(
+        e.filter(F.col("vec_id") < N_PROBES).collect(), key=lambda r: r["vec_id"]
+    )
+    pids = np.array([r["vec_id"] for r in prows], dtype=np.int64)
+    P = np.array([r["se"] for r in prows], dtype=np.int64)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            V = np.array(list(pdf["se"].to_numpy()), dtype=np.int64)
+            D = V @ P.T  # exact int64, |dot| <= dim * (1e6)^2 << 2^63
+            out_p, out_n, out_d = [], [], []
+            for c, pid in enumerate(pids):
+                keep = ids != pid
+                # batch-local top-K by (dot desc, neighbor asc): lexsort's
+                # primary key is its LAST key
+                nb, dots = ids[keep], D[keep, c]
+                sel = np.lexsort((nb, -dots))[:TOPK]
+                out_p.append(np.full(len(sel), pid))
+                out_n.append(nb[sel])
+                out_d.append(dots[sel])
+            yield pd.DataFrame(
+                {
+                    "probe_id": np.concatenate(out_p),
+                    "neighbor_id": np.concatenate(out_n),
+                    "dot": np.concatenate(out_d),
+                }
+            )
+
+    cand = e.mapInPandas(local_topk, "probe_id long, neighbor_id long, dot long")
+    w = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOPK)
+
+
+def _ann_brute_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst twin of :func:`q_ann_brute_topk`: posexplode + broadcast
+    equi-join on the dimension index + integer sum (whole-stage codegen,
+    unlike zip_with/aggregate lambdas which run interpreted — measured 4x
+    slower) — kept as the bit-equality witness for the matmul form."""
+    e = _scaled(spark, sf_dir)
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.posexplode("se").alias("j", "y")
     )
@@ -1072,16 +1122,91 @@ def _ivf_rank(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _ivf_rank_blas(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
+    """Bit-identical twin of :func:`_ivf_rank` as ONE mapInPandas stage: the
+    quantizer (K x dim ints — small by construction, it IS the broadcast
+    side) is captured in the closure; each Arrow batch of vectors does a
+    single integer matmul against it and emits its top-n centroids.
+
+    This is the 100 TB shape for quantizer assignment: the Catalyst form
+    explodes N x dim x K join rows per pass, the matmul form ships each
+    vector over Arrow once and does dim*K multiply-adds in C — for K >= 50
+    that is the difference between a shuffle-sized intermediate and none.
+    Bit-equality (pytest-asserted vs the Catalyst twin): dots are exact
+    int64 in both; |c|^2 < 2^53 makes the JVM's sequential double fold of
+    squares exact and equal to numpy's int64 sum; score = double division
+    of identical operands; argsort(-scores, stable) ties resolve to the
+    lowest cid exactly like the window's (desc score, asc cid)."""
+    import numpy as np
+
+    crows = sorted(cents.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    C = np.array([r["ce"] for r in crows], dtype=np.int64)
+    sq = (C * C).sum(axis=1, dtype=np.int64)
+    cn = np.sqrt(sq.astype(np.float64))
+    k = min(n, len(cids))
+
+    def rank_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(list(pdf["se"].to_numpy()), dtype=np.int64)
+            scores = (V @ C.T).astype(np.float64) / cn[None, :]
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
+                    "cid": cids[idx].ravel().astype(np.int32),
+                    "rn": np.tile(np.arange(1, k + 1, dtype=np.int32), len(pdf)),
+                }
+            )
+
+    return vectors.select("vec_id", "se").mapInPandas(
+        rank_batches, "vec_id long, cid int, rn int"
+    )
+
+
+#: largest training sample / seed set the LOCAL Lloyd trainer will collect
+#: (vectors; at dim 64 x int64 that is ~512 MB of driver memory) — past it,
+#: raise sample_mod or pass distributed=True
+IVF_LOCAL_TRAIN_CAP = 1_000_000
+
+
 def _ivf_train(
-    spark: SparkSession, e: DataFrame, iters: int = IVF_LLOYD_ITERS, sample_mod: int = 1
+    spark: SparkSession,
+    e: DataFrame,
+    iters: int = IVF_LLOYD_ITERS,
+    sample_mod: int = 1,
+    distributed: bool = False,
 ) -> DataFrame:
-    """Deterministic seeded k-means (spherical Lloyd) entirely in DataFrame
-    ops: seeds = every IVF_SEED_MOD-th vector; per iteration assign by
-    argmax dot/|c| (broadcast join + window), recompute centroids as the
-    per-dimension integer-rounded mean (posexplode + grouped avg + rebuilt
-    array), keep the old centroid for empty clusters.  K centroids come back
-    to the driver each iteration (K*dim ints — the same driver-loop shape
-    MLlib k-means uses), so the lineage stays shallow.
+    """Deterministic seeded k-means (spherical Lloyd) over the scaled
+    integer vectors: seeds = every IVF_SEED_MOD-th vector; per iteration
+    assign each training vector to its argmax-dot/|c| centroid, recompute
+    centroids as the per-dimension integer-rounded mean, keep the old
+    centroid for empty clusters.
+
+    Two bit-identical engines (equality pytest-asserted):
+
+    * **local (default)** — collect the (sampled) training set once and run
+      the Lloyd passes in numpy on the driver.  This is the production
+      quantizer-training shape (FAISS, ScaNN: train k-means on a bounded
+      in-memory sample, never distributed): the sample is capped at
+      IVF_LOCAL_TRAIN_CAP vectors and the collect is LIMIT-guarded, so the
+      driver cost is bounded no matter the corpus size.  At the gate scale
+      this removes ~4 s of per-iteration Spark job scheduling that
+      dominated the whole IVF line.
+    * **distributed** (``distributed=True``) — the original DataFrame-only
+      Lloyd (broadcast join + window argmax per pass, K*dim ints back to
+      the driver per iteration, MLlib-shaped), for when even the training
+      sample exceeds driver memory.
+
+    Bit-equality argument: dots and per-cluster sums are exact int64 in
+    both engines; |c|^2 <= dim * (10^6)^2 < 2^53 so every partial sum in
+    the JVM's sequential double fold is an exactly-representable integer
+    (== numpy's int64 sum cast to double); score = double(dot)/double(|c|)
+    and mean = double(sum)/double(count) are then single IEEE ops with
+    identical operands, and floor(avg + 0.5) follows.  Ties in the argmax
+    resolve to the lowest cid in both.
 
     ``sample_mod`` > 1 runs the Lloyd passes over the deterministic
     every-``sample_mod``-th subset — the documented production shape at
@@ -1092,6 +1217,64 @@ def _ivf_train(
     subset, so centroid COORDINATES (and hence inverted-list assignment)
     can shift slightly; callers relying on recall must keep gating it (the
     bench's sampled line asserts the recall floor itself)."""
+    if not distributed:
+        return _ivf_train_local(spark, e, iters, sample_mod)
+    return _ivf_train_distributed(spark, e, iters, sample_mod)
+
+
+def _collect_vectors(df: DataFrame, what: str):
+    """LIMIT-guarded collect of (vec_id, se) into numpy (ids, int64 matrix);
+    raises before the driver can be flooded."""
+    import numpy as np
+
+    rows = df.select("vec_id", "se").limit(IVF_LOCAL_TRAIN_CAP + 1).collect()
+    if len(rows) > IVF_LOCAL_TRAIN_CAP:
+        raise ValueError(
+            f"IVF local trainer: {what} exceeds IVF_LOCAL_TRAIN_CAP="
+            f"{IVF_LOCAL_TRAIN_CAP} vectors; raise sample_mod or pass "
+            "distributed=True"
+        )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["se"] for r in rows], dtype=np.int64)
+    return ids, mat
+
+
+def _ivf_train_local(
+    spark: SparkSession, e: DataFrame, iters: int, sample_mod: int
+) -> DataFrame:
+    import numpy as np
+
+    train = e if sample_mod <= 1 else e.filter(F.col("vec_id") % sample_mod == 0)
+    _, T = _collect_vectors(train, "training sample")
+    seed_ids, C = _collect_vectors(
+        e.filter(F.col("vec_id") % IVF_SEED_MOD == 0), "seed set"
+    )
+    order = np.argsort(seed_ids)  # cid ascending == vec_id/IVF_SEED_MOD ascending
+    cids = (seed_ids[order] // IVF_SEED_MOD).astype(np.int64)
+    C = C[order]
+    for _ in range(iters):
+        # assignment: argmax double(dot)/|c|; np.argmax first-max == lowest
+        # cid on ties (cids ascending) — same as the window's (desc score,
+        # asc cid) row_number
+        sq = (C * C).sum(axis=1, dtype=np.int64)
+        scores = (T @ C.T).astype(np.float64) / np.sqrt(sq.astype(np.float64))[None, :]
+        assign = np.argmax(scores, axis=1)
+        for ci in range(len(cids)):
+            members = T[assign == ci]
+            if len(members):
+                avg = members.sum(axis=0, dtype=np.int64).astype(np.float64) / float(
+                    len(members)
+                )
+                C[ci] = np.floor(avg + 0.5).astype(np.int64)
+    return spark.createDataFrame(
+        [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)],
+        "cid int, ce array<bigint>",
+    )
+
+
+def _ivf_train_distributed(
+    spark: SparkSession, e: DataFrame, iters: int, sample_mod: int
+) -> DataFrame:
     train = e if sample_mod <= 1 else e.filter(F.col("vec_id") % sample_mod == 0)
     cents = e.filter(F.col("vec_id") % IVF_SEED_MOD == 0).select(
         (F.col("vec_id") / IVF_SEED_MOD).cast("int").alias("cid"), F.col("se").alias("ce")
@@ -1125,20 +1308,24 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     force (self-certified; measured min 0.8-0.9 at the gated scales, up from
     the 0.3 floor of the untrained every-20th-vector quantizer).
 
-    Scale shape: training touches the data iters+1 times with a broadcast
-    join + window argmax each pass (train on a sample at production scale);
-    probing touches only the selected inverted lists (an equi-join on
-    centroid id).  ``sample_mod`` > 1 trains the quantizer on the
-    every-``sample_mod``-th subset (the production shape — see _ivf_train);
+    Scale shape: training runs in numpy on a capped collected sample (the
+    FAISS shape — see _ivf_train; the DataFrame-only Lloyd remains behind
+    distributed=True); assignment and probe ranking are one mapInPandas
+    matmul each against the closure-captured quantizer (_ivf_rank_blas,
+    bit-equal to the Catalyst window form); probing then touches only the
+    selected inverted lists (an equi-join on centroid id).  ``sample_mod``
+    > 1 trains the quantizer on the every-``sample_mod``-th subset;
     the DEFAULT is sampled training (mod 4) so the driver gate and the
     bench line both exercise the shape you'd run at corpus scale — the gate
     still self-certifies the recall floor, which is what makes sampled
     centroids safe to gate.  Pass sample_mod=1 for the full train."""
     e = _scaled(spark, sf_dir)
     cents = _ivf_train(spark, e, sample_mod=sample_mod)
-    assigned = _ivf_rank(e, cents, 1).select("vec_id", "cid")
+    assigned = _ivf_rank_blas(e, cents, 1).select("vec_id", "cid")
     probes = e.filter(F.col("vec_id") < N_PROBES)
-    plists = _ivf_rank(probes, cents, IVF_NPROBE).select(F.col("vec_id").alias("probe_id"), "cid")
+    plists = _ivf_rank_blas(probes, cents, IVF_NPROBE).select(
+        F.col("vec_id").alias("probe_id"), "cid"
+    )
     cand = (
         plists.join(assigned, "cid")
         .filter(F.col("vec_id") != F.col("probe_id"))

@@ -317,6 +317,47 @@ def test_ivf_train_sampling_keeps_centroid_count(spark):
     }
 
 
+def test_ivf_train_local_matches_distributed_bit_for_bit(spark):
+    """The default numpy Lloyd trainer and the DataFrame-only trainer must
+    produce byte-identical centroids: dots and cluster sums are exact int64
+    in both, |c|^2 < 2^53 keeps the JVM's double folds exact, so every
+    derived double is the same IEEE value (the docstring's argument — this
+    test is what makes it load-bearing)."""
+    e = dataops._scaled(spark, SF_DIR)
+    local = dataops._ivf_train(spark, e, iters=2, sample_mod=3)
+    dist = dataops._ivf_train(spark, e, iters=2, sample_mod=3, distributed=True)
+    as_map = lambda df: {r["cid"]: list(r["ce"]) for r in df.collect()}  # noqa: E731
+    assert as_map(local) == as_map(dist)
+
+
+def test_ivf_rank_blas_matches_catalyst_bit_for_bit(spark):
+    """The mapInPandas matmul ranker must reproduce the Catalyst window
+    ranker exactly, including argmax tie resolution to the lowest cid."""
+    e = dataops._scaled(spark, SF_DIR)
+    cents = dataops._ivf_train(spark, e, iters=1)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["cid"], r["rn"]) for r in df.collect()
+    )
+    for n in (1, 3):
+        assert rows(dataops._ivf_rank_blas(e, cents, n)) == rows(
+            dataops._ivf_rank(e, cents, n)
+        )
+
+
+def test_ivf_local_train_cap_raises(spark):
+    """The LIMIT-guarded collect must refuse, not flood the driver."""
+    import pytest
+
+    e = dataops._scaled(spark, SF_DIR)
+    orig = dataops.IVF_LOCAL_TRAIN_CAP
+    dataops.IVF_LOCAL_TRAIN_CAP = 10
+    try:
+        with pytest.raises(ValueError, match="IVF_LOCAL_TRAIN_CAP"):
+            dataops._ivf_train(spark, e, iters=1)
+    finally:
+        dataops.IVF_LOCAL_TRAIN_CAP = orig
+
+
 def test_simhash_separates_planted_pairs(spark):
     rows = dataops.q_dedup_simhash(spark, SF_DIR).collect()
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
@@ -324,6 +365,19 @@ def test_simhash_separates_planted_pairs(spark):
     planted_found = sum((i, i + dataops.PLANT_OFFSET) in pairs for i in range(n_docs))
     # dropping 3 tokens barely moves the simhash: most planted pairs at <= 8
     assert planted_found >= 0.8 * n_docs
+
+
+def test_ann_brute_blas_matches_catalyst_bit_for_bit(spark):
+    """The mapInPandas local-top-K form must reproduce the Catalyst
+    explode-join form exactly (dots are exact int64 in both; the (dot desc,
+    neighbor asc) tiebreak is a total order, so batch-local pruning cannot
+    change the global top-K)."""
+    rows = lambda df: sorted(  # noqa: E731
+        (r["probe_id"], r["neighbor_id"], r["dot"], r["rank"]) for r in df.collect()
+    )
+    assert rows(dataops.q_ann_brute_topk(spark, SF_DIR)) == rows(
+        dataops._ann_brute_catalyst(spark, SF_DIR)
+    )
 
 
 def test_ann_brute_topk_matches_numpy(spark):
