@@ -573,6 +573,9 @@ def test_scans_are_pruned_and_filters_pushed(spark):
     from hg64spark import dataops
 
     sf = "/root/testdata/sf0.001"
+    # production brute form: the probe matrix is collected eagerly (its own
+    # job pushes the vec_id filter), so the returned plan holds only the
+    # corpus scan — assert it is column-pruned
     plan = dataops.q_ann_brute_topk(spark, sf)._jdf.queryExecution().executedPlan().toString()
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert scans, plan
@@ -580,10 +583,16 @@ def test_scans_are_pruned_and_filters_pushed(spark):
         cols = s.split("FileScan parquet [", 1)[1].split("]", 1)[0]
         names = {c.split("#")[0] for c in cols.split(",")}
         assert names <= {"vec_id", "embedding"}, names
+    # Catalyst twin keeps the probe-side scan inside the lazy plan — the
+    # probe predicate must reach that scan as a pushed filter
+    plan_c = (
+        dataops._ann_brute_catalyst(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    )
+    scans_c = [l for l in plan_c.splitlines() if "FileScan parquet" in l]
     assert any(
         f"PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,{dataops.N_PROBES})]" in s
-        for s in scans
-    ), scans
+        for s in scans_c
+    ), scans_c
 
     plan2 = dataops.q_dedup_exact(spark, sf)._jdf.queryExecution().executedPlan().toString()
     for s in [l for l in plan2.splitlines() if "FileScan parquet" in l]:
