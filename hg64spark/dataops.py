@@ -2051,6 +2051,192 @@ def _curriculum_bins_sql() -> str:
     """
 
 
+# ------------------------------------------------------------ PII scrubbing
+
+#: scrub patterns, applied IN ORDER (url before email so an address-shaped
+#: token inside a URL path is redacted as part of the URL, never counted
+#: twice); the pattern language is the subset shared by Java regex (Spark)
+#: and RE2 (DuckDB): character classes + quantifiers only — no lookarounds,
+#: no backrefs — and [.] / [0-9] instead of \. / \d so the literal needs no
+#: escaping in either engine's SQL string
+PII_PATTERNS = (
+    ("url", "https?://[A-Za-z0-9./_%-]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("idnum", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_url, n_email, n_idnum, clean): count and redact
+    PII-shaped spans — the pre-training scrubbing pass every production
+    corpus runs before anything else touches the text.
+
+    Each pattern's count is taken on the text state that pattern actually
+    sees (sequential: count url on the input, redact, count email on the
+    redacted text, ...), so counts and redaction tell one consistent story
+    and the DuckDB oracle can mirror the exact pipeline as nested CTEs.
+    NULL text propagates to NULL counts + NULL clean in both engines.
+
+    Scale shape: pure per-row Catalyst regexp expressions — zero Exchange
+    (plan-asserted), embarrassingly parallel at any corpus size."""
+    df = docs.select("doc_id", F.col(text_col).alias("__clean"))
+    for name, pat, rep in PII_PATTERNS:
+        df = df.withColumn(
+            f"n_{name}", F.regexp_count(F.col("__clean"), F.lit(pat)).cast("long")
+        ).withColumn("__clean", F.regexp_replace("__clean", pat, rep))
+    return df.select(
+        "doc_id",
+        *[f"n_{name}" for name, _, _ in PII_PATTERNS],
+        F.col("__clean").alias("clean"),
+    )
+
+
+def _pii_planted(docs: DataFrame) -> DataFrame:
+    """documents with deterministic PII planted from doc_id (the planted-
+    payload gate discipline: the oracle predicts the same spans by
+    construction).  Spark `concat` is NULL-propagating, so the oracle must
+    use `||`, never DuckDB's NULL-skipping `concat`."""
+    sid = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" see https://host"), sid, F.lit(".example.org/p/"), sid),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" contact user"), sid, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" ref 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrub gate: plant URL/email/id payloads from doc_id, then count
+    + redact (see :func:`scrub_pii`); the oracle rebuilds the same planted
+    text with `||` and mirrors the sequential count/redact CTE-by-CTE."""
+    return scrub_pii(_pii_planted(_docs(spark, sf_dir)))
+
+
+def _scrub_pii_sql() -> str:
+    (u_name, u_pat, u_rep), (e_name, e_pat, e_rep), (i_name, i_pat, i_rep) = PII_PATTERNS
+    return f"""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0 THEN ' see https://host' || CAST(doc_id AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' ref 123-45-6789' ELSE '' END AS text
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{u_pat}')) AS BIGINT) AS n_{u_name},
+               regexp_replace(text, '{u_pat}', '{u_rep}', 'g') AS t1
+        FROM planted
+    ),
+    s2 AS (
+        SELECT doc_id, n_{u_name},
+               CAST(len(regexp_extract_all(t1, '{e_pat}')) AS BIGINT) AS n_{e_name},
+               regexp_replace(t1, '{e_pat}', '{e_rep}', 'g') AS t2
+        FROM s1
+    )
+    SELECT doc_id, n_{u_name}, n_{e_name},
+           CAST(len(regexp_extract_all(t2, '{i_pat}')) AS BIGINT) AS n_{i_name},
+           regexp_replace(t2, '{i_pat}', '{i_rep}', 'g') AS clean
+    FROM s2
+    """
+
+
+# ------------------------------------------------- recency-decayed top-K
+
+#: age-bucket width for the decayed frequency ranking (2 days: the test
+#: corpus spans ~30 days -> ~15 buckets, exercising both the halving chain
+#: and the beyond-horizon cutoff)
+DECAY_BUCKET_US = 2 * 24 * 3600 * 1_000_000
+#: an event in age bucket a contributes 2^(DECAY_HORIZON - a) for
+#: a <= DECAY_HORIZON and 0 beyond — integer-exact halving decay (floats
+#: like 0.9^age could never hash-match across engines; halving per bucket
+#: is the same family, exactly representable)
+DECAY_HORIZON = 8
+DECAY_TOPK = 10
+
+
+def decayed_topk_users(events: DataFrame, k: int = DECAY_TOPK) -> DataFrame:
+    """(user_id, decayed): top-k users by recency-decayed event count — the
+    trending/most-active ranking monitoring pipelines run over an event
+    stream, with old activity aging out by integer halving instead of a
+    hard window cliff.
+
+    Scale shape: ONE map-side-combined groupBy(user) over per-row integer
+    weights (shuffle bounded by distinct users, independent of N), then the
+    salted two-phase exact top-k — no user is ever sorted in a single task.
+    The reference timestamp is the corpus max ts (a 1-row broadcast
+    cross-join, never an Exchange of the data side).  NULL user_ids are
+    excluded up front (cross-engine NULL-sort divergence, the
+    sample_fixed_k discipline)."""
+    mx = events.agg(F.max("ts").alias("__mx"))
+    aged = (
+        events.filter(F.col("user_id").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "__age",
+            F.expr(f"CAST(timestampdiff(MICROSECOND, ts, __mx) DIV {DECAY_BUCKET_US} AS INT)"),
+        )
+        .withColumn(
+            "__w",
+            F.expr(
+                f"CASE WHEN __age <= {DECAY_HORIZON} THEN "
+                f"shiftleft(CAST(1 AS BIGINT), {DECAY_HORIZON} - __age) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    per_user = (
+        aged.groupBy("user_id")
+        .agg(F.sum("__w").alias("decayed"))
+        .filter(F.col("decayed") > 0)
+        .withColumn("__g", F.lit(0))
+    )
+    return salted_topk(
+        per_user, "__g", [F.desc("decayed"), F.asc("user_id")], "user_id", k
+    ).drop("__g")
+
+
+def q_decayed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed top-K gate over the events table (see
+    :func:`decayed_topk_users`); oracle = the same integer halving weights
+    in SQL with ORDER BY ... LIMIT k under the identical total order."""
+    return decayed_topk_users(io.read_table(spark, sf_dir, "events"))
+
+
+def _decayed_topk_users_sql() -> str:
+    return f"""
+    WITH mx AS (SELECT max(ts) AS mx FROM events),
+    aged AS (
+        SELECT user_id,
+               (epoch_us(mx.mx) - epoch_us(ts)) // {DECAY_BUCKET_US} AS age
+        FROM events, mx WHERE user_id IS NOT NULL
+    ),
+    w AS (
+        SELECT user_id,
+               sum(CASE WHEN age <= {DECAY_HORIZON}
+                        THEN CAST(1 AS BIGINT) << CAST({DECAY_HORIZON} - age AS INT)
+                        ELSE CAST(0 AS BIGINT) END) AS decayed
+        FROM aged GROUP BY 1
+    )
+    SELECT user_id, decayed FROM w WHERE decayed > 0
+    ORDER BY decayed DESC, user_id ASC LIMIT {DECAY_TOPK}
+    """
+
+
 def chunked_pack_units(
     docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
 ) -> DataFrame:
@@ -2882,6 +3068,8 @@ def dataops_queries():
         "dedup_substring_rewrite": q_dedup_substring_rewrite,
         "dedup_cluster": q_dedup_cluster,
         "dedup_cluster_star": q_dedup_cluster_star,
+        "scrub_pii": q_scrub_pii,
+        "decayed_topk_users": q_decayed_topk_users,
     }
 
 
@@ -2930,4 +3118,6 @@ def dataops_oracles():
         "dedup_cluster": _dedup_cluster_sql(),
         # star contraction must reach the SAME components — one oracle both
         "dedup_cluster_star": _dedup_cluster_sql(),
+        "scrub_pii": _scrub_pii_sql(),
+        "decayed_topk_users": _decayed_topk_users_sql(),
     }

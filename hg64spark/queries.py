@@ -1706,8 +1706,6 @@ _GATE_ACTIVE = [
     # (oracle-typing fix this round), the rest keep one representative of
     # every operator family in-window
     "pack_token_shards",
-    "hg64_buckets_events",
-    "hg64_quantiles_events",
     "latency_quantiles_by_tool",
     "corpus_pipeline",
     "dedup_minhash_lsh",
@@ -1724,6 +1722,11 @@ _GATE_ROTATED_OUT = [
     # (asof, range join, cms_join_size, mg_emerging, funnel, retention) —
     # all six displaced lines are r5-green, freshness 1 round; the two
     # companion displacements keep their _rel twins in-window
+    # displaced late-round-6 by scrub_pii + decayed_topk_users (both
+    # r5-green; the hg64 bucket/quantile family stays represented in-window
+    # by latency_quantiles_by_tool and the new hg64 analytics gates)
+    "hg64_buckets_events",
+    "hg64_quantiles_events",
     "hg64_stats_events",
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",

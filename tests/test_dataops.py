@@ -979,3 +979,56 @@ def test_rotated_out_twins_equal_in_window_siblings(spark):
     c = {tuple(r) for r in dataops.q_decontaminate_overlap(spark, SF_DIR).collect()}
     d = {tuple(r) for r in dataops.q_decontaminate_bloom(spark, SF_DIR).collect()}
     assert c == d and c
+
+
+def test_scrub_pii_plan_is_shuffle_free(spark):
+    """The scrub pass is pure per-row regexp Catalyst — any Exchange means
+    it stopped being embarrassingly parallel, which is the property that
+    makes it runnable as a pre-pass over a 100 TB corpus."""
+    plan = dataops.q_scrub_pii(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    """Planted payloads must be counted AND gone from the cleaned text;
+    unplanted docs must be untouched (count 0, no marker)."""
+    rows = {r["doc_id"]: r for r in dataops.q_scrub_pii(spark, SF_DIR).collect()}
+    assert rows
+    for did, r in rows.items():
+        if r["clean"] is None:
+            continue
+        assert (r["n_url"] >= 1) == (did % 7 == 0), r
+        assert (r["n_email"] >= 1) == (did % 11 == 0), r
+        assert (r["n_idnum"] >= 1) == (did % 13 == 0), r
+        assert ("<URL>" in r["clean"]) == (did % 7 == 0), r
+        assert ("<EMAIL>" in r["clean"]) == (did % 11 == 0), r
+        assert ("<ID>" in r["clean"]) == (did % 13 == 0), r
+        assert "@" not in r["clean"].replace("<EMAIL>", ""), r
+        assert "https://" not in r["clean"].replace("<URL>", ""), r
+
+
+def test_decayed_topk_users_matches_naive(spark):
+    """The salted two-phase top-k + integer halving weights must equal a
+    naive driver-side recomputation from the raw events (weights 2^(H-age),
+    zero beyond the horizon; ties broken by user_id asc)."""
+    from hg64spark import io as hio
+
+    ev = hio.read_table(spark, SF_DIR, "events").collect()
+    mx = max(r["ts"] for r in ev if r["ts"] is not None)
+    per = {}
+    for r in ev:
+        if r["user_id"] is None:
+            continue
+        age = int((mx - r["ts"]).total_seconds() * 1_000_000) // dataops.DECAY_BUCKET_US
+        w = (1 << (dataops.DECAY_HORIZON - age)) if age <= dataops.DECAY_HORIZON else 0
+        per[r["user_id"]] = per.get(r["user_id"], 0) + w
+    want = sorted(
+        ((u, c) for u, c in per.items() if c > 0), key=lambda t: (-t[1], t[0])
+    )[: dataops.DECAY_TOPK]
+    got = [
+        (r["user_id"], r["decayed"])
+        for r in dataops.q_decayed_topk_users(spark, SF_DIR)
+        .orderBy(F.desc("decayed"), F.asc("user_id"))
+        .collect()
+    ]
+    assert got == want
