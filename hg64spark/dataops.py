@@ -942,18 +942,16 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = _scaled(spark, sf_dir)
-    prows = sorted(
-        e.filter(F.col("vec_id") < N_PROBES).collect(), key=lambda r: r["vec_id"]
+    pids, P = _collect_vectors(
+        e.filter(F.col("vec_id") < N_PROBES), "probe set", "lower N_PROBES"
     )
-    pids = np.array([r["vec_id"] for r in prows], dtype=np.int64)
-    P = np.array([r["se"] for r in prows], dtype=np.int64)
 
     def local_topk(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
-            V = np.array(list(pdf["se"].to_numpy()), dtype=np.int64)
+            V = _batch_matrix(pdf)
             D = V @ P.T  # exact int64, |dot| <= dim * (1e6)^2 << 2^63
             out_p, out_n, out_d = [], [], []
             for c, pid in enumerate(pids):
@@ -1140,9 +1138,16 @@ def _ivf_rank_blas(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     import numpy as np
 
     crows = sorted(cents.collect(), key=lambda r: r["cid"])
+    if len(crows) > IVF_LOCAL_SEED_CAP:
+        raise ValueError(
+            f"_ivf_rank_blas: quantizer has {len(crows)} centroids > "
+            f"IVF_LOCAL_SEED_CAP={IVF_LOCAL_SEED_CAP}; too large to "
+            "closure-capture per batch — use the Catalyst _ivf_rank"
+        )
     cids = np.array([r["cid"] for r in crows], dtype=np.int64)
     C = np.array([r["ce"] for r in crows], dtype=np.int64)
     sq = (C * C).sum(axis=1, dtype=np.int64)
+    _require_nonzero_norms(sq, "_ivf_rank_blas")
     cn = np.sqrt(sq.astype(np.float64))
     k = min(n, len(cids))
 
@@ -1150,7 +1155,7 @@ def _ivf_rank_blas(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            V = np.array(list(pdf["se"].to_numpy()), dtype=np.int64)
+            V = _batch_matrix(pdf)
             scores = (V @ C.T).astype(np.float64) / cn[None, :]
             idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
             yield pd.DataFrame(
@@ -1166,10 +1171,35 @@ def _ivf_rank_blas(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     )
 
 
-#: largest training sample / seed set the LOCAL Lloyd trainer will collect
-#: (vectors; at dim 64 x int64 that is ~512 MB of driver memory) — past it,
-#: raise sample_mod or pass distributed=True
+#: largest training sample the LOCAL Lloyd trainer will collect (vectors;
+#: at dim 64 x int64 that is ~512 MB of driver memory) — past it, raise
+#: sample_mod or pass distributed=True
 IVF_LOCAL_TRAIN_CAP = 1_000_000
+#: largest seed/centroid set the local paths will hold (bounds K, and with
+#: it every per-batch V @ C.T in _ivf_rank_blas) — past it, raise
+#: IVF_SEED_MOD or pass distributed=True
+IVF_LOCAL_SEED_CAP = 65_536
+#: element cap on the local trainer's T x K score matrix (float64: 2^28
+#: elements = 2 GiB) — the row caps alone don't bound the PRODUCT, and the
+#: score matrix is the trainer's real memory term
+IVF_LOCAL_SCORE_ELEMS = 1 << 28
+
+
+def _require_nonzero_norms(sq, where: str) -> None:
+    """A zero-norm centroid must fail loudly: numpy scores it dot/0 = inf
+    (ranks FIRST under argsort(-scores)) while Spark's double division
+    yields NULL (ranks LAST under desc) — the one input on which the
+    'bit-identical twins' contract silently breaks, so neither engine is
+    allowed to proceed past it."""
+    if (sq == 0).any():
+        raise ValueError(f"{where}: zero-norm centroid (all-zero vector)")
+
+
+def _batch_matrix(pdf, col: str = "se"):
+    """Arrow batch list-column -> dense int64 matrix (one row per record)."""
+    import numpy as np
+
+    return np.array(list(pdf[col].to_numpy()), dtype=np.int64)
 
 
 def _ivf_train(
@@ -1191,8 +1221,11 @@ def _ivf_train(
       the Lloyd passes in numpy on the driver.  This is the production
       quantizer-training shape (FAISS, ScaNN: train k-means on a bounded
       in-memory sample, never distributed): the sample is capped at
-      IVF_LOCAL_TRAIN_CAP vectors and the collect is LIMIT-guarded, so the
-      driver cost is bounded no matter the corpus size.  At the gate scale
+      IVF_LOCAL_TRAIN_CAP vectors, the seed set at IVF_LOCAL_SEED_CAP
+      (bounding K), and the T x K score matrix — the real memory term,
+      which the row caps alone do not bound — at IVF_LOCAL_SCORE_ELEMS
+      elements, every collect LIMIT-guarded, so the driver cost is
+      enforced-bounded no matter the corpus size.  At the gate scale
       this removes ~4 s of per-iteration Spark job scheduling that
       dominated the whole IVF line.
     * **distributed** (``distributed=True``) — the original DataFrame-only
@@ -1222,18 +1255,21 @@ def _ivf_train(
     return _ivf_train_distributed(spark, e, iters, sample_mod)
 
 
-def _collect_vectors(df: DataFrame, what: str):
-    """LIMIT-guarded collect of (vec_id, se) into numpy (ids, int64 matrix);
-    raises before the driver can be flooded."""
+def _collect_vectors(df: DataFrame, what: str, remedy: str, cap: int | None = None):
+    """LIMIT-guarded collect of (vec_id, se) into numpy (ids ascending,
+    int64 matrix in the same order); raises with a remedy that actually
+    applies to the overflowing set, before the driver can be flooded.
+    ``cap`` defaults to IVF_LOCAL_TRAIN_CAP resolved at CALL time (a
+    def-time default would freeze the module global and silently ignore
+    test monkeypatching — the --df-cap bug class)."""
     import numpy as np
 
-    rows = df.select("vec_id", "se").limit(IVF_LOCAL_TRAIN_CAP + 1).collect()
-    if len(rows) > IVF_LOCAL_TRAIN_CAP:
-        raise ValueError(
-            f"IVF local trainer: {what} exceeds IVF_LOCAL_TRAIN_CAP="
-            f"{IVF_LOCAL_TRAIN_CAP} vectors; raise sample_mod or pass "
-            "distributed=True"
-        )
+    if cap is None:
+        cap = IVF_LOCAL_TRAIN_CAP
+    rows = df.select("vec_id", "se").limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(f"IVF local path: {what} exceeds {cap} vectors; {remedy}")
+    rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["se"] for r in rows], dtype=np.int64)
     return ids, mat
@@ -1245,27 +1281,40 @@ def _ivf_train_local(
     import numpy as np
 
     train = e if sample_mod <= 1 else e.filter(F.col("vec_id") % sample_mod == 0)
-    _, T = _collect_vectors(train, "training sample")
-    seed_ids, C = _collect_vectors(
-        e.filter(F.col("vec_id") % IVF_SEED_MOD == 0), "seed set"
+    _, T = _collect_vectors(
+        train, "training sample", "raise sample_mod or pass distributed=True"
     )
-    order = np.argsort(seed_ids)  # cid ascending == vec_id/IVF_SEED_MOD ascending
-    cids = (seed_ids[order] // IVF_SEED_MOD).astype(np.int64)
-    C = C[order]
+    # sample_mod does NOT filter the seed set — its remedy is the seed stride
+    seed_ids, C = _collect_vectors(
+        e.filter(F.col("vec_id") % IVF_SEED_MOD == 0),
+        "seed set",
+        "raise IVF_SEED_MOD (sample_mod does not filter seeds) or pass distributed=True",
+        cap=IVF_LOCAL_SEED_CAP,
+    )
+    if len(T) * len(seed_ids) > IVF_LOCAL_SCORE_ELEMS:
+        raise ValueError(
+            f"IVF local trainer: score matrix {len(T)} x {len(seed_ids)} exceeds "
+            f"IVF_LOCAL_SCORE_ELEMS={IVF_LOCAL_SCORE_ELEMS} — the row caps bound "
+            "each side but not the product; raise sample_mod / IVF_SEED_MOD or "
+            "pass distributed=True"
+        )
+    cids = (seed_ids // IVF_SEED_MOD).astype(np.int64)  # ascending with seed_ids
     for _ in range(iters):
         # assignment: argmax double(dot)/|c|; np.argmax first-max == lowest
         # cid on ties (cids ascending) — same as the window's (desc score,
         # asc cid) row_number
         sq = (C * C).sum(axis=1, dtype=np.int64)
+        _require_nonzero_norms(sq, "IVF local trainer")
         scores = (T @ C.T).astype(np.float64) / np.sqrt(sq.astype(np.float64))[None, :]
         assign = np.argmax(scores, axis=1)
-        for ci in range(len(cids)):
-            members = T[assign == ci]
-            if len(members):
-                avg = members.sum(axis=0, dtype=np.int64).astype(np.float64) / float(
-                    len(members)
-                )
-                C[ci] = np.floor(avg + 0.5).astype(np.int64)
+        # one vectorized pass (np.add.at int64 sums == the per-cluster int64
+        # sums: exact integer arithmetic, order-free), not a K x N mask scan
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, T)
+        counts = np.bincount(assign, minlength=len(cids))
+        nz = counts > 0  # empty clusters keep their old centroid
+        avg = sums[nz].astype(np.float64) / counts[nz, None].astype(np.float64)
+        C[nz] = np.floor(avg + 0.5).astype(np.int64)
     return spark.createDataFrame(
         [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)],
         "cid int, ce array<bigint>",
@@ -2060,7 +2109,10 @@ def _curriculum_bins_sql() -> str:
 #: no backrefs — and [.] / [0-9] instead of \. / \d so the literal needs no
 #: escaping in either engine's SQL string
 PII_PATTERNS = (
-    ("url", "https?://[A-Za-z0-9./_%-]+", "<URL>"),
+    # ':?=&#' are literal inside a char class in BOTH dialects — without
+    # them a port, query string, or fragment (where the sensitive token
+    # usually lives) would survive the redaction
+    ("url", "https?://[A-Za-z0-9./_%:?=&#-]+", "<URL>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
     ("idnum", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<ID>"),
 )

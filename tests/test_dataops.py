@@ -352,10 +352,18 @@ def test_ivf_local_train_cap_raises(spark):
     orig = dataops.IVF_LOCAL_TRAIN_CAP
     dataops.IVF_LOCAL_TRAIN_CAP = 10
     try:
-        with pytest.raises(ValueError, match="IVF_LOCAL_TRAIN_CAP"):
+        with pytest.raises(ValueError, match="training sample exceeds 10"):
             dataops._ivf_train(spark, e, iters=1)
     finally:
         dataops.IVF_LOCAL_TRAIN_CAP = orig
+    # the score-matrix PRODUCT guard must fire even when both row caps pass
+    orig_elems = dataops.IVF_LOCAL_SCORE_ELEMS
+    dataops.IVF_LOCAL_SCORE_ELEMS = 1
+    try:
+        with pytest.raises(ValueError, match="score matrix"):
+            dataops._ivf_train(spark, e, iters=1)
+    finally:
+        dataops.IVF_LOCAL_SCORE_ELEMS = orig_elems
 
 
 def test_simhash_separates_planted_pairs(spark):
@@ -1013,13 +1021,20 @@ def test_decayed_topk_users_matches_naive(spark):
     zero beyond the horizon; ties broken by user_id asc)."""
     from hg64spark import io as hio
 
+    from datetime import timedelta
+
     ev = hio.read_table(spark, SF_DIR, "events").collect()
     mx = max(r["ts"] for r in ev if r["ts"] is not None)
     per = {}
     for r in ev:
-        if r["user_id"] is None:
+        # NULL ts contributes weight 0 in both engines (CASE on NULL age
+        # falls to ELSE 0); NULL user_id is excluded by the operator
+        if r["user_id"] is None or r["ts"] is None:
             continue
-        age = int((mx - r["ts"]).total_seconds() * 1_000_000) // dataops.DECAY_BUCKET_US
+        # exact integer microseconds (timedelta floor-div) — a float
+        # total_seconds() round-trip can land a bucket-boundary event one
+        # bucket younger than Spark's integer timestampdiff DIV
+        age = ((mx - r["ts"]) // timedelta(microseconds=1)) // dataops.DECAY_BUCKET_US
         w = (1 << (dataops.DECAY_HORIZON - age)) if age <= dataops.DECAY_HORIZON else 0
         per[r["user_id"]] = per.get(r["user_id"], 0) + w
     want = sorted(
