@@ -2289,6 +2289,179 @@ def _decayed_topk_users_sql() -> str:
     """
 
 
+# ------------------------------------------------- corpus snapshot diffing
+
+def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(doc_id, status in {'added','removed','changed'}): the incremental
+    delta between two corpus snapshots — the versioning primitive behind
+    incremental re-training (process only the delta, not the 100 TB
+    snapshot).  Unchanged documents emit NO row.
+
+    Scale shape: both sides project down to (doc_id, 16-hex-char md5 prefix
+    of text) BEFORE the full-outer equi-join, so the shuffle carries ~25
+    bytes per row instead of the documents themselves; at deployment scale
+    both snapshots would be bucketed by doc_id and the join is co-located
+    with no Exchange at all.  md5 is computed by both engines over UTF-8
+    bytes with identical hex output, so 'changed' (hash IS DISTINCT FROM)
+    is the same decision in Spark and the DuckDB oracle; NULL text hashes
+    to NULL in both and compares via the null-safe inequality."""
+    h = lambda df: df.select(  # noqa: E731
+        "doc_id", F.substring(F.md5(F.col("text")), 1, 16).alias("h")
+    )
+    o = h(old).withColumnRenamed("h", "oh")
+    n = h(new).withColumnRenamed("h", "nh")
+    joined = o.withColumnRenamed("doc_id", "odoc").join(
+        n.withColumnRenamed("doc_id", "ndoc"),
+        F.col("odoc") == F.col("ndoc"),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("odoc", "ndoc").alias("doc_id"),
+        F.when(F.col("odoc").isNull(), F.lit("added"))
+        .when(F.col("ndoc").isNull(), F.lit("removed"))
+        .when(~F.col("oh").eqNullSafe(F.col("nh")), F.lit("changed"))
+        .alias("status"),
+    ).filter(F.col("status").isNotNull())
+
+
+def _diff_new_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic 'next snapshot' for the diff gate: drop doc_id % 5 == 0
+    (-> removed), append a marker to doc_id % 3 == 0 (-> changed), and add
+    fresh docs under doc_id + PLANT_OFFSET for doc_id % 4 == 0 (-> added)."""
+    kept = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return kept.unionByName(added)
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff gate: documents vs a deterministically derived next
+    snapshot (see :func:`_diff_new_snapshot`); the oracle rebuilds the same
+    snapshot and diffs with a FULL OUTER JOIN over the same md5 prefixes.
+    NULL doc_ids are excluded up front (a NULL id can't be tracked across
+    snapshots; the equi-join would silently drop one side's row)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
+    return corpus_diff(docs, _diff_new_snapshot(docs))
+
+
+def _corpus_diff_sql() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text || ' [edited]' ELSE text END AS text
+        FROM base WHERE doc_id % 5 <> 0
+        UNION ALL
+        SELECT doc_id + {PLANT_OFFSET} AS doc_id, text FROM base WHERE doc_id % 4 = 0
+    ),
+    o AS (SELECT doc_id, substr(md5(text), 1, 16) AS oh FROM base),
+    n AS (SELECT doc_id, substr(md5(text), 1, 16) AS nh FROM new),
+    j AS (
+        SELECT o.doc_id AS odoc, n.doc_id AS ndoc, oh, nh
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT COALESCE(odoc, ndoc) AS doc_id,
+           CASE WHEN odoc IS NULL THEN 'added'
+                WHEN ndoc IS NULL THEN 'removed'
+                WHEN oh IS DISTINCT FROM nh THEN 'changed' END AS status
+    FROM j
+    WHERE CASE WHEN odoc IS NULL THEN 'added'
+               WHEN ndoc IS NULL THEN 'removed'
+               WHEN oh IS DISTINCT FROM nh THEN 'changed' END IS NOT NULL
+    """
+
+
+# ------------------------------------- per-group feature standardization
+
+#: row-emission sample for the normalization gate (stats are computed over
+#: ALL rows; only every 23rd order's rows are emitted, keeping the driver
+#: compare bounded)
+ZNORM_EMIT_MOD = 23
+
+
+def normalize_per_group(
+    rows: DataFrame, group_cols: list, value_col: str, id_cols: list
+) -> DataFrame:
+    """Per-group z-score standardization of an integral feature — the
+    feature-engineering normalization pass, exact across engines.
+
+    Bit-exactness: with integral values, n, s = Σv and ss = Σv² are exact
+    int64 (order-free), and the z-score is computed as ONE double division
+    of two exactly-derived doubles:
+
+        z = double(v·n − s) / sqrt(double(n·ss − s²))
+
+    (the algebraic rescaling of (v − mean)/std_pop by the positive constant
+    sqrt(n) — distribution shape is preserved, and the formula needs no
+    intermediate mean/std doubles whose op ORDER could differ between
+    engines).  A constant group (n·ss = s²) yields NULL, not a crash.
+
+    Scale shape: the stats aggregation is map-side combined and bounded by
+    the group count; the row side takes the per-group stats by BROADCAST
+    join, so the data is never shuffled for normalization (plan-asserted).
+    Overflow: n·ss <= N·max(v)² per group must stay under 2^63 — raise to
+    decimal if a deployment's feature range needs it (the drift operators'
+    numerator='decimal' pattern)."""
+    v = F.col(value_col).cast("bigint")
+    stats = (
+        rows.groupBy(*group_cols)
+        .agg(
+            F.count(v).alias("__n"),
+            F.sum(v).alias("__s"),
+            F.sum(v * v).alias("__ss"),
+        )
+    )
+    joined = rows.join(F.broadcast(stats), group_cols)
+    denom = F.sqrt((F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")).cast("double"))
+    z = (
+        (v * F.col("__n") - F.col("__s")).cast("double")
+        / F.nullif(denom, F.lit(0.0))
+    ).alias("z")
+    return joined.select(*id_cols, *group_cols, v.alias("v"), z)
+
+
+def q_znorm_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) z-scores of l_quantity, stats over ALL
+    60k+ rows, rows emitted for every ZNORM_EMIT_MOD-th order (the filter
+    sits on the ROW side only — the oracle computes stats over the full
+    table too, so a filter leaking into the aggregate would hash-mismatch)."""
+    li = io.read_table(spark, sf_dir, "lineitem")
+    out = normalize_per_group(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        "l_quantity",
+        ["l_orderkey", "l_linenumber"],
+    )
+    return out.filter(F.col("l_orderkey") % ZNORM_EMIT_MOD == 0)
+
+
+def _znorm_lineitem_sql() -> str:
+    return f"""
+    WITH stats AS (
+        SELECT l_returnflag, l_linestatus,
+               count(CAST(l_quantity AS BIGINT)) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS s,
+               sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_linestatus,
+           CAST(l.l_quantity AS BIGINT) AS v,
+           CAST(CAST(l.l_quantity AS BIGINT) * st.n - st.s AS DOUBLE)
+             / nullif(sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)), 0.0) AS z
+    FROM lineitem l
+    JOIN stats st USING (l_returnflag, l_linestatus)
+    WHERE l.l_orderkey % {ZNORM_EMIT_MOD} = 0
+    """
+
+
 def chunked_pack_units(
     docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
 ) -> DataFrame:
@@ -3122,6 +3295,8 @@ def dataops_queries():
         "dedup_cluster_star": q_dedup_cluster_star,
         "scrub_pii": q_scrub_pii,
         "decayed_topk_users": q_decayed_topk_users,
+        "corpus_diff": q_corpus_diff,
+        "znorm_lineitem": q_znorm_lineitem,
     }
 
 
@@ -3172,4 +3347,6 @@ def dataops_oracles():
         "dedup_cluster_star": _dedup_cluster_sql(),
         "scrub_pii": _scrub_pii_sql(),
         "decayed_topk_users": _decayed_topk_users_sql(),
+        "corpus_diff": _corpus_diff_sql(),
+        "znorm_lineitem": _znorm_lineitem_sql(),
     }

@@ -1709,10 +1709,8 @@ _GATE_ACTIVE = [
     "latency_quantiles_by_tool",
     "corpus_pipeline",
     "dedup_minhash_lsh",
-    "dedup_substring",
     "decontaminate_bloom",
     "ann_ivf_recall",
-    "streaming_hg64_by_type",
 ]
 
 #: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
@@ -1727,6 +1725,11 @@ _GATE_ROTATED_OUT = [
     # by latency_quantiles_by_tool and the new hg64 analytics gates)
     "hg64_buckets_events",
     "hg64_quantiles_events",
+    # displaced late-round-6 by corpus_diff + znorm_lineitem (both r5-green;
+    # dedup stays represented by dedup_minhash_lsh, streaming by the new
+    # streaming_drift_events gate)
+    "dedup_substring",
+    "streaming_hg64_by_type",
     "hg64_stats_events",
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",

@@ -1047,3 +1047,55 @@ def test_decayed_topk_users_matches_naive(spark):
         .collect()
     ]
     assert got == want
+
+
+def test_corpus_diff_planted_statuses(spark):
+    """The diff gate's derived snapshot plants every status class from
+    doc_id arithmetic; the operator must recover exactly that set, and
+    unchanged docs must emit no row."""
+    base = [
+        r["doc_id"]
+        for r in dataops._docs(spark, SF_DIR).select("doc_id").collect()
+        if r["doc_id"] is not None
+    ]
+    want = {}
+    for d in base:
+        if d % 5 == 0:
+            want[d] = "removed"
+        elif d % 3 == 0:
+            want[d] = "changed"
+        if d % 4 == 0:
+            want[d + dataops.PLANT_OFFSET] = "added"
+    got = {r["doc_id"]: r["status"] for r in dataops.q_corpus_diff(spark, SF_DIR).collect()}
+    assert got == want
+
+
+def test_znorm_row_side_is_broadcast_not_shuffled(spark):
+    """Stats must reach the rows by broadcast: the data side of the
+    normalization join shows no hashpartitioning Exchange (the property
+    that makes this a free pass over 100 TB), and the z formula must equal
+    the single-division python recomputation exactly."""
+    import math
+
+    out = dataops.q_znorm_lineitem(spark, SF_DIR)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    streamed = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed, plan
+
+    from hg64spark import io as hio
+
+    li = hio.read_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).collect()
+    stats = {}
+    for r in li:
+        k = (r["l_returnflag"], r["l_linestatus"])
+        v = int(r["l_quantity"])
+        n, s, ss = stats.get(k, (0, 0, 0))
+        stats[k] = (n + 1, s + v, ss + v * v)
+    for r in out.collect():
+        n, s, ss = stats[(r["l_returnflag"], r["l_linestatus"])]
+        den = n * ss - s * s
+        want = None if den == 0 else float(r["v"] * n - s) / math.sqrt(float(den))
+        assert r["z"] == want, (r, want)
