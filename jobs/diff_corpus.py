@@ -1,0 +1,108 @@
+"""Production job: incremental corpus curation — diff two corpus snapshots
+and run the curation pipeline over ONLY the delta, runnable via
+spark-submit at any cluster size:
+
+    zip -r hg64spark.zip hg64spark
+    spark-submit --master <cluster> \\
+        --py-files hg64spark.zip \\
+        jobs/diff_corpus.py \\
+        --old s3://bucket/corpus/v1/        # parquet with (doc_id, text)
+        --new s3://bucket/corpus/v2/
+        --min-tokens 20
+        --output /path/delta_out
+
+Writes two parquet outputs under --output:
+  delta/      curated rows for every ADDED or CHANGED document (the only
+              documents downstream needs to (re)process)
+  tombstones/ (doc_id) for every REMOVED document (so downstream can
+              retract them from derived artifacts — e.g. via the hg64/CMS
+              `subtract` retraction operators)
+plus a one-line JSON summary with the per-status counts and the processed
+fraction — the figure that justifies the incremental path: at a 1% daily
+churn the job touches 1% of the 100 TB snapshot.
+
+Scale shape (see `hg64spark.dataops.corpus_diff`): both snapshots project
+to (doc_id, md5-prefix) BEFORE the full-outer diff join (~25 bytes/row
+shuffled, co-located for free when the snapshots share doc_id bucketing);
+the delta join back to the NEW snapshot's text is an equi-join on doc_id
+that touches only diff rows; curation then runs on the delta, not the
+corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old", required=True, help="previous snapshot parquet dir")
+    ap.add_argument("--new", required=True, help="current snapshot parquet dir")
+    ap.add_argument("--min-tokens", type=int, default=None)
+    ap.add_argument("--max-stop-ratio", type=float, default=None)
+    ap.add_argument("--output", required=True)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("hg64spark-diff").getOrCreate()
+
+    from hg64spark import dataops
+
+    old = spark.read.parquet(args.old).select("doc_id", "text")
+    new = spark.read.parquet(args.new).select("doc_id", "text")
+    # a NULL doc_id cannot be tracked across snapshots (and the diff's
+    # equi-join would silently drop the row) — refuse, like pack_corpus
+    for side, df in (("--old", old), ("--new", new)):
+        if df.filter(F.col("doc_id").isNull()).limit(1).count():
+            raise SystemExit(f"{side} snapshot contains NULL doc_id rows")
+
+    t0 = time.perf_counter()
+    diff = dataops.corpus_diff(old, new)
+
+    # (re)process only added/changed docs: join the diff back to the new
+    # snapshot's text (equi-join on doc_id, sized by the delta)
+    todo = (
+        diff.filter(F.col("status") != "removed")
+        .select("doc_id", "status")
+        .join(new, "doc_id")
+    )
+    kw = {}
+    if args.min_tokens is not None:
+        kw["min_tokens"] = args.min_tokens
+    if args.max_stop_ratio is not None:
+        kw["max_stop"] = args.max_stop_ratio
+    curated = dataops.curate_corpus(todo.select("doc_id", "text"), **kw).join(
+        todo.select("doc_id", "status"), "doc_id"
+    )
+    curated.write.mode("overwrite").parquet(f"{args.output}/delta")
+    diff.filter(F.col("status") == "removed").select("doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{args.output}/tombstones")
+
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    n_new = new.count()  # parquet-metadata read
+    n_delta = spark.read.parquet(f"{args.output}/delta").count()
+    processed = counts.get("added", 0) + counts.get("changed", 0)
+    print(
+        json.dumps(
+            {
+                "job": "diff_corpus",
+                "status_counts": counts,
+                "rows_new_snapshot": n_new,
+                "delta_rows_curated": n_delta,
+                "processed_fraction": round(processed / n_new, 4) if n_new else None,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
