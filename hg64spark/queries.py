@@ -999,6 +999,53 @@ def q_hg64_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.hg64_tv_drift(ev, "v", "event_type", SIGBITS)
 
 
+def q_hg64_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov drift monitor: the worst CDF gap between each
+    event_type's hg64 bucket distribution and the global one
+    (`relational.hg64_ks_drift`) — the sup-norm companion to the TV gate;
+    integer prefix-sum numerator, one final division, bit-exact oracle."""
+    from hg64spark import relational
+
+    ev = io.read_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS v"
+    )
+    return relational.hg64_ks_drift(ev, "v", "event_type", SIGBITS)
+
+
+def _hg64_ks_oracle() -> str:
+    k = sqloracle.key_expr("v", SIGBITS)
+    # the windowed sums are HUGEINT in DuckDB — every value reaching the
+    # result schema is CAST (the pack_token_shards lesson); the division's
+    # operand shapes mirror the Spark expression exactly
+    return f"""
+    WITH src AS (
+        SELECT event_type AS g, {k} AS k
+        FROM ({_EVENTS_VALUE_SQL}) WHERE v IS NOT NULL
+    ),
+    gc AS (SELECT g, k, count(*) AS c_g FROM src GROUP BY 1, 2),
+    gall AS (SELECT k, sum(c_g) AS c_all FROM gc GROUP BY 1),
+    ng AS (SELECT g, sum(c_g) AS n_g FROM gc GROUP BY 1),
+    nall AS (SELECT sum(c_all) AS n_all FROM gall),
+    fl AS (
+        SELECT ng.g, ng.n_g, gall.k, gall.c_all, COALESCE(gc.c_g, 0) AS c_g, nall.n_all
+        FROM ng CROSS JOIN gall
+        LEFT JOIN gc ON gc.g IS NOT DISTINCT FROM ng.g AND gc.k = gall.k
+        CROSS JOIN nall
+    ),
+    cum AS (
+        SELECT g, n_g, n_all,
+               sum(c_g) OVER (PARTITION BY g ORDER BY k) AS cum_g,
+               sum(c_all) OVER (PARTITION BY g ORDER BY k) AS cum_all
+        FROM fl
+    )
+    SELECT g AS event_type,
+           CAST(max(abs(cum_g * n_all - cum_all * n_g)) AS BIGINT) AS ks_numerator,
+           CAST(max(abs(cum_g * n_all - cum_all * n_g)) AS DOUBLE)
+               / (CAST(n_g AS DOUBLE) * CAST(n_all AS DOUBLE)) AS ks
+    FROM cum GROUP BY g, n_g, n_all
+    """
+
+
 def q_hg64_retract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch RETRACTION gate: subtract the even-user sub-stream's keyed
     counts from the full stream's (`relational.hg64_counts_subtract` — the
@@ -1707,7 +1754,6 @@ _GATE_ACTIVE = [
     # every operator family in-window
     "pack_token_shards",
     "latency_quantiles_by_tool",
-    "corpus_pipeline",
     "dedup_minhash_lsh",
     "decontaminate_bloom",
     "ann_ivf_recall",
@@ -1730,6 +1776,10 @@ _GATE_ROTATED_OUT = [
     # streaming_drift_events gate)
     "dedup_substring",
     "streaming_hg64_by_type",
+    # displaced late-round-6 by hg64_ks_events (r5-green; the composed
+    # corpus chain stays covered through pack_chunked_corpus + the curated
+    # diff job's gated building blocks)
+    "corpus_pipeline",
     "hg64_stats_events",
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",
@@ -1830,6 +1880,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
         "sliding_hg64_events": q_sliding_hg64_events,
         "hg64_drift_events": q_hg64_drift_events,
+        "hg64_ks_events": q_hg64_ks_events,
         "hg64_retract_events": q_hg64_retract_events,
         "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
         "hg64_overlap_events": q_hg64_overlap_events,
@@ -1970,6 +2021,7 @@ def _core_oracles() -> dict[str, str]:
         ),
         "sliding_hg64_events": _sliding_hg64_oracle(),
         "hg64_drift_events": _hg64_drift_oracle(),
+        "hg64_ks_events": _hg64_ks_oracle(),
         "hg64_retract_events": _hg64_retract_oracle(),
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),
         "hg64_overlap_events": _hg64_overlap_oracle(),

@@ -588,6 +588,83 @@ def cms_estimate_relational(
     )
 
 
+def _drift_full_frame(
+    gc: DataFrame, group_col: str, what: str, numerator: str
+) -> DataFrame:
+    """The drift family's shared per-(group, bucket) frame from a reduced
+    (group, hg64_key, count) input: every group crossed with the GLOBAL
+    key table (so buckets a group misses contribute c_g = 0), columns
+    (group, n_g, hg64_key, c_all, c_g, n_all).  NULL-SAFE group equality:
+    a NULL group value is a group like any other in hg64_counts, and a
+    plain equi-join would never match its counts back — every bucket would
+    coalesce to c_g = 0 and the NULL group would report maximal drift
+    regardless of its actual distribution (oracles mirror with IS NOT
+    DISTINCT FROM).  Nothing here scales with input rows: both join sides
+    are <= groups x 1920 bucket rows."""
+    if numerator not in ("long", "decimal"):
+        raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
+    _require_integral_counts(gc, what)
+    glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
+    n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
+    n_all = glob.agg(F.sum("c_all").alias("n_all"))
+    gcr = gc.select(
+        F.col(group_col).alias("__g"), F.col("hg64_key").alias("__k"), "count"
+    )
+    return (
+        n_g.crossJoin(F.broadcast(glob))
+        .join(
+            gcr,
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col("hg64_key") == F.col("__k")),
+            "left",
+        )
+        .select(
+            group_col,
+            "n_g",
+            "hg64_key",
+            "c_all",
+            F.coalesce("count", F.lit(0)).alias("c_g"),
+        )
+        .crossJoin(F.broadcast(n_all))
+    )
+
+
+def _crossed_abs_numerator(cg_col: str, call_col: str, numerator: str, what: str):
+    """|cg * n_all - c_all * n_g| as the drift family's exact integer
+    numerator Column, in int64 with the plan-side 2^62 exactness guard or
+    in decimal(38,0) (see :func:`hg64_tv_drift_from_counts` for the full
+    discipline).  ``cg_col``/``call_col`` name the group-side and
+    global-side count columns (plain counts for TV, CUMULATIVE counts for
+    KS — C <= n, so the identical bound applies); n_g / n_all are expected
+    in scope under those names."""
+    if numerator == "decimal":
+        # decimal(38,0) products/sum need no guard: inputs are int64 sums,
+        # max product 8.5e37 < 1e38, and ANSI decimal overflow on the
+        # summed bound throws loudly rather than wrapping
+        dec = "decimal(38,0)"
+        return F.abs(
+            F.col(cg_col).cast(dec) * F.col("n_all").cast(dec)
+            - F.col(call_col).cast(dec) * F.col("n_g").cast(dec)
+        )
+    # exactness guard: n_g > floor((2^62-1)/n_all) <=> n_g*n_all >=
+    # 2^62, past which the int64 numerator sum could wrap.  The guard
+    # must SHORT-CIRCUIT (when/otherwise == lazy If): past the bound
+    # the products themselves overflow and ANSI would throw its
+    # generic ARITHMETIC_OVERFLOW before an additive guard could fire.
+    # nullif on the divisor: a zero-mass pool (n_all = 0, weighted
+    # builds) must yield a NULL statistic downstream, not a
+    # DIVIDE_BY_ZERO crash from the guard's integer div
+    return F.when(
+        F.expr("n_g > (4611686018427387903L div nullif(n_all, 0L))"),
+        F.expr(
+            f"CAST(raise_error('{what}: n_g*n exceeds 2^62; "
+            "use numerator=\"decimal\" at this scale') AS LONG)"
+        ),
+    ).otherwise(
+        F.abs(F.col(cg_col) * F.col("n_all") - F.col(call_col) * F.col("n_g"))
+    )
+
+
 def hg64_tv_drift(
     df: DataFrame,
     value_col: str,
@@ -662,63 +739,8 @@ def hg64_tv_drift_from_counts(
     needed; tv_numerator comes back as decimal(38,0) instead of long.
     ~2x slower per bucket row — irrelevant next to the data scan that
     produced the counts."""
-    if numerator not in ("long", "decimal"):
-        raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
-    _require_integral_counts(gc, "hg64_tv_drift")
-    glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
-    n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
-    n_all = glob.agg(F.sum("c_all").alias("n_all"))
-    # NULL-SAFE group equality: a NULL group value is a group like any
-    # other in hg64_counts, and a plain equi-join would never match its
-    # counts back — every bucket would coalesce to c_g = 0 and the NULL
-    # group would report maximal drift regardless of its actual
-    # distribution (the oracle mirrors with IS NOT DISTINCT FROM)
-    gcr = gc.select(
-        F.col(group_col).alias("__g"), F.col("hg64_key").alias("__k"), "count"
-    )
-    full = (
-        n_g.crossJoin(F.broadcast(glob))
-        .join(
-            gcr,
-            F.col(group_col).eqNullSafe(F.col("__g"))
-            & (F.col("hg64_key") == F.col("__k")),
-            "left",
-        )
-        .select(
-            group_col,
-            "n_g",
-            "c_all",
-            F.coalesce("count", F.lit(0)).alias("c_g"),
-        )
-        .crossJoin(F.broadcast(n_all))
-    )
-    if numerator == "decimal":
-        # decimal(38,0) products/sum need no guard: inputs are int64 sums,
-        # max product 8.5e37 < 1e38, and ANSI decimal overflow on the
-        # summed bound throws loudly rather than wrapping
-        dec = "decimal(38,0)"
-        num = F.abs(
-            F.col("c_g").cast(dec) * F.col("n_all").cast(dec)
-            - F.col("c_all").cast(dec) * F.col("n_g").cast(dec)
-        )
-    else:
-        # exactness guard: n_g > floor((2^62-1)/n_all) <=> n_g*n_all >=
-        # 2^62, past which the int64 numerator sum could wrap.  The guard
-        # must SHORT-CIRCUIT (when/otherwise == lazy If): past the bound
-        # the products themselves overflow and ANSI would throw its
-        # generic ARITHMETIC_OVERFLOW before an additive guard could fire.
-        # nullif on the divisor: a zero-mass pool (n_all = 0, weighted
-        # builds) must yield tv = NULL downstream, not a DIVIDE_BY_ZERO
-        # crash from the guard's integer div
-        num = F.when(
-            F.expr("n_g > (4611686018427387903L div nullif(n_all, 0L))"),
-            F.expr(
-                "CAST(raise_error('hg64_tv_drift: n_g*n exceeds 2^62; "
-                "use numerator=\"decimal\" at this scale') AS LONG)"
-            ),
-        ).otherwise(
-            F.abs(F.col("c_g") * F.col("n_all") - F.col("c_all") * F.col("n_g"))
-        )
+    full = _drift_full_frame(gc, group_col, "hg64_tv_drift", numerator)
+    num = _crossed_abs_numerator("c_g", "c_all", numerator, "hg64_tv_drift")
     return (
         full.groupBy(group_col, "n_g", "n_all")
         .agg(F.sum(num).alias("tv_numerator"))
@@ -732,6 +754,81 @@ def hg64_tv_drift_from_counts(
                     F.lit(0.0),
                 )
             ).alias("tv"),
+        )
+    )
+
+
+def hg64_ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    sigbits: int = 5,
+    weight_col: str | None = None,
+    numerator: str = "long",
+) -> DataFrame:
+    """(group, ks_numerator, ks): two-sample Kolmogorov-Smirnov statistic
+    between each group's hg64 bucket distribution and the GLOBAL one — the
+    sup-norm companion to :func:`hg64_tv_drift` (TV sums every bucket's
+    disagreement; KS reports the single worst CDF gap, the classic
+    location-shift detector that bucket-local noise cannot inflate).
+    KS over the bucketed space lower-bounds KS over raw values and
+    inherits the histogram's 2^-sigbits value resolution.
+
+    Exactness discipline (the TV numerator's, applied to CUMULATIVES):
+    KS = max_k |C_g(k)/n_g - C(k)/n| over bucket keys ascending, computed
+    as the INTEGER max_k |C_g(k)*n - C(k)*n_g| with one final division by
+    n_g*n.  C <= n, so the identical 2^62 bound and plan-side guard apply
+    (``numerator="decimal"`` is the same swap-in past it).  The prefix
+    sums are exact integer window sums — order-insensitive by definition —
+    so the statistic is bit-identical in any engine, any partitioning.
+
+    Plan shape: :func:`hg64_tv_drift_from_counts`'s shared full frame
+    (nothing after the first keyed-count aggregate scales with input
+    rows), plus one cumulative window PER GROUP over <= 1920 bucket rows —
+    a window over the reduced sketch table, never over data."""
+    return hg64_ks_drift_from_counts(
+        hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col),
+        group_col,
+        numerator=numerator,
+    )
+
+
+def hg64_ks_drift_from_counts(
+    gc: DataFrame, group_col: str, numerator: str = "long"
+) -> DataFrame:
+    """:func:`hg64_ks_drift` over an already-reduced (group, hg64_key,
+    count) frame — same retained-state entry point, zero-mass NULL
+    semantics, integral-count requirement, and overflow discipline as
+    :func:`hg64_tv_drift_from_counts`."""
+    from pyspark.sql import Window
+
+    full = _drift_full_frame(gc, group_col, "hg64_ks_drift", numerator)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("hg64_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = full.select(
+        group_col,
+        "n_g",
+        "n_all",
+        F.sum("c_g").over(w).alias("cum_g"),
+        F.sum("c_all").over(w).alias("cum_all"),
+    )
+    num = _crossed_abs_numerator("cum_g", "cum_all", numerator, "hg64_ks_drift")
+    return (
+        cum.groupBy(group_col, "n_g", "n_all")
+        .agg(F.max(num).alias("ks_numerator"))
+        .select(
+            group_col,
+            "ks_numerator",
+            (
+                F.col("ks_numerator").cast("double")
+                / F.nullif(
+                    F.col("n_g").cast("double") * F.col("n_all").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("ks"),
         )
     )
 

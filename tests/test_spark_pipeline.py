@@ -934,3 +934,87 @@ def test_retraction_is_exact_inverse_of_merge(spark):
         for r in relational.hg64_counts(gdf.filter("NOT expired"), "v", ["g"], 5).collect()
     }
     assert got_g == want_g and any(g is None for g, _, _ in got_g)
+
+
+def test_hg64_ks_drift_exact_bounds_and_guard(spark):
+    """KS drift sanity with exactly-known answers: two equal-size groups in
+    disjoint bucket ranges each have their worst CDF gap at the range
+    boundary (|1.0 - 0.5| = 0.5, exact); a single group IS the global
+    distribution (ks exactly 0.0); a NULL-keyed group with the same
+    distribution as a named one must report 0.0 (null-safe join); the
+    2^62 plan-side guard fires on the counts entry point and the decimal
+    numerator agrees below the bound and works above it."""
+    import pyspark.errors
+    import pytest
+
+    from hg64spark import relational
+
+    a = spark.range(1000).selectExpr("'a' AS g", "CAST(id % 7 + 1 AS LONG) AS v")
+    b = spark.range(1000).selectExpr(
+        "'b' AS g", "CAST((id % 7 + 1) * 1048576 AS LONG) AS v"
+    )
+    out = {
+        r["g"]: (r["ks_numerator"], r["ks"])
+        for r in relational.hg64_ks_drift(a.unionAll(b), "v", "g", 5).collect()
+    }
+    assert out["a"][1] == 0.5 and out["b"][1] == 0.5, out
+    single = relational.hg64_ks_drift(a, "v", "g", 5).collect()
+    assert single[0]["ks"] == 0.0 and single[0]["ks_numerator"] == 0
+    n = spark.range(1000).selectExpr(
+        "CAST(NULL AS STRING) AS g", "CAST(id % 7 + 1 AS LONG) AS v"
+    )
+    out2 = {
+        r["g"]: r["ks"]
+        for r in relational.hg64_ks_drift(a.unionAll(n), "v", "g", 5).collect()
+    }
+    assert out2["a"] == 0.0 and out2[None] == 0.0, out2
+
+    over = spark.createDataFrame(
+        [("a", 100, 1 << 31), ("b", 200, 1 << 31)],
+        "g string, hg64_key int, count long",
+    )
+    with pytest.raises(pyspark.errors.PySparkException, match="2\\^62"):
+        relational.hg64_ks_drift_from_counts(over, "g").collect()
+    under = spark.createDataFrame(
+        [("a", 100, 1 << 30), ("b", 200, 1 << 30)],
+        "g string, hg64_key int, count long",
+    )
+    dl = {
+        r["g"]: (int(r["ks_numerator"]), r["ks"])
+        for r in relational.hg64_ks_drift_from_counts(
+            under, "g", numerator="decimal"
+        ).collect()
+    }
+    ll = {
+        r["g"]: (int(r["ks_numerator"]), r["ks"])
+        for r in relational.hg64_ks_drift_from_counts(under, "g").collect()
+    }
+    assert dl == ll and ll["a"][1] == 0.5
+    big = {
+        r["g"]: r["ks"]
+        for r in relational.hg64_ks_drift_from_counts(over, "g", numerator="decimal").collect()
+    }
+    assert big == {"a": 0.5, "b": 0.5}, big
+
+
+def test_hg64_ks_weighted_equals_exploded(spark):
+    """A weighted KS build must equal the unweighted build over the
+    weight-exploded rows — weights are multiplicities, for the sup-norm
+    statistic exactly as for TV."""
+    from hg64spark import relational
+
+    z = spark.range(500).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
+        "CAST(id % 19 + 1 AS LONG) AS v",
+        "CAST(id % 3 + 1 AS LONG) AS wt",
+    )
+    exploded = z.selectExpr("g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS one")
+    got_w = {
+        r["g"]: (r["ks_numerator"], r["ks"])
+        for r in relational.hg64_ks_drift(z, "v", "g", 5, weight_col="wt").collect()
+    }
+    got_e = {
+        r["g"]: (r["ks_numerator"], r["ks"])
+        for r in relational.hg64_ks_drift(exploded, "v", "g", 5).collect()
+    }
+    assert got_w == got_e and got_w
