@@ -16,12 +16,15 @@ everything):
   * per-group hg64 TV drift vs the pooled distribution
     (`relational.hg64_tv_drift_from_counts`) — "is this source/day/shard
     distributed like the corpus?"
+  * per-group KS statistic (`relational.hg64_ks_drift_from_counts`) — the
+    sup-norm complement: the worst single CDF gap, the location-shift
+    detector a diffuse TV cannot localize
   * pairwise histogram overlap coefficients (`hg64_overlap` shape over the
     same counts) — "which groups are interchangeable?"
   * global quantile band (p01/p50/p99, `hg64_quantiles_from_counts`)
 
-and writes drift + overlap tables under --output plus a one-line JSON
-summary (worst drifting group, least-overlapping pair, quantile band) —
+and writes drift + ks + overlap tables under --output plus a one-line
+JSON summary (worst TV/KS groups, least-overlapping pair, quantile band) —
 bounded bytes to the driver at any input size.
 
 Scale shape: everything downstream of the first aggregate operates on
@@ -77,6 +80,7 @@ def main() -> None:
     ).localCheckpoint()
 
     drift = relational.hg64_tv_drift_from_counts(counts, "g")
+    ks = relational.hg64_ks_drift_from_counts(counts, "g")
     # overlap over the SAME counts frame via the library's retained-state
     # entry point — one algebra, job and library cannot drift (and the 2^62
     # exactness guard rides along instead of silently wrapping at scale)
@@ -85,12 +89,14 @@ def main() -> None:
     band = relational.hg64_quantiles_from_counts(glob, [0.01, 0.5, 0.99], [], args.sigbits)
 
     drift.write.mode("overwrite").parquet(f"{args.output}/drift")
+    ks.write.mode("overwrite").parquet(f"{args.output}/ks")
     overlap.write.mode("overwrite").parquet(f"{args.output}/overlap")
 
     # zero-mass groups report tv / overlap NULL (see the library docstrings)
     # — exclude them from the min/max picks so the summary stays strict JSON
     # (json.dumps would otherwise emit non-RFC NaN/None comparisons)
     worst = drift.filter("tv IS NOT NULL").orderBy(F.desc("tv")).limit(1).collect()
+    worst_ks = ks.filter("ks IS NOT NULL").orderBy(F.desc("ks")).limit(1).collect()
     least = overlap.filter("overlap IS NOT NULL").orderBy("overlap").limit(1).collect()
     qs = {repr(r["q"]): int(r["value"]) for r in band.collect()}
     print(
@@ -100,6 +106,11 @@ def main() -> None:
                 "n_groups": drift.count(),
                 "worst_drift": (
                     {"group": worst[0]["g"], "tv": round(worst[0]["tv"], 6)} if worst else None
+                ),
+                "worst_ks": (
+                    {"group": worst_ks[0]["g"], "ks": round(worst_ks[0]["ks"], 6)}
+                    if worst_ks
+                    else None
                 ),
                 "least_overlap": (
                     {
