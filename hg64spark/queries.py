@@ -1328,6 +1328,72 @@ def _sliding_hg64_oracle() -> str:
     """
 
 
+def q_sliding_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL drift gate: TV distance between each sliding window's hg64
+    distribution and its predecessor's (`relational.hg64_tv_adjacent`) —
+    "did yesterday move against the day before?".  Composes the sliding
+    window gate's machinery (called, not copied: its bucket export IS the
+    counts frame) with the drift family's integer-exact numerator; the
+    first window has no predecessor and emits no row, mirrored by the
+    oracle's pair join."""
+    from hg64spark import relational
+
+    wc = q_sliding_hg64_events(spark, sf_dir).select(
+        "wstart_us", F.col("key").cast("int").alias("hg64_key"), "count"
+    )
+    return relational.hg64_tv_adjacent(wc, _SLIDE_STEP_S * 1_000_000)
+
+
+def _sliding_drift_oracle() -> str:
+    s_us = _SLIDE_STEP_S * 1_000_000
+    nover = _SLIDE_WINDOW_S // _SLIDE_STEP_S
+    return f"""
+    WITH src AS (
+        SELECT epoch_us(ts) AS us, CAST(floor(value * 1000) AS BIGINT) AS v FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    w AS (
+        SELECT v, unnest([(us // {s_us}) * {s_us} - k * {s_us}
+                          FOR k IN range(0, {nover})]) AS wstart_us
+        FROM src
+    ),
+    wc AS (
+        SELECT wstart_us, {sqloracle.key_expr("v", SIGBITS)} AS key, count(*) AS c
+        FROM w GROUP BY 1, 2
+    ),
+    parts AS (SELECT DISTINCT wstart_us FROM wc),
+    -- 'both' / 'keys' are reserved in DuckDB (TRIM / map syntax): wpair/bkeys
+    wpair AS (
+        SELECT p1.wstart_us FROM parts p1
+        JOIN parts p2 ON p2.wstart_us = p1.wstart_us - {s_us}
+    ),
+    bkeys AS (
+        SELECT DISTINCT b.wstart_us, k.key
+        FROM wpair b
+        JOIN (SELECT wstart_us, key FROM wc
+              UNION SELECT wstart_us + {s_us}, key FROM wc) k
+          ON k.wstart_us = b.wstart_us
+    ),
+    fl AS (
+        SELECT bkeys.wstart_us, bkeys.key,
+               COALESCE(c1.c, 0) AS c_cur, COALESCE(c2.c, 0) AS c_prev
+        FROM bkeys
+        LEFT JOIN wc c1 ON c1.wstart_us = bkeys.wstart_us AND c1.key = bkeys.key
+        LEFT JOIN wc c2 ON c2.wstart_us = bkeys.wstart_us - {s_us} AND c2.key = bkeys.key
+    ),
+    tot AS (
+        SELECT wstart_us, sum(c_prev) AS n_prev, sum(c_cur) AS n_cur
+        FROM fl GROUP BY 1
+    )
+    SELECT fl.wstart_us,
+           CAST(sum(abs(c_prev * n_cur - c_cur * n_prev)) AS BIGINT) AS tv_numerator,
+           CAST(sum(abs(c_prev * n_cur - c_cur * n_prev)) AS DOUBLE)
+               / (2.0 * CAST(n_prev AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS tv
+    FROM fl JOIN tot USING (wstart_us)
+    GROUP BY fl.wstart_us, n_prev, n_cur
+    """
+
+
 def _streaming_windowed_oracle() -> str:
     w_us = _STREAM_WINDOW_S * 1_000_000
     d_us = _STREAM_DELAY_S * 1_000_000
@@ -1755,7 +1821,6 @@ _GATE_ACTIVE = [
     "pack_token_shards",
     "latency_quantiles_by_tool",
     "dedup_minhash_lsh",
-    "decontaminate_bloom",
     "ann_ivf_recall",
 ]
 
@@ -1780,6 +1845,10 @@ _GATE_ROTATED_OUT = [
     # corpus chain stays covered through pack_chunked_corpus + the curated
     # diff job's gated building blocks)
     "corpus_pipeline",
+    # displaced late-round-6 by sliding_drift_events (r5-green;
+    # decontamination stays represented by the rotated-in
+    # decontaminate_overlap)
+    "decontaminate_bloom",
     "hg64_stats_events",
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",
@@ -1881,6 +1950,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hg64_events": q_sliding_hg64_events,
         "hg64_drift_events": q_hg64_drift_events,
         "hg64_ks_events": q_hg64_ks_events,
+        "sliding_drift_events": q_sliding_drift_events,
         "hg64_retract_events": q_hg64_retract_events,
         "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
         "hg64_overlap_events": q_hg64_overlap_events,
@@ -2022,6 +2092,7 @@ def _core_oracles() -> dict[str, str]:
         "sliding_hg64_events": _sliding_hg64_oracle(),
         "hg64_drift_events": _hg64_drift_oracle(),
         "hg64_ks_events": _hg64_ks_oracle(),
+        "sliding_drift_events": _sliding_drift_oracle(),
         "hg64_retract_events": _hg64_retract_oracle(),
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),
         "hg64_overlap_events": _hg64_overlap_oracle(),

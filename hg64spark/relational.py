@@ -833,6 +833,76 @@ def hg64_ks_drift_from_counts(
     )
 
 
+def hg64_tv_adjacent(
+    wc: DataFrame, step: int, part_col: str = "wstart_us", numerator: str = "long"
+) -> DataFrame:
+    """(part, tv_numerator, tv): total-variation distance between each
+    window's hg64 bucket distribution and its PREDECESSOR's (the window at
+    ``part - step``) — the temporal drift monitor: "did the last day's
+    distribution move against the day before?", the sequential complement
+    to :func:`hg64_tv_drift`'s group-vs-pool form.  Windows without a
+    predecessor in the input emit no row.
+
+    Input is an already-reduced (part, hg64_key, count) frame — e.g.
+    `q_sliding_hg64_events`'s output — so this composes with the sliding /
+    streaming window builds without re-scanning data.  Same integer-exact
+    discipline as the drift family: numerator |c_prev*n_cur - c_cur*n_prev|
+    summed in int64 under the shared 2^62 plan-side guard (or
+    ``numerator="decimal"``), ONE final division per window pair.  Every
+    join here operates on <= windows x 1920 bucket rows."""
+    _require_integral_counts(wc, "hg64_tv_adjacent")
+    cur = wc.select(
+        F.col(part_col).alias("__w"), "hg64_key", F.col("count").alias("c_cur")
+    )
+    prv = wc.select(
+        (F.col(part_col) + F.lit(step)).alias("__w"),
+        "hg64_key",
+        F.col("count").alias("c_prev"),
+    )
+    # windows that HAVE a predecessor: present on both sides after the shift
+    both = cur.select("__w").distinct().join(prv.select("__w").distinct(), "__w")
+    keys = (
+        cur.select("__w", "hg64_key")
+        .union(prv.select("__w", "hg64_key"))
+        .distinct()
+        .join(F.broadcast(both), "__w")
+    )
+    full = (
+        keys.join(cur, ["__w", "hg64_key"], "left")
+        .join(prv, ["__w", "hg64_key"], "left")
+        .select(
+            "__w",
+            "hg64_key",
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+            F.coalesce("c_prev", F.lit(0)).alias("c_prev"),
+        )
+    )
+    # per-window totals from the SAME coalesced frame (keys cover both
+    # sides' buckets, so the sums are the true window populations); aliased
+    # to the drift family's n_g/n_all names so the guarded numerator helper
+    # applies unchanged: |c_prev*n_cur - c_cur*n_prev| == |cg*n_all - call*n_g|
+    tot = full.groupBy("__w").agg(
+        F.sum("c_prev").alias("n_g"), F.sum("c_cur").alias("n_all")
+    )
+    num = _crossed_abs_numerator("c_prev", "c_cur", numerator, "hg64_tv_adjacent")
+    return (
+        full.join(F.broadcast(tot), "__w")
+        .groupBy("__w", "n_g", "n_all")
+        .agg(F.sum(num).alias("tv_numerator"))
+        .select(
+            F.col("__w").alias(part_col),
+            "tv_numerator",
+            (
+                F.col("tv_numerator").cast("double")
+                / F.nullif(
+                    2.0 * F.col("n_g").cast("double") * F.col("n_all").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("tv"),
+        )
+    )
+
+
 def hg64_rank_features(
     df: DataFrame,
     value_col: str,

@@ -1018,3 +1018,32 @@ def test_hg64_ks_weighted_equals_exploded(spark):
         for r in relational.hg64_ks_drift(exploded, "v", "g", 5).collect()
     }
     assert got_w == got_e and got_w
+
+
+def test_hg64_tv_adjacent_exact_bounds(spark):
+    """Adjacent-window TV with exactly-known answers: an identical
+    successor window sits at tv 0.0, a fully disjoint one at tv 1.0, and
+    the first window (no predecessor) emits no row; decimal numerator
+    agrees exactly."""
+    from hg64spark import relational
+
+    wc = spark.createDataFrame(
+        [
+            (0, 10, 100), (0, 20, 300),        # w0
+            (1000, 10, 100), (1000, 20, 300),  # w1 == w0 -> tv 0
+            (2000, 30, 50), (2000, 40, 50),    # w2 disjoint from w1 -> tv 1
+        ],
+        "wstart_us long, hg64_key int, count long",
+    )
+    out = {
+        r["wstart_us"]: (r["tv_numerator"], r["tv"])
+        for r in relational.hg64_tv_adjacent(wc, 1000).collect()
+    }
+    assert set(out) == {1000, 2000}, out
+    assert out[1000][1] == 0.0 and out[1000][0] == 0
+    assert out[2000][1] == 1.0
+    dec = {
+        r["wstart_us"]: (int(r["tv_numerator"]), r["tv"])
+        for r in relational.hg64_tv_adjacent(wc, 1000, numerator="decimal").collect()
+    }
+    assert dec == {k: (int(a), b) for k, (a, b) in out.items()}
