@@ -2304,7 +2304,15 @@ def corpus_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     with no Exchange at all.  md5 is computed by both engines over UTF-8
     bytes with identical hex output, so 'changed' (hash IS DISTINCT FROM)
     is the same decision in Spark and the DuckDB oracle; NULL text hashes
-    to NULL in both and compares via the null-safe inequality."""
+    to NULL in both and compares via the null-safe inequality.
+
+    NULL doc_id rows are the caller's responsibility: the full-outer
+    join's null-rejecting equality matches NOTHING for them, so an
+    unchanged NULL-id document would be DOUBLE-COUNTED as a simultaneous
+    'removed' + 'added' pair (not dropped) — downstream would retract it
+    and re-ingest it.  Both shipped entry points (`q_corpus_diff`,
+    `jobs/diff_corpus.py`) filter/refuse NULL ids up front; do the same
+    before calling this directly."""
     h = lambda df: df.select(  # noqa: E731
         "doc_id", F.substring(F.md5(F.col("text")), 1, 16).alias("h")
     )
@@ -2346,8 +2354,9 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff gate: documents vs a deterministically derived next
     snapshot (see :func:`_diff_new_snapshot`); the oracle rebuilds the same
     snapshot and diffs with a FULL OUTER JOIN over the same md5 prefixes.
-    NULL doc_ids are excluded up front (a NULL id can't be tracked across
-    snapshots; the equi-join would silently drop one side's row)."""
+    NULL doc_ids are excluded up front: a NULL id can't be tracked across
+    snapshots — the full-outer join would DOUBLE-COUNT it as a
+    removed+added pair (see :func:`corpus_diff`)."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id").isNotNull())
     return corpus_diff(docs, _diff_new_snapshot(docs))
 
@@ -2419,7 +2428,18 @@ def normalize_per_group(
             F.sum(v * v).alias("__ss"),
         )
     )
-    joined = rows.join(F.broadcast(stats), group_cols)
+    # NULL-SAFE join back: groupBy emits a stats row for a NULL group, and
+    # a plain equi-join would silently DROP every NULL-group data row (the
+    # drift family's documented NULL-group discipline; DuckDB oracles
+    # mirror with IS NOT DISTINCT FROM / USING over non-NULL gates)
+    srenamed = stats.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols], "__n", "__s", "__ss"
+    )
+    cond = None
+    for c in group_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = rows.join(F.broadcast(srenamed), cond)
     denom = F.sqrt((F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")).cast("double"))
     z = (
         (v * F.col("__n") - F.col("__s")).cast("double")

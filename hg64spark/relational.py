@@ -588,9 +588,7 @@ def cms_estimate_relational(
     )
 
 
-def _drift_full_frame(
-    gc: DataFrame, group_col: str, what: str, numerator: str
-) -> DataFrame:
+def _drift_full_frame(gc: DataFrame, group_col: str, what: str) -> DataFrame:
     """The drift family's shared per-(group, bucket) frame from a reduced
     (group, hg64_key, count) input: every group crossed with the GLOBAL
     key table (so buckets a group misses contribute c_g = 0), columns
@@ -601,8 +599,6 @@ def _drift_full_frame(
     regardless of its actual distribution (oracles mirror with IS NOT
     DISTINCT FROM).  Nothing here scales with input rows: both join sides
     are <= groups x 1920 bucket rows."""
-    if numerator not in ("long", "decimal"):
-        raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
     _require_integral_counts(gc, what)
     glob = gc.groupBy("hg64_key").agg(F.sum("count").alias("c_all"))
     n_g = gc.groupBy(group_col).agg(F.sum("count").alias("n_g"))
@@ -636,7 +632,12 @@ def _crossed_abs_numerator(cg_col: str, call_col: str, numerator: str, what: str
     discipline).  ``cg_col``/``call_col`` name the group-side and
     global-side count columns (plain counts for TV, CUMULATIVE counts for
     KS — C <= n, so the identical bound applies); n_g / n_all are expected
-    in scope under those names."""
+    in scope under those names.  Validates ``numerator`` here — the one
+    function that branches on it — so every drift-family entry point
+    (TV, KS, adjacent) rejects a typo up front instead of silently
+    running the int64 path."""
+    if numerator not in ("long", "decimal"):
+        raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
     if numerator == "decimal":
         # decimal(38,0) products/sum need no guard: inputs are int64 sums,
         # max product 8.5e37 < 1e38, and ANSI decimal overflow on the
@@ -739,7 +740,7 @@ def hg64_tv_drift_from_counts(
     needed; tv_numerator comes back as decimal(38,0) instead of long.
     ~2x slower per bucket row — irrelevant next to the data scan that
     produced the counts."""
-    full = _drift_full_frame(gc, group_col, "hg64_tv_drift", numerator)
+    full = _drift_full_frame(gc, group_col, "hg64_tv_drift")
     num = _crossed_abs_numerator("c_g", "c_all", numerator, "hg64_tv_drift")
     return (
         full.groupBy(group_col, "n_g", "n_all")
@@ -802,7 +803,7 @@ def hg64_ks_drift_from_counts(
     :func:`hg64_tv_drift_from_counts`."""
     from pyspark.sql import Window
 
-    full = _drift_full_frame(gc, group_col, "hg64_ks_drift", numerator)
+    full = _drift_full_frame(gc, group_col, "hg64_ks_drift")
     w = (
         Window.partitionBy(group_col)
         .orderBy("hg64_key")

@@ -60,15 +60,22 @@ def main() -> None:
             raise SystemExit(f"{side} snapshot contains NULL doc_id rows")
 
     t0 = time.perf_counter()
-    diff = dataops.corpus_diff(old, new)
+    # localCheckpoint: the diff (a full-outer join over BOTH complete
+    # snapshots — the job's dominant cost) feeds three separate actions
+    # (delta write, tombstone write, status counts); without it each
+    # action would re-scan and re-shuffle both snapshots (the
+    # monitor_corpus discipline: pay for the scan once, everything
+    # downstream works on the reduced frame)
+    diff = dataops.corpus_diff(old, new).localCheckpoint()
 
     # (re)process only added/changed docs: join the diff back to the new
-    # snapshot's text (equi-join on doc_id, sized by the delta)
+    # snapshot's text (equi-join on doc_id, sized by the delta); also
+    # checkpointed — `curated` references it twice
     todo = (
         diff.filter(F.col("status") != "removed")
         .select("doc_id", "status")
         .join(new, "doc_id")
-    )
+    ).localCheckpoint()
     kw = {}
     if args.min_tokens is not None:
         kw["min_tokens"] = args.min_tokens

@@ -1099,3 +1099,22 @@ def test_znorm_row_side_is_broadcast_not_shuffled(spark):
         den = n * ss - s * s
         want = None if den == 0 else float(r["v"] * n - s) / math.sqrt(float(den))
         assert r["z"] == want, (r, want)
+
+
+def test_normalize_per_group_keeps_null_groups(spark):
+    """A NULL group key is a group like any other: its rows must come back
+    normalized against the NULL group's own stats, not silently dropped by
+    a null-rejecting join."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, None, 5), (4, None, 15)],
+        "id long, g string, val long",
+    )
+    out = dataops.normalize_per_group(df, ["g"], "val", ["id"]).collect()
+    assert len(out) == 4
+    nulls = {r["id"]: r["z"] for r in out if r["g"] is None}
+    assert set(nulls) == {3, 4}
+    # two-point group: z = (v*2 - s)/sqrt(2*ss - s*s) = ±5/sqrt(50)
+    import math
+
+    assert nulls[3] == (5 * 2 - 20) / math.sqrt(2 * 250 - 400)
+    assert nulls[4] == (15 * 2 - 20) / math.sqrt(2 * 250 - 400)

@@ -1047,3 +1047,25 @@ def test_hg64_tv_adjacent_exact_bounds(spark):
         for r in relational.hg64_tv_adjacent(wc, 1000, numerator="decimal").collect()
     }
     assert dec == {k: (int(a), b) for k, (a, b) in out.items()}
+
+
+def test_drift_family_rejects_bad_numerator(spark):
+    """Every drift-family entry point must reject a numerator typo up
+    front (validation lives in the one helper that branches on it), not
+    silently run the int64 path."""
+    import pytest
+
+    from hg64spark import relational
+
+    wc = spark.createDataFrame(
+        [("a", 10, 5)], "g string, hg64_key int, count long"
+    )
+    w2 = spark.createDataFrame(
+        [(0, 10, 5), (1000, 10, 5)], "wstart_us long, hg64_key int, count long"
+    )
+    with pytest.raises(ValueError, match="numerator"):
+        relational.hg64_tv_drift_from_counts(wc, "g", numerator="Decimal")
+    with pytest.raises(ValueError, match="numerator"):
+        relational.hg64_ks_drift_from_counts(wc, "g", numerator="dec")
+    with pytest.raises(ValueError, match="numerator"):
+        relational.hg64_tv_adjacent(w2, 1000, numerator="typo")
