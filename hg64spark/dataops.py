@@ -2361,16 +2361,23 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(docs, _diff_new_snapshot(docs))
 
 
-def _corpus_diff_sql() -> str:
+def _diff_new_snapshot_sql() -> str:
+    """SQL twin of :func:`_diff_new_snapshot` over the `base` CTE — ONE
+    definition shared by every oracle that derives the next snapshot, so
+    the planted churn arithmetic cannot drift between gates."""
     return f"""
-    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
-    new AS (
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN text || ' [edited]' ELSE text END AS text
         FROM base WHERE doc_id % 5 <> 0
         UNION ALL
         SELECT doc_id + {PLANT_OFFSET} AS doc_id, text FROM base WHERE doc_id % 4 = 0
-    ),
+    """
+
+
+def _corpus_diff_sql() -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+    new AS ({_diff_new_snapshot_sql()}),
     o AS (SELECT doc_id, substr(md5(text), 1, 16) AS oh FROM base),
     n AS (SELECT doc_id, substr(md5(text), 1, 16) AS nh FROM new),
     j AS (
@@ -2385,6 +2392,84 @@ def _corpus_diff_sql() -> str:
     WHERE CASE WHEN odoc IS NULL THEN 'added'
                WHEN ndoc IS NULL THEN 'removed'
                WHEN oh IS DISTINCT FROM nh THEN 'changed' END IS NOT NULL
+    """
+
+
+#: sigbits for the calibration gate's reference histogram
+CALIB_SIGBITS = 5
+
+
+def q_calibrate_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus CALIBRATION gate: every document of the derived next
+    snapshot (`_diff_new_snapshot`) is tagged with its token-count rank and
+    percentile within the OLD corpus's hg64 distribution
+    (`relational.hg64_calibrate`) — "is the incoming data longer than what
+    we already have?", the intake-monitoring read on a new data drop.
+    The reference cumulative table is densified to all buckets, so new
+    docs outside the old corpus's range still rank exactly.  NULL text is
+    excluded on BOTH sides (Spark's size(split(NULL)) = -1 vs DuckDB NULL
+    — the sample_temperature_tokens divergence)."""
+    from hg64spark import relational
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    ntok = lambda d: d.select(  # noqa: E731
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    out = relational.hg64_calibrate(
+        ntok(_diff_new_snapshot(docs)), "n_tokens", ntok(docs), "n_tokens", CALIB_SIGBITS
+    )
+    return out.select("doc_id", "n_tokens", "ref_rank", "ref_pct")
+
+
+def _calibrate_new_docs_sql() -> str:
+    from hg64spark import sqloracle
+
+    sb = CALIB_SIGBITS
+    nk = (64 - sb + 1) * (1 << sb)
+    k_v = sqloracle.key_expr("b.n_tokens", sb)
+    mn = sqloracle.minval_expr("c.k", sb)
+    mx = sqloracle.maxval_expr("c.k", sb)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    oldt AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM base),
+    newt AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM ({_diff_new_snapshot_sql()})
+    ),
+    refc AS (
+        SELECT {sqloracle.key_expr('v', sb)} AS k, count(*) AS cnt
+        FROM oldt WHERE v IS NOT NULL GROUP BY 1
+    ),
+    dense AS (
+        SELECT gs.k, COALESCE(refc.cnt, 0) AS cnt
+        FROM (SELECT unnest(range(0, {nk})) AS k) gs
+        LEFT JOIN refc ON refc.k = gs.k
+    ),
+    cum AS (
+        SELECT k, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+               sum(cnt) OVER () AS pop
+        FROM dense
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(c.cb + CASE WHEN {mx} = {mn} THEN c.cnt
+                ELSE trunc(CAST(c.cnt AS DOUBLE)
+                           * (CAST(b.n_tokens - {mn} AS DOUBLE)
+                              / CAST({mx} - {mn} AS DOUBLE)))
+                END AS BIGINT) AS ref_rank,
+           CAST(CAST(c.cb + CASE WHEN {mx} = {mn} THEN c.cnt
+                ELSE trunc(CAST(c.cnt AS DOUBLE)
+                           * (CAST(b.n_tokens - {mn} AS DOUBLE)
+                              / CAST({mx} - {mn} AS DOUBLE)))
+                END AS BIGINT) AS DOUBLE) / CAST(c.pop AS DOUBLE) AS ref_pct
+    FROM newt b JOIN cum c ON {k_v} = c.k
+    WHERE b.n_tokens IS NOT NULL
     """
 
 
@@ -3317,6 +3402,7 @@ def dataops_queries():
         "decayed_topk_users": q_decayed_topk_users,
         "corpus_diff": q_corpus_diff,
         "znorm_lineitem": q_znorm_lineitem,
+        "calibrate_new_docs": q_calibrate_new_docs,
     }
 
 
@@ -3369,4 +3455,5 @@ def dataops_oracles():
         "decayed_topk_users": _decayed_topk_users_sql(),
         "corpus_diff": _corpus_diff_sql(),
         "znorm_lineitem": _znorm_lineitem_sql(),
+        "calibrate_new_docs": _calibrate_new_docs_sql(),
     }

@@ -904,6 +904,69 @@ def hg64_tv_adjacent(
     )
 
 
+def hg64_calibrate(
+    df: DataFrame,
+    value_col: str,
+    ref: DataFrame,
+    ref_value_col: str,
+    sigbits: int = 5,
+) -> DataFrame:
+    """Input rows + (ref_rank, ref_pct): tag every row of ``df`` with its
+    rank and percentile within a DIFFERENT corpus's distribution — score
+    calibration against a reference (is the incoming snapshot longer /
+    slower / larger than the corpus we already have?).  The cross-corpus
+    sibling of :func:`hg64_rank_features` (which ranks rows within their
+    own group).
+
+    The reference's cumulative table is DENSIFIED to every possible bucket
+    key (<= 1920 rows — `spark.range`, not data) with the cumulative
+    carried through empty buckets, so a ``df`` value landing in a bucket
+    the reference never saw still equi-joins and gets the exact rank
+    `rank_of_value` would return (the cumulative below it; the empty
+    bucket's interpolation term is 0 by cnt = 0).  Same exact FP op order
+    as rank_features — floor(cnt * (off / div)), div == 0 -> cnt — so the
+    tag is engine-invariant.  Cost at any scale: one keyed-count aggregate
+    over the reference + a <= 1920-row broadcast onto ``df``, which never
+    shuffles."""
+    from pyspark.sql import Window
+
+    counts = hg64_counts(ref, ref_value_col, [], sigbits)
+    spark = df.sparkSession
+    nk = km.nkeys(sigbits)
+    dense = spark.range(nk).select(F.col("id").cast("int").alias("__k"))
+    dj = dense.join(
+        counts.select(F.col("hg64_key").alias("__k"), F.col("count").alias("__cnt")),
+        "__k",
+        "left",
+    ).select("__k", F.coalesce("__cnt", F.lit(0)).alias("__cnt"))
+    # single-partition window over the <= 1920-row dense table (never data)
+    w = Window.partitionBy(F.lit(0)).orderBy("__k")
+    cumfr = dj.withColumn(
+        "__cb",
+        F.coalesce(
+            F.sum("__cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).withColumn("__pop", F.sum("__cnt").over(Window.partitionBy(F.lit(0))))
+    keyed = with_hg64_key(df, value_col, sigbits)
+    joined = keyed.join(F.broadcast(cumfr), F.col("hg64_key") == F.col("__k"))
+    mn = minval_col("__k", sigbits)
+    mx = maxval_col("__k", sigbits)
+    off = (F.col(value_col) - mn).cast("double")
+    div = (mx - mn).cast("double")
+    in_bucket = F.when(div == 0.0, F.col("__cnt")).otherwise(
+        F.floor(F.col("__cnt").cast("double") * (off / div)).cast("long")
+    )
+    rank = (F.col("__cb") + in_bucket).cast("long")
+    return (
+        joined.withColumn("ref_rank", rank)
+        .withColumn(
+            "ref_pct", F.col("ref_rank").cast("double") / F.col("__pop").cast("double")
+        )
+        .drop("__k", "__cnt", "__cb", "__pop", "hg64_key")
+    )
+
+
 def hg64_rank_features(
     df: DataFrame,
     value_col: str,

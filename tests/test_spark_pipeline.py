@@ -1069,3 +1069,38 @@ def test_drift_family_rejects_bad_numerator(spark):
         relational.hg64_ks_drift_from_counts(wc, "g", numerator="dec")
     with pytest.raises(ValueError, match="numerator"):
         relational.hg64_tv_adjacent(w2, 1000, numerator="typo")
+
+
+def test_hg64_calibrate_bit_parity_and_plan(spark):
+    """Cross-corpus calibration must equal HG64Snapshot.rank_of_value
+    bit-for-bit against the REFERENCE sketch — including query values in
+    buckets the reference never saw (the densified-cumulative case, above
+    and below the reference's range) — and the data side must reach the
+    broadcast join without an Exchange."""
+    import numpy as np
+
+    from hg64spark import relational
+    from hg64spark.hg64 import HG64
+
+    ref = spark.range(5_000).selectExpr("CAST(id % 700 + 50 AS LONG) AS v")
+    # query values: inside, below, above, and far above the ref range
+    qv = [0, 1, 49, 50, 51, 300, 749, 750, 800, 10_000, 2**40]
+    q = spark.createDataFrame([(i, v) for i, v in enumerate(qv)], "id long, v long")
+    out = {
+        r["id"]: (r["ref_rank"], r["ref_pct"])
+        for r in relational.hg64_calibrate(q, "v", ref, "v", 5).collect()
+    }
+    sk = HG64(5).add_values((np.arange(5_000) % 700 + 50).astype(np.uint64))
+    snap = sk.snapshot()
+    ranks = snap.rank_of_value(np.array(qv, dtype=np.uint64))
+    for i, v in enumerate(qv):
+        assert out[i][0] == int(ranks[i]), (v, out[i], int(ranks[i]))
+        assert out[i][1] == int(ranks[i]) / 5_000.0
+    plan = (
+        relational.hg64_calibrate(q, "v", ref, "v", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    streamed = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed, plan
