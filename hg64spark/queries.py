@@ -1046,6 +1046,56 @@ def _hg64_ks_oracle() -> str:
     """
 
 
+def q_hg64_w1_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift monitor: earth-mover distance (in bucket-index
+    units) between each event_type's hg64 bucket distribution and the
+    global one (`relational.hg64_w1_drift`) — the magnitude-aware member
+    of the drift family (TV = how much mass moved, KS = worst CDF gap,
+    W1 = how far it moved); integer gap-weighted prefix-sum numerator,
+    one final division, bit-exact oracle."""
+    from hg64spark import relational
+
+    ev = io.read_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS v"
+    )
+    return relational.hg64_w1_drift(ev, "v", "event_type", SIGBITS)
+
+
+def _hg64_w1_oracle() -> str:
+    k = sqloracle.key_expr("v", SIGBITS)
+    # the KS oracle's frame plus the lead-gap weight; every value reaching
+    # the result schema is CAST (windowed sums are HUGEINT in DuckDB) and
+    # the division's operand shapes mirror the Spark expression exactly
+    return f"""
+    WITH src AS (
+        SELECT event_type AS g, {k} AS k
+        FROM ({_EVENTS_VALUE_SQL}) WHERE v IS NOT NULL
+    ),
+    gc AS (SELECT g, k, count(*) AS c_g FROM src GROUP BY 1, 2),
+    gall AS (SELECT k, sum(c_g) AS c_all FROM gc GROUP BY 1),
+    ng AS (SELECT g, sum(c_g) AS n_g FROM gc GROUP BY 1),
+    nall AS (SELECT sum(c_all) AS n_all FROM gall),
+    fl AS (
+        SELECT ng.g, ng.n_g, gall.k, gall.c_all, COALESCE(gc.c_g, 0) AS c_g, nall.n_all
+        FROM ng CROSS JOIN gall
+        LEFT JOIN gc ON gc.g IS NOT DISTINCT FROM ng.g AND gc.k = gall.k
+        CROSS JOIN nall
+    ),
+    cum AS (
+        SELECT g, n_g, n_all,
+               sum(c_g) OVER (PARTITION BY g ORDER BY k) AS cum_g,
+               sum(c_all) OVER (PARTITION BY g ORDER BY k) AS cum_all,
+               COALESCE(lead(k) OVER (PARTITION BY g ORDER BY k) - k, 0) AS gap
+        FROM fl
+    )
+    SELECT g AS event_type,
+           CAST(sum(abs(cum_g * n_all - cum_all * n_g) * gap) AS BIGINT) AS w1_numerator,
+           CAST(sum(abs(cum_g * n_all - cum_all * n_g) * gap) AS DOUBLE)
+               / (CAST(n_g AS DOUBLE) * CAST(n_all AS DOUBLE)) AS w1
+    FROM cum GROUP BY g, n_g, n_all
+    """
+
+
 def q_hg64_retract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch RETRACTION gate: subtract the even-user sub-stream's keyed
     counts from the full stream's (`relational.hg64_counts_subtract` — the
@@ -1819,7 +1869,6 @@ _GATE_ACTIVE = [
     # (oracle-typing fix this round), the rest keep one representative of
     # every operator family in-window
     "pack_token_shards",
-    "latency_quantiles_by_tool",
     "ann_ivf_recall",
 ]
 
@@ -1844,6 +1893,10 @@ _GATE_ROTATED_OUT = [
     # corpus chain stays covered through pack_chunked_corpus + the curated
     # diff job's gated building blocks)
     "corpus_pipeline",
+    # displaced late-round-6 by hg64_w1_events (flagship: green every round
+    # r1-r5, covered every round by entry() + its per-round bench line, and
+    # its _rel twin stays in-window)
+    "latency_quantiles_by_tool",
     # displaced late-round-6 by sliding_drift_events (r5-green;
     # decontamination stays represented by the rotated-in
     # decontaminate_overlap)
@@ -1953,6 +2006,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hg64_events": q_sliding_hg64_events,
         "hg64_drift_events": q_hg64_drift_events,
         "hg64_ks_events": q_hg64_ks_events,
+        "hg64_w1_events": q_hg64_w1_events,
         "sliding_drift_events": q_sliding_drift_events,
         "hg64_retract_events": q_hg64_retract_events,
         "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
@@ -2095,6 +2149,7 @@ def _core_oracles() -> dict[str, str]:
         "sliding_hg64_events": _sliding_hg64_oracle(),
         "hg64_drift_events": _hg64_drift_oracle(),
         "hg64_ks_events": _hg64_ks_oracle(),
+        "hg64_w1_events": _hg64_w1_oracle(),
         "sliding_drift_events": _sliding_drift_oracle(),
         "hg64_retract_events": _hg64_retract_oracle(),
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),

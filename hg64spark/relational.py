@@ -625,7 +625,9 @@ def _drift_full_frame(gc: DataFrame, group_col: str, what: str) -> DataFrame:
     )
 
 
-def _crossed_abs_numerator(cg_col: str, call_col: str, numerator: str, what: str):
+def _crossed_abs_numerator(
+    cg_col: str, call_col: str, numerator: str, what: str, terms: int = 1
+):
     """|cg * n_all - c_all * n_g| as the drift family's exact integer
     numerator Column, in int64 with the plan-side 2^62 exactness guard or
     in decimal(38,0) (see :func:`hg64_tv_drift_from_counts` for the full
@@ -634,8 +636,18 @@ def _crossed_abs_numerator(cg_col: str, call_col: str, numerator: str, what: str
     KS — C <= n, so the identical bound applies); n_g / n_all are expected
     in scope under those names.  Validates ``numerator`` here — the one
     function that branches on it — so every drift-family entry point
-    (TV, KS, adjacent) rejects a typo up front instead of silently
-    running the int64 path."""
+    (TV, KS, adjacent, W1) rejects a typo up front instead of silently
+    running the int64 path.
+
+    ``terms`` tightens the int64 guard for statistics that SUM terms each
+    individually bounded by n_g * n_all: TV's summed bound telescopes to
+    2 * n_g * n_all (sum of c_g is n_g — terms=1 suffices, headroom 2x
+    inside int64), KS takes a max (terms=1 exactly), but W1 sums up to
+    nkeys cumulative gaps that do NOT telescope, so its sum is only exact
+    while terms * n_g * n_all < 2^62.  The decimal path is unaffected:
+    even 2048 summed products of int64 pairs stays ~8.5e37 * 2048 — past
+    decimal(38,0) only when a SINGLE side exceeds ~7e18 rows, where ANSI
+    decimal overflow throws loudly anyway."""
     if numerator not in ("long", "decimal"):
         raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
     if numerator == "decimal":
@@ -647,18 +659,19 @@ def _crossed_abs_numerator(cg_col: str, call_col: str, numerator: str, what: str
             F.col(cg_col).cast(dec) * F.col("n_all").cast(dec)
             - F.col(call_col).cast(dec) * F.col("n_g").cast(dec)
         )
-    # exactness guard: n_g > floor((2^62-1)/n_all) <=> n_g*n_all >=
-    # 2^62, past which the int64 numerator sum could wrap.  The guard
-    # must SHORT-CIRCUIT (when/otherwise == lazy If): past the bound
+    # exactness guard: n_g > floor((2^62-1)/terms/n_all) <=> terms*n_g*
+    # n_all >= 2^62, past which the int64 numerator sum could wrap.  The
+    # guard must SHORT-CIRCUIT (when/otherwise == lazy If): past the bound
     # the products themselves overflow and ANSI would throw its
     # generic ARITHMETIC_OVERFLOW before an additive guard could fire.
     # nullif on the divisor: a zero-mass pool (n_all = 0, weighted
     # builds) must yield a NULL statistic downstream, not a
     # DIVIDE_BY_ZERO crash from the guard's integer div
+    bound = 4611686018427387903 // int(terms)
     return F.when(
-        F.expr("n_g > (4611686018427387903L div nullif(n_all, 0L))"),
+        F.expr(f"n_g > ({bound}L div nullif(n_all, 0L))"),
         F.expr(
-            f"CAST(raise_error('{what}: n_g*n exceeds 2^62; "
+            f"CAST(raise_error('{what}: {terms} * n_g * n exceeds 2^62; "
             "use numerator=\"decimal\" at this scale') AS LONG)"
         ),
     ).otherwise(
@@ -830,6 +843,113 @@ def hg64_ks_drift_from_counts(
                     F.lit(0.0),
                 )
             ).alias("ks"),
+        )
+    )
+
+
+def hg64_w1_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    sigbits: int = 5,
+    weight_col: str | None = None,
+    numerator: str = "long",
+) -> DataFrame:
+    """(group, w1_numerator, w1): Wasserstein-1 (earth-mover) distance in
+    BUCKET-INDEX units between each group's hg64 bucket distribution and
+    the GLOBAL one — the magnitude-aware member of the drift family (TV
+    counts how much mass disagrees, KS the worst CDF gap; W1 also weighs
+    how FAR the mass moved, so a one-bucket nudge of all mass scores 1
+    while a ten-bucket shift scores 10).  Distance is measured on the key
+    axis (one unit per bucket index): because hg64 keys are log-linear in
+    value, bucket-index distance is ~linear in log2(value) beyond the
+    first binsize keys — i.e. this is (a scaled) W1 of log-magnitudes,
+    the natural drift scale for long-tailed latency/size data.  Same
+    2^-sigbits resolution caveat as the rest of the family.
+
+    Exactness discipline: W1 = sum_k |F_g(k) - F(k)| over the key axis,
+    computed as the INTEGER sum_k |C_g(k)*n - C(k)*n_g| * gap_k (gap_k =
+    next observed key - k; CDFs are constant between observed keys, and
+    the final key's CDF gap is identically 0) with ONE final division by
+    n_g*n — order-insensitive, bit-identical in any engine.  Unlike TV
+    (telescoping) and KS (a max), the W1 sum is bounded by span*n_g*n
+    where span = max key - min key, so the int64 guard is tightened by
+    ``terms=key_span`` (see :func:`_crossed_abs_numerator`); the raw-rows
+    entry passes the sigbits' full key-domain size, the exact upper bound
+    on any span.
+
+    Plan shape: identical to :func:`hg64_ks_drift` — nothing after the
+    first keyed-count aggregate scales with input rows; one window per
+    group over <= nkeys bucket rows (lead + cumulative sum share the
+    partitioning and sort, so no extra Exchange)."""
+    return hg64_w1_drift_from_counts(
+        hg64_counts(df, value_col, [group_col], sigbits, weight_col=weight_col),
+        group_col,
+        numerator=numerator,
+        key_span=km.nkeys(sigbits),
+    )
+
+
+def hg64_w1_drift_from_counts(
+    gc: DataFrame, group_col: str, numerator: str = "long", key_span: int = 1920
+) -> DataFrame:
+    """:func:`hg64_w1_drift` over an already-reduced (group, hg64_key,
+    count) frame — same retained-state entry point, zero-mass NULL
+    semantics, integral-count requirement, and overflow discipline as
+    :func:`hg64_tv_drift_from_counts`, with one W1-specific knob:
+
+    ``key_span`` must upper-bound the observed key span (max - min key);
+    pass ``keymath.nkeys(sigbits)`` (the raw-rows entry does — the 1920
+    default is sigbits=5's domain).  It tightens the int64 guard to
+    key_span * n_g * n_all < 2^62 because the W1 sum does not telescope
+    (docstring of :func:`_crossed_abs_numerator`).  An UNDERSTATED span
+    cannot produce a silent wrong answer: each per-key gap is checked
+    plan-side (actionable raise_error), each guarded |cum-diff| * gap
+    product then fits int64 by construction, and a sum that still
+    exceeds int64 dies on Spark 4's ANSI ARITHMETIC_OVERFLOW — loud,
+    though less actionable than the guard; size key_span honestly."""
+    from pyspark.sql import Window
+
+    key_span = int(key_span)
+    if key_span < 1:
+        raise ValueError(f"key_span must be >= 1, got {key_span}")
+    full = _drift_full_frame(gc, group_col, "hg64_w1_drift")
+    wsort = Window.partitionBy(group_col).orderBy("hg64_key")
+    wcum = wsort.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = full.select(
+        group_col,
+        "n_g",
+        "n_all",
+        F.sum("c_g").over(wcum).alias("cum_g"),
+        F.sum("c_all").over(wcum).alias("cum_all"),
+        # last key: no successor -> gap 0 (its CDF gap is 0 anyway)
+        F.coalesce(
+            F.lead("hg64_key").over(wsort) - F.col("hg64_key"), F.lit(0)
+        ).alias("gap"),
+    )
+    gap = F.when(
+        F.col("gap") > F.lit(key_span),
+        F.expr(
+            f"CAST(raise_error('hg64_w1_drift: observed key gap exceeds "
+            f"key_span={key_span}; pass keymath.nkeys(sigbits)') AS LONG)"
+        ),
+    ).otherwise(F.col("gap"))
+    num = _crossed_abs_numerator(
+        "cum_g", "cum_all", numerator, "hg64_w1_drift", terms=key_span
+    )
+    return (
+        cum.groupBy(group_col, "n_g", "n_all")
+        .agg(F.sum(num * gap).alias("w1_numerator"))
+        .select(
+            group_col,
+            "w1_numerator",
+            (
+                F.col("w1_numerator").cast("double")
+                / F.nullif(
+                    F.col("n_g").cast("double") * F.col("n_all").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("w1"),
         )
     )
 

@@ -19,12 +19,16 @@ everything):
   * per-group KS statistic (`relational.hg64_ks_drift_from_counts`) — the
     sup-norm complement: the worst single CDF gap, the location-shift
     detector a diffuse TV cannot localize
+  * per-group W1 earth-mover distance in bucket-index units
+    (`relational.hg64_w1_drift_from_counts`) — the magnitude-aware
+    complement: how FAR the mass moved, ~linear in log2(value)
   * pairwise histogram overlap coefficients (`hg64_overlap` shape over the
     same counts) — "which groups are interchangeable?"
   * global quantile band (p01/p50/p99, `hg64_quantiles_from_counts`)
 
-and writes drift + ks + overlap tables under --output plus a one-line
-JSON summary (worst TV/KS groups, least-overlapping pair, quantile band) —
+and writes drift + ks + w1 + overlap tables under --output plus a one-line
+JSON summary (worst TV/KS/W1 groups, least-overlapping pair, quantile
+band) —
 bounded bytes to the driver at any input size.
 
 Scale shape: everything downstream of the first aggregate operates on
@@ -79,8 +83,13 @@ def main() -> None:
         src, "v", ["g"], args.sigbits, weight_col="wt" if args.weight_col else None
     ).localCheckpoint()
 
+    from hg64spark import keymath
+
     drift = relational.hg64_tv_drift_from_counts(counts, "g")
     ks = relational.hg64_ks_drift_from_counts(counts, "g")
+    w1 = relational.hg64_w1_drift_from_counts(
+        counts, "g", key_span=keymath.nkeys(args.sigbits)
+    )
     # overlap over the SAME counts frame via the library's retained-state
     # entry point — one algebra, job and library cannot drift (and the 2^62
     # exactness guard rides along instead of silently wrapping at scale)
@@ -90,6 +99,7 @@ def main() -> None:
 
     drift.write.mode("overwrite").parquet(f"{args.output}/drift")
     ks.write.mode("overwrite").parquet(f"{args.output}/ks")
+    w1.write.mode("overwrite").parquet(f"{args.output}/w1")
     overlap.write.mode("overwrite").parquet(f"{args.output}/overlap")
 
     # zero-mass groups report tv / overlap NULL (see the library docstrings)
@@ -97,6 +107,7 @@ def main() -> None:
     # (json.dumps would otherwise emit non-RFC NaN/None comparisons)
     worst = drift.filter("tv IS NOT NULL").orderBy(F.desc("tv")).limit(1).collect()
     worst_ks = ks.filter("ks IS NOT NULL").orderBy(F.desc("ks")).limit(1).collect()
+    worst_w1 = w1.filter("w1 IS NOT NULL").orderBy(F.desc("w1")).limit(1).collect()
     least = overlap.filter("overlap IS NOT NULL").orderBy("overlap").limit(1).collect()
     qs = {repr(r["q"]): int(r["value"]) for r in band.collect()}
     print(
@@ -110,6 +121,11 @@ def main() -> None:
                 "worst_ks": (
                     {"group": worst_ks[0]["g"], "ks": round(worst_ks[0]["ks"], 6)}
                     if worst_ks
+                    else None
+                ),
+                "worst_w1": (
+                    {"group": worst_w1[0]["g"], "w1": round(worst_w1[0]["w1"], 6)}
+                    if worst_w1
                     else None
                 ),
                 "least_overlap": (

@@ -1020,6 +1020,106 @@ def test_hg64_ks_weighted_equals_exploded(spark):
     assert got_w == got_e and got_w
 
 
+def test_hg64_w1_drift_exact_bounds_and_guard(spark):
+    """W1 drift sanity with exactly-known answers: two equal-size point
+    masses at keys d apart each sit at W1 = d/2 against the pooled
+    distribution (the CDF gap is 0.5 across the d intervening key units);
+    a single group IS the global distribution (w1 exactly 0.0); a
+    NULL-keyed group with a named twin's distribution reports 0.0
+    (null-safe join); the span-tightened 2^62 guard fires on the counts
+    entry point, the per-gap key_span self-check fires on an understated
+    span, and the decimal numerator agrees below the bound and works
+    above it."""
+    import numpy as np
+    import pyspark.errors
+    import pytest
+
+    from hg64spark import keymath, relational
+
+    ka, kb = keymath.value_to_key(np.array([1, 1048576], dtype=np.uint64), 5)
+    d = int(kb - ka)
+    a = spark.range(1000).selectExpr("'a' AS g", "CAST(1 AS LONG) AS v")
+    b = spark.range(1000).selectExpr("'b' AS g", "CAST(1048576 AS LONG) AS v")
+    out = {
+        r["g"]: (r["w1_numerator"], r["w1"])
+        for r in relational.hg64_w1_drift(a.unionAll(b), "v", "g", 5).collect()
+    }
+    assert out["a"] == (1000 * 1000 * d, d / 2) and out["b"] == out["a"], out
+    single = relational.hg64_w1_drift(a, "v", "g", 5).collect()
+    assert single[0]["w1"] == 0.0 and single[0]["w1_numerator"] == 0
+    n = spark.range(1000).selectExpr(
+        "CAST(NULL AS STRING) AS g", "CAST(1 AS LONG) AS v"
+    )
+    out2 = {
+        r["g"]: r["w1"]
+        for r in relational.hg64_w1_drift(a.unionAll(n), "v", "g", 5).collect()
+    }
+    assert out2["a"] == 0.0 and out2[None] == 0.0, out2
+
+    over = spark.createDataFrame(
+        [("a", 100, 1 << 31), ("b", 200, 1 << 31)],
+        "g string, hg64_key int, count long",
+    )
+    with pytest.raises(pyspark.errors.PySparkException, match="2\\^62"):
+        relational.hg64_w1_drift_from_counts(over, "g").collect()
+    # the span-tightened guard fires ~3 decades EARLIER than TV/KS's:
+    # terms=1920 * n_g * n_all over 2^62 at counts TV itself accepts
+    mid = spark.createDataFrame(
+        [("a", 100, 1 << 26), ("b", 200, 1 << 26)],
+        "g string, hg64_key int, count long",
+    )
+    assert {r["g"] for r in relational.hg64_tv_drift_from_counts(mid, "g").collect()} == {"a", "b"}
+    with pytest.raises(pyspark.errors.PySparkException, match="2\\^62"):
+        relational.hg64_w1_drift_from_counts(mid, "g").collect()
+    under = spark.createDataFrame(
+        [("a", 100, 1 << 20), ("b", 200, 1 << 20)],
+        "g string, hg64_key int, count long",
+    )
+    dl = {
+        r["g"]: (int(r["w1_numerator"]), r["w1"])
+        for r in relational.hg64_w1_drift_from_counts(
+            under, "g", numerator="decimal"
+        ).collect()
+    }
+    ll = {
+        r["g"]: (int(r["w1_numerator"]), r["w1"])
+        for r in relational.hg64_w1_drift_from_counts(under, "g").collect()
+    }
+    assert dl == ll and ll["a"][1] == 50.0, ll  # gap 100 keys * 0.5
+    big = {
+        r["g"]: r["w1"]
+        for r in relational.hg64_w1_drift_from_counts(mid, "g", numerator="decimal").collect()
+    }
+    assert big == {"a": 50.0, "b": 50.0}, big
+    with pytest.raises(pyspark.errors.PySparkException, match="key gap exceeds"):
+        relational.hg64_w1_drift_from_counts(under, "g", key_span=10).collect()
+    with pytest.raises(ValueError, match="key_span"):
+        relational.hg64_w1_drift_from_counts(under, "g", key_span=0)
+
+
+def test_hg64_w1_weighted_equals_exploded(spark):
+    """A weighted W1 build must equal the unweighted build over the
+    weight-exploded rows — weights are multiplicities for the gap-weighted
+    statistic exactly as for TV and KS."""
+    from hg64spark import relational
+
+    z = spark.range(500).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
+        "CAST(id % 19 + 1 AS LONG) AS v",
+        "CAST(id % 3 + 1 AS LONG) AS wt",
+    )
+    exploded = z.selectExpr("g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS one")
+    got_w = {
+        r["g"]: (r["w1_numerator"], r["w1"])
+        for r in relational.hg64_w1_drift(z, "v", "g", 5, weight_col="wt").collect()
+    }
+    got_e = {
+        r["g"]: (r["w1_numerator"], r["w1"])
+        for r in relational.hg64_w1_drift(exploded, "v", "g", 5).collect()
+    }
+    assert got_w == got_e and got_w
+
+
 def test_hg64_tv_adjacent_exact_bounds(spark):
     """Adjacent-window TV with exactly-known answers: an identical
     successor window sits at tv 0.0, a fully disjoint one at tv 1.0, and
