@@ -51,24 +51,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.read_table(spark, sf_dir, "documents")
 
 
-def augmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def augmented_corpus(
+    spark: SparkSession, sf_dir: str, offset: int = PLANT_OFFSET
+) -> DataFrame:
     """documents plus a planted near-duplicate of every doc (last 3 tokens
-    dropped, doc_id+PLANT_OFFSET)."""
+    dropped, doc_id+offset).  ``offset`` defaults ABOVE the id domain; the
+    keep-best gate passes -PLANT_OFFSET so the degraded copy holds the
+    cluster-MIN id instead.  The engine-sensitive drop-last-3 slice lives
+    here and in :func:`_augmented_sql` ONLY — parameterizing the offset
+    (rather than copying the pair) keeps it that way."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     copies = d.select(
-        (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+        (F.col("doc_id") + F.lit(int(offset))).alias("doc_id"),
         F.expr("array_join(slice(split(text,' '), 1, size(split(text,' '))-3), ' ')").alias("text"),
     )
     return d.unionAll(copies)
 
 
-AUGMENTED_SQL = f"""
+def _augmented_sql(offset: int = PLANT_OFFSET) -> str:
+    """DuckDB mirror of :func:`augmented_corpus` — same single-source rule."""
+    return f"""
     SELECT doc_id, text FROM documents
     UNION ALL
-    SELECT doc_id + {PLANT_OFFSET} AS doc_id,
+    SELECT doc_id + ({int(offset)}) AS doc_id,
            array_to_string(l[1:len(l)-3], ' ') AS text
     FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
 """
+
+
+AUGMENTED_SQL = _augmented_sql()
 
 
 def raw_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
@@ -3022,10 +3033,18 @@ def dedup_keep_best(corpus: DataFrame, pairs: DataFrame | None = None) -> DataFr
     if pairs is None:
         pairs = minhash_neardup_pairs(corpus)
     cc = connected_components_min_label(pairs)
-    members = corpus.join(F.broadcast(cc), "doc_id").select(
-        "doc_id",
-        "canonical_id",
-        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").alias("n_types"),
+    # the members frame (<= duplicate count rows) feeds THREE consumers
+    # (best, surv, the final projection); without a checkpoint each would
+    # re-run the corpus scan + broadcast join + tokenization — the same
+    # materialize-once discipline connected_components applies to its edges
+    members = (
+        corpus.join(F.broadcast(cc), "doc_id")
+        .select(
+            "doc_id",
+            "canonical_id",
+            F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long").alias("n_types"),
+        )
+        .localCheckpoint(eager=True)
     )
     best = members.groupBy("canonical_id").agg(F.max("n_types").alias("best_n"))
     surv = (
@@ -3034,11 +3053,16 @@ def dedup_keep_best(corpus: DataFrame, pairs: DataFrame | None = None) -> DataFr
         .groupBy("canonical_id")
         .agg(F.min("doc_id").alias("survivor_id"))
     )
-    return (
+    out = (
         members.select("doc_id", "canonical_id")
         .join(F.broadcast(surv), "canonical_id")
         .select("doc_id", "canonical_id", "survivor_id")
+        .localCheckpoint(eager=True)
     )
+    # result is materialized — release the intermediates' executor storage
+    _unpersist_checkpoint(members)
+    _unpersist_checkpoint(cc)
+    return out
 
 
 def keepbest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3052,21 +3076,10 @@ def keepbest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     225/476 clusters at sf0.001 (239/500 docs lose types), ~half at
     sf0.01 — the quality argmax is exercised by hundreds of real
     clusters, not decorative."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    copies = d.select(
-        (F.col("doc_id") - PLANT_OFFSET).alias("doc_id"),
-        F.expr("array_join(slice(split(text,' '), 1, size(split(text,' '))-3), ' ')").alias("text"),
-    )
-    return d.unionAll(copies)
+    return augmented_corpus(spark, sf_dir, offset=-PLANT_OFFSET)
 
 
-KEEPBEST_SQL = f"""
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id - {PLANT_OFFSET} AS doc_id,
-           array_to_string(l[1:len(l)-3], ' ') AS text
-    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-"""
+KEEPBEST_SQL = _augmented_sql(offset=-PLANT_OFFSET)
 
 
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -644,10 +644,11 @@ def _crossed_abs_numerator(
     2 * n_g * n_all (sum of c_g is n_g — terms=1 suffices, headroom 2x
     inside int64), KS takes a max (terms=1 exactly), but W1 sums up to
     nkeys cumulative gaps that do NOT telescope, so its sum is only exact
-    while terms * n_g * n_all < 2^62.  The decimal path is unaffected:
-    even 2048 summed products of int64 pairs stays ~8.5e37 * 2048 — past
-    decimal(38,0) only when a SINGLE side exceeds ~7e18 rows, where ANSI
-    decimal overflow throws loudly anyway."""
+    while terms * n_g * n_all < 2^62.  The decimal path needs no ``terms``
+    tightening code-side, but its exactness window shrinks the same way:
+    the summed bound is terms * n_g * n_all < 10^38, i.e. ~7e18 rows per
+    side at terms=1 and ~2.3e17 per side at terms=1920 — and past it
+    Spark's ANSI decimal overflow throws loudly rather than wrapping."""
     if numerator not in ("long", "decimal"):
         raise ValueError(f"numerator must be 'long' or 'decimal', got {numerator!r}")
     if numerator == "decimal":

@@ -85,10 +85,15 @@ def main() -> None:
 
     from hg64spark import keymath
 
-    drift = relational.hg64_tv_drift_from_counts(counts, "g")
-    ks = relational.hg64_ks_drift_from_counts(counts, "g")
+    # decimal numerators throughout: the job's "runnable at any input size"
+    # contract must not inherit the int64 guards' ceilings (2^62/n for
+    # TV/KS, key_span-tightened — ~3 decades lower — for W1); decimal is
+    # exact to ~1e38 and ~free here because every drift stat runs over the
+    # <= groups x 1920-row counts frame, never over data
+    drift = relational.hg64_tv_drift_from_counts(counts, "g", numerator="decimal")
+    ks = relational.hg64_ks_drift_from_counts(counts, "g", numerator="decimal")
     w1 = relational.hg64_w1_drift_from_counts(
-        counts, "g", key_span=keymath.nkeys(args.sigbits)
+        counts, "g", numerator="decimal", key_span=keymath.nkeys(args.sigbits)
     )
     # overlap over the SAME counts frame via the library's retained-state
     # entry point — one algebra, job and library cannot drift (and the 2^62

@@ -214,9 +214,11 @@ def test_connected_components_chain_and_islands(spark):
 
 def test_dedup_keep_best_argmax_and_ties(spark):
     """Survivor selection with an exactly-known answer: in a 3-doc cluster
-    the max-distinct-token doc wins regardless of id order; on a type-count
-    tie the MIN id wins; a second cluster's choice is independent; every
-    member row carries both its canonical and its cluster's survivor."""
+    the max-distinct-token doc wins regardless of id order; a second
+    cluster's argmax is independent (its higher id wins on quality); on a
+    true type-count tie the MIN id wins (the {20,21} identical-text pair);
+    every member row carries both its canonical and its cluster's
+    survivor."""
     corpus = spark.createDataFrame(
         [
             # cluster {1,2,3}: doc 3 has the most distinct tokens, doc 1 is
@@ -224,19 +226,22 @@ def test_dedup_keep_best_argmax_and_ties(spark):
             (1, "a b a b a b a b"),
             (2, "a b c a b c a b"),
             (3, "a b c d e f g h"),
-            # cluster {10,11}: same type count -> tie -> min id 10 survives
+            # cluster {10,11}: the HIGHER id wins on quality (doc 11 has 5
+            # distinct tokens vs doc 10's 4) — argmax, not min-id; the true
+            # tie case is the {20,21} block below
             (10, "p q r s p q r s"),
-            (11, "p q r s p q r t"),  # same 5? no: p q r s t = 5 vs 4
+            (11, "p q r s p q r t"),
         ],
         "doc_id long, text string",
     )
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
     )
+    res = dataops.dedup_keep_best(corpus, pairs=pairs)
     out = {
-        r["doc_id"]: (r["canonical_id"], r["survivor_id"])
-        for r in dataops.dedup_keep_best(corpus, pairs=pairs).collect()
+        r["doc_id"]: (r["canonical_id"], r["survivor_id"]) for r in res.collect()
     }
+    dataops._unpersist_checkpoint(res)
     assert out == {
         1: (1, 3),
         2: (1, 3),
@@ -249,10 +254,9 @@ def test_dedup_keep_best_argmax_and_ties(spark):
         [(20, "x y z x"), (21, "x y z x")], "doc_id long, text string"
     )
     tp = spark.createDataFrame([(20, 21)], "doc_a long, doc_b long")
-    got = {
-        r["doc_id"]: r["survivor_id"]
-        for r in dataops.dedup_keep_best(tie, pairs=tp).collect()
-    }
+    res2 = dataops.dedup_keep_best(tie, pairs=tp)
+    got = {r["doc_id"]: r["survivor_id"] for r in res2.collect()}
+    dataops._unpersist_checkpoint(res2)
     assert got == {20: 20, 21: 20}, got
 
 
