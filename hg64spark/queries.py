@@ -1096,6 +1096,81 @@ def _hg64_w1_oracle() -> str:
     """
 
 
+#: trimmed-stats gate quantile bounds (drop the bottom and top decade mass)
+TRIM_QLO, TRIM_QHI = 0.1, 0.9
+
+
+def q_hg64_trimmed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-quantile TRIMMED statistics from the sketch
+    (`relational.hg64_trimmed_stats`): per event_type, the bucket-granular
+    [q10, q90] trimmed count / minval-sum / mean — the robust mean without
+    a second data pass.  Integer-exact decimal sum, one final division,
+    bit-exact oracle sharing the quantile oracle's rank/clamp math."""
+    from hg64spark import relational
+
+    ev = io.read_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(floor(value * 1000) AS BIGINT) AS v"
+    )
+    out = relational.hg64_trimmed_stats(
+        ev, "v", ["event_type"], SIGBITS, qlo=TRIM_QLO, qhi=TRIM_QHI
+    )
+    # decimal(38,0) materializes as object/HUGEINT in the two engines'
+    # pandas paths (the pack_token_shards lesson) — the gate casts to
+    # BIGINT, exact at every gated scale and ANSI-loud past int64
+    return out.select(
+        "event_type",
+        "lo_key",
+        "hi_key",
+        "trimmed_n",
+        F.col("trimmed_sum").cast("long").alias("trimmed_sum"),
+        "trimmed_mean",
+    )
+
+
+def _hg64_trimmed_oracle() -> str:
+    k = sqloracle.key_expr("v", SIGBITS)
+    mv = sqloracle.minval_expr("k", SIGBITS)
+    # unnest([0.1]) yields DECIMAL in DuckDB — CAST the q probes to DOUBLE
+    # so rank arithmetic matches Spark's double math exactly
+    return f"""
+    WITH src AS (
+        SELECT event_type AS g, {k} AS k
+        FROM ({_EVENTS_VALUE_SQL}) WHERE v IS NOT NULL
+    ),
+    gc AS (SELECT g, k, count(*) AS c FROM src GROUP BY 1, 2),
+    cum AS (
+        SELECT g, k, c,
+               sum(c) OVER (PARTITION BY g ORDER BY k) AS cum_incl,
+               sum(c) OVER (PARTITION BY g) AS pop
+        FROM gc
+    ),
+    hits AS (
+        SELECT g,
+               min(CASE WHEN q = CAST({TRIM_QLO!r} AS DOUBLE) THEN k END) AS lo_key,
+               min(CASE WHEN q = CAST({TRIM_QHI!r} AS DOUBLE) THEN k END) AS hi_key
+        FROM cum
+        CROSS JOIN (SELECT unnest([CAST({TRIM_QLO!r} AS DOUBLE),
+                                   CAST({TRIM_QHI!r} AS DOUBLE)]) AS q)
+        WHERE CAST(floor(q * CAST(pop AS DOUBLE)) AS BIGINT) >= cum_incl - c
+          AND CAST(floor(q * CAST(pop AS DOUBLE)) AS BIGINT) < cum_incl
+        GROUP BY g
+    ),
+    tr AS (
+        SELECT cum.g, lo_key, hi_key,
+               sum(c) AS tn,
+               sum(c * ({mv})) AS ts
+        FROM cum JOIN hits ON hits.g IS NOT DISTINCT FROM cum.g
+        WHERE k >= lo_key AND k <= hi_key
+        GROUP BY cum.g, lo_key, hi_key
+    )
+    SELECT g AS event_type, lo_key, hi_key,
+           CAST(tn AS BIGINT) AS trimmed_n,
+           CAST(ts AS BIGINT) AS trimmed_sum,
+           CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE) AS trimmed_mean
+    FROM tr
+    """
+
+
 def q_hg64_retract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch RETRACTION gate: subtract the even-user sub-stream's keyed
     counts from the full stream's (`relational.hg64_counts_subtract` — the
@@ -1874,6 +1949,13 @@ _GATE_ACTIVE = [
 #: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
 #: so their driver freshness is 1 round; they rotate back in for r7
 _GATE_ROTATED_OUT = [
+    # QUEUED for the r7 window: authored late-r6 AFTER the 50-row window
+    # filled (25 new r6 gates + 24 freshness-due veterans + the
+    # pack_token_shards re-gate).  Listed here so it does not auto-front
+    # and silently displace a freshness-due veteran; green on the local
+    # oracle replica (tools/check_oracle.py) at sf0.001 + sf0.01.  Front
+    # it in r7's rotation.
+    "hg64_trimmed_events",
     # displaced mid-round-6 by the six temporal/planner/analytics gates
     # (asof, range join, cms_join_size, mg_emerging, funnel, retention) —
     # all six displaced lines are r5-green, freshness 1 round; the two
@@ -2010,6 +2092,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hg64_drift_events": q_hg64_drift_events,
         "hg64_ks_events": q_hg64_ks_events,
         "hg64_w1_events": q_hg64_w1_events,
+        "hg64_trimmed_events": q_hg64_trimmed_events,
         "sliding_drift_events": q_sliding_drift_events,
         "hg64_retract_events": q_hg64_retract_events,
         "hg64_retract_weighted_lineitem": q_hg64_retract_weighted_lineitem,
@@ -2153,6 +2236,7 @@ def _core_oracles() -> dict[str, str]:
         "hg64_drift_events": _hg64_drift_oracle(),
         "hg64_ks_events": _hg64_ks_oracle(),
         "hg64_w1_events": _hg64_w1_oracle(),
+        "hg64_trimmed_events": _hg64_trimmed_oracle(),
         "sliding_drift_events": _sliding_drift_oracle(),
         "hg64_retract_events": _hg64_retract_oracle(),
         "hg64_retract_weighted_lineitem": _hg64_retract_weighted_oracle(),

@@ -483,6 +483,119 @@ def hg64_quantiles_from_counts(
     return hit.select(*group_cols, "q", value)
 
 
+def hg64_trimmed_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    sigbits: int = 5,
+    qlo: float = 0.05,
+    qhi: float = 0.95,
+) -> DataFrame:
+    """(group..., lo_key, hi_key, trimmed_n, trimmed_sum, trimmed_mean):
+    inter-quantile TRIMMED statistics straight from the sketch — the
+    robust mean a latency/size dashboard actually wants (outlier decades
+    discarded) without a second pass over the data.  Trimming is
+    bucket-granular: keep every bucket from the one containing the
+    qlo-rank through the one containing the qhi-rank (the same
+    rank = floor(q*pop) clamp semantics as `value_at_quantile`), then
+    trimmed_sum = sum(count * bucket minval) — a LOWER-BOUND mean with
+    the histogram's 2^-sigbits relative resolution, exactly like every
+    other value this library reads back out of buckets.
+
+    Exactness: the sum runs in decimal(38,0) because count * minval can
+    exceed int64 (minval reaches 2^63 in the top decades); exact to 10^38
+    and ANSI-loud past it.  trimmed_mean divides the two exact integers
+    once, double-cast — bit-identical in any engine, any partitioning.
+
+    Plan shape: the quantile finalizer's per-group cumulative window over
+    <= nkeys bucket rows, one tiny threshold table (2 rows per group)
+    broadcast back onto the counts frame, one aggregation.  Nothing after
+    the keyed-count aggregate scales with input rows."""
+    counts = hg64_counts(df, value_col, list(group_cols), sigbits)
+    return hg64_trimmed_stats_from_counts(counts, group_cols, sigbits, qlo, qhi)
+
+
+def hg64_trimmed_stats_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str] = (),
+    sigbits: int = 5,
+    qlo: float = 0.05,
+    qhi: float = 0.95,
+) -> DataFrame:
+    """:func:`hg64_trimmed_stats` over a precomputed (group..., hg64_key,
+    count) frame — the retained-state entry point, sharing the quantile
+    finalizer's rank/clamp semantics so lo_key/hi_key are exactly the
+    buckets `value_at_quantile(qlo/qhi)` reads."""
+    from pyspark.sql import Window
+
+    qlo, qhi = float(qlo), float(qhi)
+    if not (0.0 <= qlo <= qhi < 1.0):
+        raise ValueError(f"need 0 <= qlo <= qhi < 1, got ({qlo}, {qhi})")
+    group_cols = list(group_cols)
+    wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))
+    cum = counts.withColumn(
+        "cum_incl", F.sum("count").over(wpart.orderBy("hg64_key"))
+    ).withColumn("pop", F.sum("count").over(wpart))
+    qdf = cum.crossJoin(
+        F.broadcast(
+            counts.sparkSession.createDataFrame([(qlo,), (qhi,)], "q double")
+        )
+    )
+    rank = F.floor(F.col("q") * F.col("pop").cast("double")).cast("long")
+    hit = qdf.filter(
+        (rank >= F.col("cum_incl") - F.col("count")) & (rank < F.col("cum_incl"))
+    )
+    thresholds = hit.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("q") == qlo, F.col("hg64_key"))).alias("lo_key"),
+        F.min(F.when(F.col("q") == qhi, F.col("hg64_key"))).alias("hi_key"),
+    )
+    if group_cols:
+        # NULL-SAFE group equality (the drift family's lesson): a NULL
+        # group is a group like any other; a plain equi-join would drop
+        # its threshold row and silently omit the group from the output
+        th = thresholds.select(
+            *[F.col(c).alias(f"__th_{c}") for c in group_cols], "lo_key", "hi_key"
+        )
+        cond = None
+        for c in group_cols:
+            e = F.col(c).eqNullSafe(F.col(f"__th_{c}"))
+            cond = e if cond is None else (cond & e)
+        joined = cum.join(F.broadcast(th), cond).drop(
+            *[f"__th_{c}" for c in group_cols]
+        )
+    else:
+        joined = cum.crossJoin(F.broadcast(thresholds))
+    dec = "decimal(38,0)"
+    mn = minval_col("hg64_key", sigbits)
+    # top-decade minvals (>= 2^63) wrap negative in int64 (shiftleft is a
+    # bitwise op, not ANSI arithmetic); restore the unsigned value in
+    # decimal so the sum is exact over the FULL u64 value domain
+    mn_u = mn.cast(dec) + F.when(
+        mn < 0, F.expr(f"CAST('{1 << 64}' AS {dec})")
+    ).otherwise(F.expr(f"CAST(0 AS {dec})"))
+    return (
+        joined.filter(
+            (F.col("hg64_key") >= F.col("lo_key")) & (F.col("hg64_key") <= F.col("hi_key"))
+        )
+        .groupBy(*group_cols, "lo_key", "hi_key")
+        .agg(
+            F.sum("count").alias("trimmed_n"),
+            F.sum(F.col("count").cast(dec) * mn_u).alias("trimmed_sum"),
+        )
+        .select(
+            *group_cols,
+            "lo_key",
+            "hi_key",
+            "trimmed_n",
+            "trimmed_sum",
+            (
+                F.col("trimmed_sum").cast("double")
+                / F.col("trimmed_n").cast("double")
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
 def bloom_words_df(spark, bloom) -> DataFrame:
     """Nonzero Bloom words as a (word_idx, word) DataFrame — the broadcast
     side of :func:`bloom_contains_relational` when starting from a

@@ -1120,6 +1120,39 @@ def test_hg64_w1_weighted_equals_exploded(spark):
     assert got_w == got_e and got_w
 
 
+def test_hg64_trimmed_stats_exact_and_unsigned(spark):
+    """Trimmed stats with exactly-known answers: values 1..10 once each at
+    [q10, q90] trim to buckets 2..10 (rank=floor(q*pop) clamp semantics,
+    n=9, sum=54, mean=6.0); a NULL group with the same data reports the
+    same stats (null-safe thresholds join); a top-decade bucket whose
+    int64 minval wraps negative is restored unsigned in the decimal sum;
+    invalid quantile bounds raise."""
+    import pytest
+
+    from hg64spark import relational
+
+    rows = [("a", v) for v in range(1, 11)] + [(None, v) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: (r["lo_key"], r["hi_key"], r["trimmed_n"], int(r["trimmed_sum"]), r["trimmed_mean"])
+        for r in relational.hg64_trimmed_stats(df, "v", ["g"], 5, qlo=0.1, qhi=0.9).collect()
+    }
+    assert out["a"] == (2, 10, 9, 54, 6.0), out
+    assert out[None] == out["a"], out
+
+    # key 1888 at sigbits=5 is the 2^63 bucket: minval wraps to -2^63 in
+    # int64; the decimal sum must carry the true unsigned value
+    top = spark.createDataFrame([("a", 1888, 3)], "g string, hg64_key int, count long")
+    t = relational.hg64_trimmed_stats_from_counts(top, ["g"], 5, qlo=0.0, qhi=0.9).collect()
+    assert int(t[0]["trimmed_sum"]) == 3 * (1 << 63), t
+    assert t[0]["trimmed_mean"] == float(1 << 63)
+
+    with pytest.raises(ValueError, match="qlo"):
+        relational.hg64_trimmed_stats_from_counts(top, ["g"], 5, qlo=0.9, qhi=0.1)
+    with pytest.raises(ValueError, match="qlo"):
+        relational.hg64_trimmed_stats_from_counts(top, ["g"], 5, qlo=0.0, qhi=1.0)
+
+
 def test_hg64_tv_adjacent_exact_bounds(spark):
     """Adjacent-window TV with exactly-known answers: an identical
     successor window sits at tv 0.0, a fully disjoint one at tv 1.0, and
