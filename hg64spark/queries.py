@@ -1129,7 +1129,11 @@ def q_hg64_trimmed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hg64_trimmed_oracle() -> str:
     k = sqloracle.key_expr("v", SIGBITS)
-    mv = sqloracle.minval_expr("k", SIGBITS)
+    # the UNSIGNED minval (HUGEINT): the oracle must mirror the library's
+    # full-u64-domain exactness, not just hold on the gate's small values —
+    # BIGINT minval would wrap/raise on top-decade buckets the Spark side
+    # handles via its decimal restore
+    mv = sqloracle.minval_unsigned_expr("k", SIGBITS)
     # unnest([0.1]) yields DECIMAL in DuckDB — CAST the q probes to DOUBLE
     # so rank arithmetic matches Spark's double math exactly
     return f"""

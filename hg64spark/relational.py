@@ -449,6 +449,34 @@ def hg64_quantiles_relational(
     return hg64_quantiles_from_counts(counts, qs, group_cols, sigbits)
 
 
+def _rank_hits(
+    counts: DataFrame, qs: Sequence[float], group_cols: Sequence[str]
+) -> tuple[DataFrame, DataFrame, Column]:
+    """The quantile rank scan — per-group inclusive cumulative + population
+    window over <= nkeys bucket rows, crossed with the q probes, filtered
+    to the bucket containing rank = floor(q*pop) (`value_at_quantile`'s
+    clamp semantics).  Returns (cum frame, hit frame, rank Column).  ONE
+    definition shared by the quantile finalizer and the trimmed-stats
+    thresholds: the trimmed docstring's "lo_key/hi_key are exactly the
+    buckets value_at_quantile reads" is structural, not a copy to keep in
+    sync."""
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))
+    cum = counts.withColumn(
+        "cum_incl", F.sum("count").over(wpart.orderBy("hg64_key"))
+    ).withColumn("pop", F.sum("count").over(wpart))
+    qdf = cum.crossJoin(
+        F.broadcast(
+            counts.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+        )
+    )
+    rank = F.floor(F.col("q") * F.col("pop").cast("double")).cast("long")
+    hit = qdf.filter((rank >= F.col("cum_incl") - F.col("count")) & (rank < F.col("cum_incl")))
+    return cum, hit, rank
+
+
 def hg64_quantiles_from_counts(
     counts: DataFrame,
     qs: Sequence[float],
@@ -459,23 +487,11 @@ def hg64_quantiles_from_counts(
     frame — lets callers supply counts from any build (plain groupBy,
     GROUPING SETS / cube cells, streaming window output) and share the
     identical rank/interpolation math."""
-    from pyspark.sql import Window
-
     qs = [float(q) for q in qs]
     if any(q < 0.0 or q >= 1.0 for q in qs):
         raise ValueError("hg64_quantiles_from_counts requires 0 <= q < 1")
     group_cols = list(group_cols)
-    wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))
-    cum = counts.withColumn("cum_incl", F.sum("count").over(wpart.orderBy("hg64_key"))).withColumn(
-        "pop", F.sum("count").over(wpart)
-    )
-    qdf = cum.crossJoin(
-        F.broadcast(
-            counts.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
-        )
-    )
-    rank = F.floor(F.col("q") * F.col("pop").cast("double")).cast("long")
-    hit = qdf.filter((rank >= F.col("cum_incl") - F.col("count")) & (rank < F.col("cum_incl")))
+    _, hit, rank = _rank_hits(counts, qs, group_cols)
     mn = minval_col("hg64_key", sigbits)
     span = (maxval_col("hg64_key", sigbits) - mn).cast("double")
     rank_in = (rank - (F.col("cum_incl") - F.col("count"))).cast("double")
@@ -524,27 +540,14 @@ def hg64_trimmed_stats_from_counts(
 ) -> DataFrame:
     """:func:`hg64_trimmed_stats` over a precomputed (group..., hg64_key,
     count) frame — the retained-state entry point, sharing the quantile
-    finalizer's rank/clamp semantics so lo_key/hi_key are exactly the
-    buckets `value_at_quantile(qlo/qhi)` reads."""
-    from pyspark.sql import Window
-
+    finalizer's rank/clamp semantics (via the common :func:`_rank_hits`
+    scan) so lo_key/hi_key are exactly the buckets
+    `value_at_quantile(qlo/qhi)` reads."""
     qlo, qhi = float(qlo), float(qhi)
     if not (0.0 <= qlo <= qhi < 1.0):
         raise ValueError(f"need 0 <= qlo <= qhi < 1, got ({qlo}, {qhi})")
     group_cols = list(group_cols)
-    wpart = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(0))
-    cum = counts.withColumn(
-        "cum_incl", F.sum("count").over(wpart.orderBy("hg64_key"))
-    ).withColumn("pop", F.sum("count").over(wpart))
-    qdf = cum.crossJoin(
-        F.broadcast(
-            counts.sparkSession.createDataFrame([(qlo,), (qhi,)], "q double")
-        )
-    )
-    rank = F.floor(F.col("q") * F.col("pop").cast("double")).cast("long")
-    hit = qdf.filter(
-        (rank >= F.col("cum_incl") - F.col("count")) & (rank < F.col("cum_incl"))
-    )
+    cum, hit, _ = _rank_hits(counts, [qlo, qhi], group_cols)
     thresholds = hit.groupBy(*group_cols).agg(
         F.min(F.when(F.col("q") == qlo, F.col("hg64_key"))).alias("lo_key"),
         F.min(F.when(F.col("q") == qhi, F.col("hg64_key"))).alias("hi_key"),

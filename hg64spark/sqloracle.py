@@ -45,6 +45,21 @@ def minval_expr(key_sql: str, sigbits: int) -> str:
     )
 
 
+def minval_unsigned_expr(key_sql: str, sigbits: int) -> str:
+    """`key_to_minval` exact over the FULL u64 key domain, as HUGEINT:
+    the mantissa is widened before the shift — DuckDB's BIGINT ``<<``
+    raises Out of Range once minval reaches 2^63 (top decades), where
+    :func:`minval_expr` can no longer represent the value.  Mirrors the
+    Spark side's decimal unsigned restore
+    (`relational.hg64_trimmed_stats_from_counts`), so oracles that SUM
+    count x minval stay exact wherever the library does."""
+    bs = 1 << sigbits
+    return (
+        f"(CASE WHEN ({key_sql}) < {bs} THEN CAST(({key_sql}) AS HUGEINT) "
+        f"ELSE CAST((({key_sql}) % {bs}) + {bs} AS HUGEINT) << ((({key_sql}) // {bs}) - 1) END)"
+    )
+
+
 def maxval_expr(key_sql: str, sigbits: int) -> str:
     """`key_to_maxval` (`hg64.c:164-174`)."""
     bs = 1 << sigbits

@@ -91,3 +91,26 @@ def test_interpolate_matches_c_semantics():
     div = np.array([3, 0, 4, 9], dtype=U64)
     got = km.interpolate_u64(span, mul, div)
     assert got.tolist() == [33, 100, 3, 0]
+
+
+def test_minval_unsigned_sql_matches_keymath_exhaustively():
+    """sqloracle.minval_unsigned_expr (the HUGEINT oracle form that stays
+    exact in the top decades where BIGINT << raises) must equal
+    keymath.key_to_minval for EVERY key of the gated sigbits and for a
+    high- and low-precision neighbor — including the >= 2^63 buckets the
+    signed forms cannot represent."""
+    import duckdb
+    import numpy as np
+
+    from hg64spark import keymath, sqloracle
+
+    con = duckdb.connect()
+    for sb in (1, 5, 11):
+        n = keymath.nkeys(sb)
+        expr = sqloracle.minval_unsigned_expr("k", sb)
+        got = con.execute(
+            f"SELECT CAST({expr} AS VARCHAR) FROM (SELECT unnest(range({n})) AS k) ORDER BY k"
+        ).fetchall()
+        want = keymath.key_to_minval(np.arange(n, dtype=np.int64), sb)
+        assert [int(g[0]) for g in got] == [int(w) for w in want.tolist()], sb
+        assert int(want[-1]) >= 1 << 63  # the top decade is really exercised
