@@ -24,11 +24,14 @@ everything):
     complement: how FAR the mass moved, ~linear in log2(value)
   * pairwise histogram overlap coefficients (`hg64_overlap` shape over the
     same counts) — "which groups are interchangeable?"
+  * per-group inter-quantile TRIMMED statistics
+    (`relational.hg64_trimmed_stats_from_counts`, bounds --trim-qlo/--trim-qhi)
+    — the robust mean the raw mean can't give on long-tailed data
   * global quantile band (p01/p50/p99, `hg64_quantiles_from_counts`)
 
-and writes drift + ks + w1 + overlap tables under --output plus a one-line
-JSON summary (worst TV/KS/W1 groups, least-overlapping pair, quantile
-band) —
+and writes drift + ks + w1 + trimmed + overlap tables under --output plus
+a one-line JSON summary (worst TV/KS/W1 groups, least-overlapping pair,
+quantile band, global trimmed mean) —
 bounded bytes to the driver at any input size.
 
 Scale shape: everything downstream of the first aggregate operates on
@@ -58,6 +61,8 @@ def main() -> None:
     ap.add_argument("--group-col", required=True)
     ap.add_argument("--weight-col", default=None)
     ap.add_argument("--sigbits", type=int, default=5)
+    ap.add_argument("--trim-qlo", type=float, default=0.05)
+    ap.add_argument("--trim-qhi", type=float, default=0.95)
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
 
@@ -99,12 +104,19 @@ def main() -> None:
     # entry point — one algebra, job and library cannot drift (and the 2^62
     # exactness guard rides along instead of silently wrapping at scale)
     overlap = relational.hg64_overlap_from_counts(counts, "g")
+    trimmed = relational.hg64_trimmed_stats_from_counts(
+        counts, ["g"], args.sigbits, qlo=args.trim_qlo, qhi=args.trim_qhi
+    )
     glob = counts.groupBy("hg64_key").agg(F.sum("count").alias("count"))
     band = relational.hg64_quantiles_from_counts(glob, [0.01, 0.5, 0.99], [], args.sigbits)
+    gtrim = relational.hg64_trimmed_stats_from_counts(
+        glob, [], args.sigbits, qlo=args.trim_qlo, qhi=args.trim_qhi
+    )
 
     drift.write.mode("overwrite").parquet(f"{args.output}/drift")
     ks.write.mode("overwrite").parquet(f"{args.output}/ks")
     w1.write.mode("overwrite").parquet(f"{args.output}/w1")
+    trimmed.write.mode("overwrite").parquet(f"{args.output}/trimmed")
     overlap.write.mode("overwrite").parquet(f"{args.output}/overlap")
 
     # zero-mass groups report tv / overlap NULL (see the library docstrings)
@@ -115,6 +127,7 @@ def main() -> None:
     worst_w1 = w1.filter("w1 IS NOT NULL").orderBy(F.desc("w1")).limit(1).collect()
     least = overlap.filter("overlap IS NOT NULL").orderBy("overlap").limit(1).collect()
     qs = {repr(r["q"]): int(r["value"]) for r in band.collect()}
+    gt = gtrim.collect()
     print(
         json.dumps(
             {
@@ -142,6 +155,10 @@ def main() -> None:
                     else None
                 ),
                 "quantile_band": qs,
+                "trimmed_mean": (
+                    round(gt[0]["trimmed_mean"], 3) if gt else None
+                ),
+                "trim_bounds": [args.trim_qlo, args.trim_qhi],
                 "weighted": bool(args.weight_col),
                 "sec": round(time.perf_counter() - t0, 2),
             }
