@@ -1153,6 +1153,32 @@ def test_hg64_trimmed_stats_exact_and_unsigned(spark):
         relational.hg64_trimmed_stats_from_counts(top, ["g"], 5, qlo=0.0, qhi=1.0)
 
 
+def test_hg64_trimmed_weighted_equals_exploded(spark):
+    """Trimmed stats over a weighted build must equal the unweighted build
+    over the weight-exploded rows — the counts-frame entry point is
+    build-agnostic, completing the TV/KS/W1 multiplicity pattern."""
+    from hg64spark import relational
+
+    z = spark.range(500).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
+        "CAST(id % 97 + 1 AS LONG) AS v",
+        "CAST(id % 3 + 1 AS LONG) AS wt",
+    )
+    exploded = z.selectExpr("g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS one")
+    key = lambda r: (r["g"], r["lo_key"], r["hi_key"], r["trimmed_n"], int(r["trimmed_sum"]), r["trimmed_mean"])
+    got_w = sorted(
+        key(r)
+        for r in relational.hg64_trimmed_stats_from_counts(
+            relational.hg64_counts(z, "v", ["g"], 5, weight_col="wt"), ["g"], 5, 0.1, 0.9
+        ).collect()
+    )
+    got_e = sorted(
+        key(r)
+        for r in relational.hg64_trimmed_stats(exploded, "v", ["g"], 5, qlo=0.1, qhi=0.9).collect()
+    )
+    assert got_w == got_e and got_w
+
+
 def test_hg64_tv_adjacent_exact_bounds(spark):
     """Adjacent-window TV with exactly-known answers: an identical
     successor window sits at tv 0.0, a fully disjoint one at tv 1.0, and
