@@ -506,6 +506,7 @@ def hg64_trimmed_stats(
     sigbits: int = 5,
     qlo: float = 0.05,
     qhi: float = 0.95,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(group..., lo_key, hi_key, trimmed_n, trimmed_sum, trimmed_mean):
     inter-quantile TRIMMED statistics straight from the sketch — the
@@ -526,8 +527,12 @@ def hg64_trimmed_stats(
     Plan shape: the quantile finalizer's per-group cumulative window over
     <= nkeys bucket rows, one tiny threshold table (2 rows per group)
     broadcast back onto the counts frame, one aggregation.  Nothing after
-    the keyed-count aggregate scales with input rows."""
-    counts = hg64_counts(df, value_col, list(group_cols), sigbits)
+    the keyed-count aggregate scales with input rows.  With ``weight_col``
+    the trimmed statistics are over the weight-mass distribution (counts
+    are weight sums; a zero-mass group reports an all-NULL row)."""
+    counts = hg64_counts(
+        df, value_col, list(group_cols), sigbits, weight_col=weight_col
+    )
     return hg64_trimmed_stats_from_counts(counts, group_cols, sigbits, qlo, qhi)
 
 
@@ -542,7 +547,9 @@ def hg64_trimmed_stats_from_counts(
     count) frame — the retained-state entry point, sharing the quantile
     finalizer's rank/clamp semantics (via the common :func:`_rank_hits`
     scan) so lo_key/hi_key are exactly the buckets
-    `value_at_quantile(qlo/qhi)` reads."""
+    `value_at_quantile(qlo/qhi)` reads.  A ZERO-MASS group (weighted
+    build, weights summing to 0) reports an all-NULL row rather than
+    disappearing — the drift family's inventory contract."""
     qlo, qhi = float(qlo), float(qhi)
     if not (0.0 <= qlo <= qhi < 1.0):
         raise ValueError(f"need 0 <= qlo <= qhi < 1, got ({qlo}, {qhi})")
@@ -576,7 +583,7 @@ def hg64_trimmed_stats_from_counts(
     mn_u = mn.cast(dec) + F.when(
         mn < 0, F.expr(f"CAST('{1 << 64}' AS {dec})")
     ).otherwise(F.expr(f"CAST(0 AS {dec})"))
-    return (
+    stats = (
         joined.filter(
             (F.col("hg64_key") >= F.col("lo_key")) & (F.col("hg64_key") <= F.col("hi_key"))
         )
@@ -596,6 +603,29 @@ def hg64_trimmed_stats_from_counts(
                 / F.col("trimmed_n").cast("double")
             ).alias("trimmed_mean"),
         )
+    )
+    if not group_cols:
+        return stats
+    # ZERO-MASS groups (weighted builds whose weights sum to 0) have no
+    # rank-hit bucket, so they vanish from `stats` — restore them as
+    # all-NULL rows to match the drift family's "a group like any other,
+    # NULL statistic" inventory contract (null-safe: a NULL group value
+    # is itself a group)
+    grp = counts.select(*group_cols).distinct()
+    st = stats.select(
+        *[F.col(c).alias(f"__st_{c}") for c in group_cols],
+        "lo_key",
+        "hi_key",
+        "trimmed_n",
+        "trimmed_sum",
+        "trimmed_mean",
+    )
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__st_{c}"))
+        cond = e if cond is None else (cond & e)
+    return grp.join(F.broadcast(st), cond, "left").select(
+        *group_cols, "lo_key", "hi_key", "trimmed_n", "trimmed_sum", "trimmed_mean"
     )
 
 

@@ -65,6 +65,14 @@ def main() -> None:
     ap.add_argument("--trim-qhi", type=float, default=0.95)
     ap.add_argument("--output", required=True)
     args = ap.parse_args()
+    # validate BEFORE the eager keyed-count pass: a bad bound must fail in
+    # milliseconds, not after a full scan of a 100 TB input (the same
+    # validate-up-front discipline as the drift numerator check)
+    if not (0.0 <= args.trim_qlo <= args.trim_qhi < 1.0):
+        raise SystemExit(
+            f"need 0 <= --trim-qlo <= --trim-qhi < 1, got "
+            f"({args.trim_qlo}, {args.trim_qhi})"
+        )
 
     from pyspark.sql import SparkSession, functions as F
 

@@ -997,18 +997,28 @@ def test_hg64_ks_drift_exact_bounds_and_guard(spark):
     assert big == {"a": 0.5, "b": 0.5}, big
 
 
+def _weighted_fixture(spark, vmod: int = 19):
+    """The weighted-multiplicity fixture shared by every
+    *_weighted_equals_exploded test: (z, exploded) where z carries integer
+    weights 1..3 and exploded repeats each row weight times — ONE
+    definition so a future fixture change (e.g. adding a NULL-weight row)
+    cannot silently diverge between the four statistics' suites."""
+    z = spark.range(500).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
+        f"CAST(id % {vmod} + 1 AS LONG) AS v",
+        "CAST(id % 3 + 1 AS LONG) AS wt",
+    )
+    exploded = z.selectExpr("g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS one")
+    return z, exploded
+
+
 def test_hg64_ks_weighted_equals_exploded(spark):
     """A weighted KS build must equal the unweighted build over the
     weight-exploded rows — weights are multiplicities, for the sup-norm
     statistic exactly as for TV."""
     from hg64spark import relational
 
-    z = spark.range(500).selectExpr(
-        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
-        "CAST(id % 19 + 1 AS LONG) AS v",
-        "CAST(id % 3 + 1 AS LONG) AS wt",
-    )
-    exploded = z.selectExpr("g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS one")
+    z, exploded = _weighted_fixture(spark)
     got_w = {
         r["g"]: (r["ks_numerator"], r["ks"])
         for r in relational.hg64_ks_drift(z, "v", "g", 5, weight_col="wt").collect()
@@ -1103,12 +1113,7 @@ def test_hg64_w1_weighted_equals_exploded(spark):
     statistic exactly as for TV and KS."""
     from hg64spark import relational
 
-    z = spark.range(500).selectExpr(
-        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
-        "CAST(id % 19 + 1 AS LONG) AS v",
-        "CAST(id % 3 + 1 AS LONG) AS wt",
-    )
-    exploded = z.selectExpr("g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS one")
+    z, exploded = _weighted_fixture(spark)
     got_w = {
         r["g"]: (r["w1_numerator"], r["w1"])
         for r in relational.hg64_w1_drift(z, "v", "g", 5, weight_col="wt").collect()
@@ -1156,15 +1161,12 @@ def test_hg64_trimmed_stats_exact_and_unsigned(spark):
 def test_hg64_trimmed_weighted_equals_exploded(spark):
     """Trimmed stats over a weighted build must equal the unweighted build
     over the weight-exploded rows — the counts-frame entry point is
-    build-agnostic, completing the TV/KS/W1 multiplicity pattern."""
+    build-agnostic, completing the TV/KS/W1 multiplicity pattern; a
+    zero-mass group reports an all-NULL row (the drift-family inventory
+    contract), not a silent drop."""
     from hg64spark import relational
 
-    z = spark.range(500).selectExpr(
-        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS g",
-        "CAST(id % 97 + 1 AS LONG) AS v",
-        "CAST(id % 3 + 1 AS LONG) AS wt",
-    )
-    exploded = z.selectExpr("g", "v", "explode(array_repeat(1, CAST(wt AS INT))) AS one")
+    z, exploded = _weighted_fixture(spark, vmod=97)
     key = lambda r: (r["g"], r["lo_key"], r["hi_key"], r["trimmed_n"], int(r["trimmed_sum"]), r["trimmed_mean"])
     got_w = sorted(
         key(r)
@@ -1177,6 +1179,16 @@ def test_hg64_trimmed_weighted_equals_exploded(spark):
         for r in relational.hg64_trimmed_stats(exploded, "v", ["g"], 5, qlo=0.1, qhi=0.9).collect()
     )
     assert got_w == got_e and got_w
+
+    # zero-mass group: all-NULL row, present in the inventory
+    zm = z.selectExpr("g", "v", "CASE WHEN g = 'y' THEN 0L ELSE wt END AS wt")
+    rows = {
+        r["g"]: (r["lo_key"], r["trimmed_n"], r["trimmed_mean"])
+        for r in relational.hg64_trimmed_stats(
+            zm, "v", ["g"], 5, qlo=0.1, qhi=0.9, weight_col="wt"
+        ).collect()
+    }
+    assert rows["y"] == (None, None, None) and rows["x"][1] is not None, rows
 
 
 def test_hg64_tv_adjacent_exact_bounds(spark):
