@@ -2290,9 +2290,12 @@ def _decayed_topk_users_sql() -> str:
     ),
     w AS (
         SELECT user_id,
-               sum(CASE WHEN age <= {DECAY_HORIZON}
-                        THEN CAST(1 AS BIGINT) << CAST({DECAY_HORIZON} - age AS INT)
-                        ELSE CAST(0 AS BIGINT) END) AS decayed
+               -- outer CAST: DuckDB widens sum(BIGINT) to HUGEINT, which
+               -- pandas materializes as float64/object and the driver's
+               -- dtype-sensitive hash rejects against Spark's int64
+               CAST(sum(CASE WHEN age <= {DECAY_HORIZON}
+                             THEN CAST(1 AS BIGINT) << CAST({DECAY_HORIZON} - age AS INT)
+                             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS decayed
         FROM aged GROUP BY 1
     )
     SELECT user_id, decayed FROM w WHERE decayed > 0

@@ -82,6 +82,12 @@ class HG64:
         (`hg64.c:236-237`)."""
         if count == 0:
             return
+        if value < 0 or count < 0:
+            # same contract as add_values: np.array([-1], dtype=uint64)
+            # silently wraps to 2^64-1 and mis-buckets into the top decade
+            raise ValueError(
+                f"hg64 ingests unsigned values/counts; got value={value} count={count}"
+            )
         key = int(km.value_to_key(np.array([value], dtype=U64), self.sigbits)[0])
         self.counters[key] += U64(count)
 
@@ -94,6 +100,11 @@ class HG64:
         Python loop is over spanned buckets only (<= KEYS).
         """
         vmin, vmax, count = int(vmin), int(vmax), int(count)
+        if vmin < 0 or vmax < vmin or count < 0:
+            raise ValueError(
+                f"hg64 put needs 0 <= vmin <= vmax and count >= 0; "
+                f"got [{vmin}, {vmax}] count={count}"
+            )
         kmin = int(km.value_to_key(np.array([vmin], dtype=U64), self.sigbits)[0])
         kmax = int(km.value_to_key(np.array([vmax], dtype=U64), self.sigbits)[0])
         for key in range(kmin, kmax + 1):

@@ -1228,7 +1228,13 @@ def hg64_calibrate(
     return (
         joined.withColumn("ref_rank", rank)
         .withColumn(
-            "ref_pct", F.col("ref_rank").cast("double") / F.col("__pop").cast("double")
+            # nullif: an EMPTY reference still densifies to 1920 zero-count
+            # buckets, so every df row joins with __pop = 0 — under ANSI
+            # mode a bare division would crash with DIVIDE_BY_ZERO; the
+            # drift-family convention is a NULL percentile instead
+            "ref_pct",
+            F.col("ref_rank").cast("double")
+            / F.nullif(F.col("__pop").cast("double"), F.lit(0.0)),
         )
         .drop("__k", "__cnt", "__cb", "__pop", "hg64_key")
     )

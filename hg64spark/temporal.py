@@ -119,6 +119,13 @@ def range_join_count(
     probe row itself).  Returns all probe columns plus ``count_col``;
     probes with no build rows in range get 0 (left join + count-non-null).
 
+    Key matching is NULL-SAFE (``eqNullSafe``): a probe row with a NULL
+    key matches build rows whose key is also NULL — SQL's ``IS NOT
+    DISTINCT FROM``, not the plain equality of an ANSI inequality join
+    (which would never match NULL to NULL).  Pre-filter NULL keys on both
+    sides if standard join semantics are wanted; the shipped gate's oracle
+    does exactly that.
+
     ``probe`` rows must be unique (same precondition style as
     :func:`asof_join`): the result groups by all probe columns, so two
     fully identical probe rows would merge into ONE output row with a

@@ -109,9 +109,10 @@ def main() -> None:
         counts, "g", numerator="decimal", key_span=keymath.nkeys(args.sigbits)
     )
     # overlap over the SAME counts frame via the library's retained-state
-    # entry point — one algebra, job and library cannot drift (and the 2^62
-    # exactness guard rides along instead of silently wrapping at scale)
-    overlap = relational.hg64_overlap_from_counts(counts, "g")
+    # entry point — one algebra, job and library cannot drift; decimal
+    # numerator like the drift stats above, else the first group pair with
+    # n_a*n_b > 2^62 hits the int64 guard's raise_error and fails the job
+    overlap = relational.hg64_overlap_from_counts(counts, "g", numerator="decimal")
     trimmed = relational.hg64_trimmed_stats_from_counts(
         counts, ["g"], args.sigbits, qlo=args.trim_qlo, qhi=args.trim_qhi
     )

@@ -33,6 +33,26 @@ def test_negative_values_rejected():
         hg.add_values(np.array([-1], dtype=np.int64))
 
 
+def test_negative_scalar_paths_rejected():
+    """inc/put must match add_values' unsigned contract — without the guard
+    np.array([-1], dtype=uint64) silently wraps to 2^64-1 and the update
+    lands in the top decade instead of raising."""
+    hg = HG64(5)
+    with pytest.raises(ValueError):
+        hg.inc(-1)
+    with pytest.raises(ValueError):
+        hg.inc(1, -2)
+    with pytest.raises(ValueError):
+        hg.put(-5, 10, 3)
+    with pytest.raises(ValueError):
+        hg.put(10, 5, 3)
+    with pytest.raises(ValueError):
+        hg.put(0, 10, -1)
+    assert hg.population == 0
+    hg.inc(0, 0)  # zero increment stays a no-op
+    assert hg.population == 0
+
+
 def test_merge_equals_direct_load():
     """`test.c:221-230`: N private sketches merged must be bucket-for-bucket
     identical to one sketch fed everything (same sigbits => lossless)."""

@@ -1,6 +1,15 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row counts, column
-names, and order-insensitive values.
+names, order-insensitive values, AND pandas dtypes.
+
+The dtype leg exists because the driver hashes *pandas frames* (Spark
+``toPandas()`` vs DuckDB ``fetchdf()``), so a DuckDB column that widens past
+BIGINT (``sum(BIGINT)`` -> HUGEINT -> float64/object in pandas) hash-mismatches
+a Spark int64 even when every value is numerically identical.  That class
+fired twice (r5 ``pack_token_shards``, r6 ``decayed_topk_users``) while the
+repr-based value compare here stayed green — Python ints from ``fetchall()``
+hide the frame dtype.  Comparing ``fetchdf()`` dtypes makes this replica
+fail exactly where the driver fails.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -32,6 +41,16 @@ def norm_rows(cols, rows):
     for r in rows:
         out.append(tuple(norm_cell(r[i]) for i in order))
     return sorted(out), [cols[i] for i in order]
+
+
+def frame_dtypes(pdf):
+    """Column -> pandas dtype kind, the dtype-sensitivity the driver's
+    pandas-frame hash has.  Kind (not full dtype) so int64 vs int64 matches
+    while int64 vs float64/object (the HUGEINT decay) fails; datetime64 unit
+    differences (DuckDB [us] vs older pandas [ns]) are deliberately ignored —
+    both engines emit the same instant and driver gates with timestamp
+    outputs have always matched."""
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
 
 
 def main() -> int:
@@ -66,20 +85,24 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
             if name not in oracles:
                 print(f"[rows-only] {name}: {len(srows)} rows")
                 continue
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).fetchdf()
+            ocols = list(opdf.columns)
+            orows = [tuple(r) for r in opdf.itertuples(index=False, name=None)]
             s_norm, s_c = norm_rows(scols, srows)
             o_norm, o_c = norm_rows(ocols, orows)
             ok_cols = s_c == o_c
             ok_count = len(s_norm) == len(o_norm)
             ok_vals = s_norm == o_norm
-            status = "PASS" if (ok_cols and ok_count and ok_vals) else "FAIL"
-            print(f"[{status}] {name}: spark={len(s_norm)} oracle={len(o_norm)} cols={'ok' if ok_cols else (s_c, o_c)}")
+            sd, od = frame_dtypes(spdf), frame_dtypes(opdf)
+            ok_dtypes = sd == od
+            status = "PASS" if (ok_cols and ok_count and ok_vals and ok_dtypes) else "FAIL"
+            print(f"[{status}] {name}: spark={len(s_norm)} oracle={len(o_norm)} cols={'ok' if ok_cols else (s_c, o_c)}"
+                  + ("" if ok_dtypes else f" DTYPES spark={sd} oracle={od}"))
             if status == "FAIL":
                 failed.append(name)
                 if not ok_vals and ok_cols and ok_count:
