@@ -1917,82 +1917,27 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_GATE_CAP = 50
 
 _GATE_ACTIVE = [
-    # -- ROTATED IN for round 6: the 24 queries whose last driver row is
-    # r<=4 (rotated out for r5, all green on the local replica since) —
-    # freshness policy: no exposed query's driver row older than 2 rounds
-    "tfidf_top_terms",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "text_winnow",
-    "sample_correlated_lineitem",
-    "dedup_cluster",
-    "decontaminate_overlap",
-    "turncount_quantiles",
-    "textlen_buckets_by_role",
-    "latency_quantiles_by_tool_rel",
-    "hll_distinct_users_rel",
-    "bloom_membership_rel",
-    "cms_top_custkeys_rel",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "token_count_hist",
-    "token_count_bpe",
-    "dedup_exact",
-    "dedup_ngram_topk",
-    "ann_brute_topk",
-    "ann_lsh_recall",
-    "multimodal_payloads",
-    "sample_stratified",
-    # -- r5-green keepers: pack_token_shards re-gates after its r5 red row
-    # (oracle-typing fix this round), the rest keep one representative of
-    # every operator family in-window
-    "pack_token_shards",
-]
-
-#: rotated out for round 6 — ALL have green r5 driver rows (the r5 window),
-#: so their driver freshness is 1 round; they rotate back in for r7
-_GATE_ROTATED_OUT = [
-    # QUEUED for the r7 window: authored late-r6 AFTER the 50-row window
-    # filled (25 new r6 gates + 24 freshness-due veterans + the
-    # pack_token_shards re-gate).  Listed here so it does not auto-front
-    # and silently displace a freshness-due veteran; green on the local
-    # oracle replica (tools/check_oracle.py) at sf0.001 + sf0.01.  Front
-    # it in r7's rotation.
+    # -- ROUND 7 WINDOW --
+    # hg64_trimmed_events: authored late-r6, parked here queued (window was
+    # full) — never had a driver row; fronts first.
+    # decayed_topk_users: r6's one red row (oracle HUGEINT typing, fixed
+    # this round) — stays in-window until its driver row is green.
+    # The rest: the 47 veterans whose last driver row is r5 (rotated out
+    # for r6, all green on the local oracle replica since) — freshness
+    # policy: no exposed query's driver row older than 2 rounds.
+    # Displaced to r8 (one seat short): latency_quantiles_by_tool — the
+    # flagship is driver-smoked every round through entry() and timed by
+    # its per-round bench line, and its in-window-until-r6 _rel twin is
+    # byte-equality-asserted against it in pytest.
     "hg64_trimmed_events",
-    # displaced mid-round-6 by the six temporal/planner/analytics gates
-    # (asof, range join, cms_join_size, mg_emerging, funnel, retention) —
-    # all six displaced lines are r5-green, freshness 1 round; the two
-    # companion displacements keep their _rel twins in-window
-    # displaced late-round-6 by scrub_pii + decayed_topk_users (both
-    # r5-green; the hg64 bucket/quantile family stays represented in-window
-    # by latency_quantiles_by_tool and the new hg64 analytics gates)
+    "decayed_topk_users",
     "hg64_buckets_events",
     "hg64_quantiles_events",
-    # displaced late-round-6 by corpus_diff + znorm_lineitem (both r5-green;
-    # dedup stays represented by dedup_minhash_lsh, streaming by the new
-    # streaming_drift_events gate)
     "dedup_substring",
     "streaming_hg64_by_type",
-    # displaced late-round-6 by hg64_ks_events (r5-green; the composed
-    # corpus chain stays covered through pack_chunked_corpus + the curated
-    # diff job's gated building blocks)
     "corpus_pipeline",
-    # displaced late-round-6 by hg64_w1_events (flagship: green every round
-    # r1-r5, covered every round by entry() + its per-round bench line, and
-    # its _rel twin stays in-window)
-    "latency_quantiles_by_tool",
-    # displaced late-round-6 by dedup_keep_best (r5-green; its bench line
-    # asserts the recall floor itself every round, and ann_brute/ann_lsh
-    # stay in-window for the ANN family)
     "ann_ivf_recall",
-    # displaced late-round-6 by sliding_drift_events (r5-green;
-    # decontamination stays represented by the rotated-in
-    # decontaminate_overlap)
     "decontaminate_bloom",
-    # displaced late-round-6 by calibrate_new_docs (r5-green; dedup stays
-    # represented by the rotated-in dedup_simhash / dedup_embedding_cosine
-    # and minhash keeps its per-round bench line)
     "dedup_minhash_lsh",
     "hg64_stats_events",
     "hg64_downsample_lineitem",
@@ -2034,6 +1979,63 @@ _GATE_ROTATED_OUT = [
     "sliding_hg64_events",
     "hg64_drift_events",
     "hg64_retract_events",
+]
+
+#: rotated out for round 7 — ALL have green r6 driver rows (the r6 window
+#: minus decayed_topk_users, which re-gates), so their driver freshness is
+#: 1 round; they rotate back in for r8.  Plus latency_quantiles_by_tool
+#: (r5-green, displaced one extra round — see the _GATE_ACTIVE note).
+_GATE_ROTATED_OUT = [
+    "multimodal_image_decode",
+    "multimodal_audio_decode",
+    "curriculum_bins",
+    "pack_chunked_corpus",
+    "text_novelty",
+    "dedup_keep_best",
+    "scrub_pii",
+    "corpus_diff",
+    "znorm_lineitem",
+    "calibrate_new_docs",
+    "hg64_ks_events",
+    "hg64_w1_events",
+    "sliding_drift_events",
+    "hg64_retract_weighted_lineitem",
+    "hg64_overlap_events",
+    "streaming_drift_events",
+    "hll_intersection_events",
+    "hg64_rank_features_lineitem",
+    "asof_join_events",
+    "range_join_events",
+    "cms_join_size",
+    "mg_emerging_tools",
+    "funnel_events",
+    "retention_cohorts",
+    "tfidf_top_terms",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_winnow",
+    "sample_correlated_lineitem",
+    "dedup_cluster",
+    "decontaminate_overlap",
+    "turncount_quantiles",
+    "textlen_buckets_by_role",
+    "latency_quantiles_by_tool_rel",
+    "hll_distinct_users_rel",
+    "bloom_membership_rel",
+    "cms_top_custkeys_rel",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "token_count_hist",
+    "token_count_bpe",
+    "dedup_exact",
+    "dedup_ngram_topk",
+    "ann_brute_topk",
+    "ann_lsh_recall",
+    "multimodal_payloads",
+    "sample_stratified",
+    "pack_token_shards",
+    "latency_quantiles_by_tool",
 ]
 
 _GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]
