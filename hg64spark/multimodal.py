@@ -161,30 +161,52 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an HxWxC uint8 array.  PPM (P6) decodes
-    natively (dependency-free, above); other formats need Pillow."""
+    natively (dependency-free, above); JPEG/PNG/WebP/... go through Pillow
+    when it is installed (an optional dependency — not in the test
+    container, where only the PPM path is exercised; the Pillow branch is
+    covered by a skip-if-absent test)."""
     if bytes(payload[:2]) == b"P6":
         return decode_ppm(payload)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
     except ImportError as e:
         raise NotImplementedError(
-            "non-PPM image decode requires Pillow (not in this container)"
+            "non-PPM image decode requires Pillow (optional dependency; "
+            "pip install Pillow)"
         ) from e
-    raise NotImplementedError("wire Pillow decode here")
+    import io as _io
+
+    img = Image.open(_io.BytesIO(bytes(payload)))
+    # normalize to the same contract the PPM path has: HxWxC uint8,
+    # C in {1, 3} (palette/alpha modes collapse to RGB; grayscale stays 1)
+    if img.mode == "L":
+        arr = np.asarray(img, dtype=np.uint8)[:, :, None]
+    else:
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    return arr
 
 
 def decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode audio to (sample_rate, waveform).  RIFF/WAVE PCM decodes
-    natively (dependency-free, above); other formats need soundfile."""
+    """Decode audio to (sample_rate, waveform int16 [frames, channels]).
+    RIFF/WAVE PCM decodes natively (dependency-free, above); FLAC/OGG/...
+    go through soundfile when it is installed (optional dependency, same
+    skip-if-absent test policy as :func:`decode_image`)."""
     if bytes(payload[:4]) == b"RIFF":
         return decode_wav(payload)
     try:
-        import soundfile  # noqa: F401
+        import soundfile
     except ImportError as e:
         raise NotImplementedError(
-            "non-WAV audio decode requires soundfile (not in this container)"
+            "non-WAV audio decode requires soundfile (optional dependency; "
+            "pip install soundfile)"
         ) from e
-    raise NotImplementedError("wire soundfile decode here")
+    import io as _io
+
+    # int16 + always_2d matches the WAV path's (rate, [frames, channels])
+    data, rate = soundfile.read(
+        _io.BytesIO(bytes(payload)), dtype="int16", always_2d=True
+    )
+    return int(rate), data
 
 
 def fake_features(payloads: pd.Series) -> np.ndarray:

@@ -487,16 +487,76 @@ def test_multimodal_feature_plumbing(spark):
     assert np.array_equal(f1[0], f1[1]) and not np.array_equal(f1[0], f1[2])
 
 
-def test_multimodal_heavy_formats_are_gated_stubs():
-    """Formats needing absent libraries still fail loudly with
-    NotImplementedError (never a silent fake); the NATIVE formats (PPM/WAV)
-    are real codecs tested below."""
+def _have(mod: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+@pytest.mark.skipif(
+    _have("PIL") and _have("soundfile"),
+    reason="optional decoders installed; the real branches are tested below",
+)
+def test_multimodal_heavy_formats_fail_loudly_without_optional_deps():
+    """Without the optional Pillow/soundfile, non-native formats still fail
+    loudly with NotImplementedError (never a silent fake); the NATIVE
+    formats (PPM/WAV) are real codecs tested below."""
     from hg64spark import multimodal
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(b"OggS....")
+    if not _have("PIL"):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG...")
+    if not _have("soundfile"):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(b"OggS....")
+
+
+@pytest.mark.skipif(not _have("PIL"), reason="Pillow not installed")
+def test_decode_image_pillow_branch():
+    """With Pillow present, JPEG decodes to the same HxWxC uint8 contract
+    as the native PPM path, and a lossless PNG round-trips exactly."""
+    import io
+
+    from PIL import Image
+
+    from hg64spark import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    png = io.BytesIO()
+    Image.fromarray(img).save(png, format="PNG")
+    out = mm.decode_image(png.getvalue())
+    assert out.shape == (24, 32, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, img)  # PNG is lossless
+    jpg = io.BytesIO()
+    Image.fromarray(img).save(jpg, format="JPEG", quality=90)
+    jout = mm.decode_image(jpg.getvalue())
+    assert jout.shape == (24, 32, 3) and jout.dtype == np.uint8
+    # grayscale keeps a single channel
+    gpng = io.BytesIO()
+    Image.fromarray(img[:, :, 0]).save(gpng, format="PNG")
+    gout = mm.decode_image(gpng.getvalue())
+    assert gout.shape == (24, 32, 1)
+
+
+@pytest.mark.skipif(not _have("soundfile"), reason="soundfile not installed")
+def test_decode_audio_soundfile_branch():
+    """With soundfile present, FLAC decodes to the same
+    (rate, int16 [frames, channels]) contract as the native WAV path —
+    and FLAC being lossless, to the identical samples."""
+    import io
+
+    import soundfile as sf
+
+    from hg64spark import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    wave = rng.integers(-(2**14), 2**14, size=(800, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    sf.write(buf, wave, 8000, format="FLAC")
+    rate, out = mm.decode_audio(buf.getvalue())
+    assert rate == 8000 and out.dtype == np.int16
+    assert np.array_equal(out, wave)
 
 
 def test_ppm_codec_roundtrip_and_grammar():
@@ -1166,3 +1226,69 @@ def test_normalize_per_group_keeps_null_groups(spark):
 
     assert nulls[3] == (5 * 2 - 20) / math.sqrt(2 * 250 - 400)
     assert nulls[4] == (15 * 2 - 20) / math.sqrt(2 * 250 - 400)
+
+
+def test_corpus_diff_plan_projects_hash_before_join(spark):
+    """Scale claim in corpus_diff's docstring: both snapshots project down
+    to (doc_id, 16-char md5 prefix) BEFORE the full-outer join, so the
+    shuffle carries ~25 bytes/row, never the documents.  A `text#N` column
+    appearing in any Exchange line means the projection slid above the
+    join and the shuffle regressed to moving full document bodies."""
+    import re
+
+    plan = (
+        dataops.q_corpus_diff(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines, plan  # the full-outer join must exchange
+    for ln in exchange_lines:
+        assert not re.search(r"\btext#\d+", ln), f"document body in exchange: {ln}"
+
+
+def test_calibrate_plan_broadcasts_reference_row_side_never_shuffles(spark):
+    """hg64_calibrate's scale claim: the reference collapses to a <= 1920-row
+    cumulative table that is BROADCAST onto the incoming rows — the row side
+    itself must show zero hash-partitioning Exchange (the only aggregate
+    shuffle lives inside the broadcast's build subtree)."""
+    plan = (
+        dataops.q_calibrate_new_docs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, plan
+    streamed = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed, plan
+
+
+def test_znorm_plan_broadcasts_stats_row_side_never_shuffles(spark):
+    """normalize_per_group's scale claim: per-group (n, s, ss) stats join
+    back by BROADCAST, so the data rows are never shuffled to be
+    normalized — only the bounded stats aggregate exchanges."""
+    plan = (
+        dataops.q_znorm_lineitem(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, plan
+    streamed = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed, plan
+
+
+def test_calibrate_empty_reference_yields_null_pct(spark):
+    """An EMPTY reference corpus still densifies to 1920 zero-count buckets
+    with __pop = 0: every incoming row must come back with rank 0 and a
+    NULL percentile — not an ANSI DIVIDE_BY_ZERO crash (ADVICE r6)."""
+    from hg64spark import relational
+
+    rows = spark.createDataFrame([(1, 10), (2, 999)], "id long, v long")
+    empty_ref = spark.createDataFrame([], "id long, v long")
+    out = relational.hg64_calibrate(rows, "v", empty_ref, "v", 5).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["ref_rank"] == 0
+        assert r["ref_pct"] is None
