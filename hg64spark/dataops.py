@@ -2487,6 +2487,120 @@ def _calibrate_new_docs_sql() -> str:
     """
 
 
+# ------------------------------------ corpus-level MinHash similarity
+
+#: Mersenne prime for the SQL-portable permutation family: every product in
+#: (a*(h%P) + b) % P stays under 2^62, so the affine hashes are EXACT int64
+#: arithmetic in both Spark and DuckDB (no xxhash64 on the oracle side)
+MHSIM_P = (1 << 31) - 1
+MHSIM_N = 64
+
+
+def _mhsim_perm_expr(n_perm: int) -> str:
+    """The shared permutation-family expression (Spark SQL == DuckDB SQL on
+    BIGINTs): h_i = (a_i * (hh % P) + b_i) % P with a_i in [1, P-1]."""
+    p, p1 = MHSIM_P, MHSIM_P - 1
+    return (
+        f"((CAST(i AS BIGINT) * 1103515245) % {p1} + 1) * (hh % {p}) "
+        f"+ (CAST(i AS BIGINT) * 2654435761) % {p}"
+    )
+
+
+def corpus_minhash_sim(
+    corpus: DataFrame, group_col: str, n_perm: int = MHSIM_N
+) -> DataFrame:
+    """(g_a, g_b, matches, jaccard_est): corpus-LEVEL MinHash similarity —
+    estimated shingle-set Jaccard between every pair of document GROUPS
+    (sources, snapshots, crawls).  The training-pipeline question this
+    answers is source-overlap intake triage: "how much of crawl B is
+    already in crawl A?" WITHOUT comparing documents pairwise — each group
+    collapses to an ``n_perm``-component signature first.
+
+    Estimator: per group g and permutation i, sig[g][i] = min over the
+    group's (hashed) shingles of an affine hash h_i; Pr[sig_a[i] ==
+    sig_b[i]] = Jaccard(A, B), so matches/n_perm is an unbiased estimate
+    with std err <= 1/(2*sqrt(n_perm)) (~0.0625 at 64).  Shingles are the
+    60-bit md5-prefix token hashes the dedup family joins on
+    (similarity is DEFINED over the hashed space, same contract as
+    `minhash_neardup_pairs`); the permutation family is affine mod the
+    Mersenne prime 2^31-1, chosen so BOTH engines compute it with exact
+    int64 arithmetic — the oracle reproduces the signatures bit-for-bit.
+
+    Scale shape: one narrow min-aggregate over the exploded (group, i, h)
+    stream — map-side combined to <= G x n_perm rows per partition, so the
+    shuffle is bounded by groups, not shingles; MIN is duplicate-
+    insensitive, so the shingle stream skips distinct (no extra shuffle;
+    same trick as the signature branch of `minhash_neardup_pairs`).  The
+    pairwise stage is a self-join of the G x n_perm signature frame —
+    frame algebra, never data.  G here is the number of SOURCES (bounded,
+    ~10^2-10^4 at deployment); for a group-cardinality blowup the
+    signature frame itself would need banding first.  Groups with no
+    >= k-token document have no signature and emit no pair row."""
+    shingled = raw_shingles(
+        corpus.filter(F.col(group_col).isNotNull()).select(
+            F.col(group_col).alias("doc_id"), "text"
+        )
+    ).select(F.col("doc_id").alias("g"), _tokhash_spark(F.col("sh")).alias("hh"))
+    exploded = shingled.select(
+        "g",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_perm - 1}),"
+                f" i -> ({_mhsim_perm_expr(n_perm)}) % {MHSIM_P})"
+            )
+        ).alias("i", "h"),
+    )
+    sig = exploded.groupBy("g", "i").agg(F.min("h").alias("m"))
+    a = sig.select(F.col("g").alias("g_a"), "i", F.col("m").alias("ma"))
+    b = sig.select(F.col("g").alias("g_b"), "i", F.col("m").alias("mb"))
+    return (
+        a.join(b, "i")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0))
+            .cast("long")
+            .alias("matches")
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "matches",
+            (F.col("matches").cast("double") / float(n_perm)).alias("jaccard_est"),
+        )
+    )
+
+
+def q_corpus_minhash_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap gate: pairwise corpus-level MinHash similarity between
+    the documents table's `source` groups; the oracle rebuilds the exact
+    same signatures in SQL (shared md5-prefix hash + mod-p affine perms)."""
+    return corpus_minhash_sim(_docs(spark, sf_dir), "source")
+
+
+def _corpus_minhash_sim_sql() -> str:
+    n, p = MHSIM_N, MHSIM_P
+    return f"""
+    WITH sh AS (
+        SELECT doc_id AS g, sh FROM (
+            {_raw_shingles_sql("(SELECT source AS doc_id, text FROM documents WHERE source IS NOT NULL)")}
+        )
+    ),
+    hashed AS (SELECT g, {_TOKHASH_SQL.format(x='sh')} AS hh FROM sh),
+    perms AS (SELECT unnest(range(0, {n})) AS i),
+    sig AS (
+        SELECT g, i, min(({_mhsim_perm_expr(n)}) % {p}) AS m
+        FROM hashed, perms GROUP BY 1, 2
+    )
+    SELECT a.g AS g_a, b.g AS g_b,
+           CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+           CAST(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / {float(n)} AS jaccard_est
+    FROM sig a JOIN sig b ON a.i = b.i AND a.g < b.g
+    GROUP BY 1, 2
+    """
+
+
 # ------------------------------------- per-group feature standardization
 
 #: row-emission sample for the normalization gate (stats are computed over
@@ -3532,6 +3646,7 @@ def dataops_queries():
         "corpus_diff": q_corpus_diff,
         "znorm_lineitem": q_znorm_lineitem,
         "calibrate_new_docs": q_calibrate_new_docs,
+        "corpus_minhash_sim": q_corpus_minhash_sim,
     }
 
 
@@ -3586,4 +3701,5 @@ def dataops_oracles():
         "corpus_diff": _corpus_diff_sql(),
         "znorm_lineitem": _znorm_lineitem_sql(),
         "calibrate_new_docs": _calibrate_new_docs_sql(),
+        "corpus_minhash_sim": _corpus_minhash_sim_sql(),
     }

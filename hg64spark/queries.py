@@ -1931,6 +1931,9 @@ _GATE_ACTIVE = [
     # byte-equality-asserted against it in pytest.
     "hg64_trimmed_events",
     "decayed_topk_users",
+    # corpus_minhash_sim (new this round) auto-fronts; its seat comes from
+    # hll_distinct_users, whose _rel twin has a green r6 row and whose
+    # byte-equality to that twin is pytest-asserted every session
     "hg64_buckets_events",
     "hg64_quantiles_events",
     "dedup_substring",
@@ -1943,7 +1946,6 @@ _GATE_ACTIVE = [
     "hg64_downsample_lineitem",
     "hg64_upsample_lineitem",
     "hg64_weighted_buckets",
-    "hll_distinct_users",
     "cms_top_custkeys",
     "sessionize",
     "sample_temperature",
@@ -2036,6 +2038,8 @@ _GATE_ROTATED_OUT = [
     "sample_stratified",
     "pack_token_shards",
     "latency_quantiles_by_tool",
+    # displaced by corpus_minhash_sim (see _GATE_ACTIVE note)
+    "hll_distinct_users",
 ]
 
 _GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]

@@ -1292,3 +1292,31 @@ def test_calibrate_empty_reference_yields_null_pct(spark):
     for r in out:
         assert r["ref_rank"] == 0
         assert r["ref_pct"] is None
+
+
+def test_corpus_minhash_sim_estimates_group_jaccard(spark):
+    """Estimator sanity on constructed groups: identical corpora match on
+    every signature component (est = 1.0), disjoint ones on ~none, and a
+    half-overlapping pair lands within the 64-perm standard error of its
+    true hashed-shingle Jaccard.  Plan stays equi-join (no cartesian)."""
+    mk = lambda base, n: " ".join(f"{base}{i}" for i in range(n))  # noqa: E731
+    rows = [
+        (1, mk("a", 40), "s1"),
+        (2, mk("a", 40), "s2"),          # identical to s1
+        (3, mk("z", 40), "s3"),          # disjoint from everything
+        # s4 = first 25 of s1's tokens + 15 fresh -> overlapping shingles
+        (4, mk("a", 25) + " " + mk("q", 15), "s4"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df = dataops.corpus_minhash_sim(corpus, "source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    est = {(r["g_a"], r["g_b"]): r for r in df.collect()}
+    assert est[("s1", "s2")]["matches"] == dataops.MHSIM_N
+    assert est[("s1", "s2")]["jaccard_est"] == 1.0
+    assert est[("s1", "s3")]["jaccard_est"] <= 0.1
+    # true Jaccard over hashed 5-gram shingles of s1 vs s4: s4 shares the
+    # 21 shingles fully inside its first 25 tokens out of 36 each ->
+    # J = 21 / (36 + 36 - 21) = 21/51 ~ 0.412; 3 sigma at 64 perms ~ 0.185
+    j = est[("s1", "s4")]["jaccard_est"]
+    assert abs(j - 21 / 51) <= 0.185, j
