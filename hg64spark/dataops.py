@@ -2601,6 +2601,154 @@ def _corpus_minhash_sim_sql() -> str:
     """
 
 
+# ----------------------------------------- mixture rebalancing sampler
+
+#: mixture-sampler bucket domain: 2^20 buckets give rate quantization of
+#: ~1e-6 (the 100-bucket stratified sampler is too coarse to express e.g.
+#: a 3.27% keep-rate faithfully)
+MIX_M = 1 << 20
+
+
+def _mix_bucket(id_col):
+    """Deterministic [0, MIX_M) bucket: hash60('mix:' || id) — the
+    :func:`sample_bucket` idiom at mixture resolution.  DuckDB mirror in
+    :func:`_sample_to_mixture_sql`; change both or neither."""
+    return (
+        _tokhash_spark(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+        % MIX_M
+    )
+
+
+def sample_to_mixture(
+    corpus: DataFrame,
+    group_col: str,
+    target: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance a corpus toward a TARGET group mixture, keeping as much
+    data as possible: the group with the least data relative to its target
+    share (the bottleneck) is kept in full, every other group is
+    down-sampled so expected kept counts are proportional to ``target`` —
+    the domain-mixture knob of a training-data pipeline ("make the final
+    mix 40% web, 30% code, ...").
+
+    Deterministic and engine-exact: a document is kept iff
+    hash60('mix:' || id) % 2^20 < thresh(g), where thresh(g) =
+    floor(2^20 * rate(g)) and rate(g) = (t_g * n_b) / (t_b * n_g) for
+    bottleneck b.  The rate is computed as doubles in a PINNED op order
+    (one multiply each side, one divide) so Spark and the DuckDB oracle
+    produce the identical threshold; the bottleneck is the row_number-1
+    group under (t/n DESC, group) — a near-tie can only swap in a group
+    whose rate is within 1 ulp of 1.0, which the floor clamps identically
+    in both engines.
+
+    Scale shape: group counts are one map-side-combined groupBy over the
+    group column (<= G rows out); thresholds are derived on that tiny
+    frame and BROADCAST back, so the kept-row side is scan -> broadcast
+    join -> filter with zero Exchange (plan-asserted in tests) — the same
+    embarrassingly-parallel shape as `sample_stratified`, at 2^20-bucket
+    resolution.
+
+    Semantics: ``target`` DEFINES the output mixture — corpus groups
+    absent from it (including NULL) are dropped; target groups absent
+    from the corpus contribute nothing.  NULL ids hash to NULL and are
+    dropped in both engines."""
+    if not target:
+        raise ValueError("sample_to_mixture needs a non-empty target mixture")
+    for g, t in target.items():
+        if g is None or not (t > 0):
+            raise ValueError(
+                f"target shares must be positive for non-NULL groups; got {g!r}: {t!r}"
+            )
+    spark = corpus.sparkSession
+    tgt = spark.createDataFrame(
+        [(g, float(t)) for g, t in sorted(target.items())], f"{group_col} string, __t double"
+    )
+    counts = (
+        corpus.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(F.count("*").alias("__n"))
+        .join(tgt, group_col)
+    )
+    from pyspark.sql import Window
+
+    ranked = counts.withColumn(
+        "__ratio", F.col("__t") / F.col("__n").cast("double")
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy(F.desc("__ratio"), F.col(group_col))
+        ),
+    )
+    bottleneck = ranked.filter(F.col("__rn") == 1).select(
+        F.col("__t").alias("__tb"), F.col("__n").cast("double").alias("__nb")
+    )
+    thresh = (
+        ranked.crossJoin(F.broadcast(bottleneck))
+        .select(
+            group_col,
+            F.floor(
+                F.lit(float(MIX_M))
+                * (
+                    (F.col("__t") * F.col("__nb"))
+                    / (F.col("__tb") * F.col("__n").cast("double"))
+                )
+            )
+            .cast("long")
+            .alias("__thresh"),
+        )
+    )
+    return corpus.join(F.broadcast(thresh), group_col).filter(
+        _mix_bucket(id_col) < F.col("__thresh")
+    ).drop("__thresh")
+
+
+MIX_TARGET = {"en": 4.0, "es": 2.0, "de": 1.0, "fr": 1.0, "zh": 1.0}
+
+
+def q_sample_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-rebalance gate: documents resampled toward a 4:2:1:1:1
+    language mix (see :data:`MIX_TARGET`); the oracle recomputes the same
+    thresholds and bucket hashes in SQL, bit-for-bit."""
+    return sample_to_mixture(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "lang", MIX_TARGET
+    )
+
+
+def _sample_to_mixture_sql() -> str:
+    m = MIX_M
+    tgt_rows = ", ".join(
+        f"('{g}', CAST({float(t)} AS DOUBLE))" for g, t in sorted(MIX_TARGET.items())
+    )
+    # || not concat: DuckDB's concat() SKIPS NULL arguments, so a NULL
+    # doc_id would hash as 'mix:' instead of NULL — || propagates NULL
+    # like Spark's concat does (the scrub_pii oracle lesson)
+    bucket = _TOKHASH_SQL.format(x="('mix:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH tgt(lang, t) AS (VALUES {tgt_rows}),
+    counts AS (
+        SELECT d.lang, count(*) AS n, any_value(t.t) AS t
+        FROM documents d JOIN tgt t ON d.lang = t.lang
+        WHERE d.lang IS NOT NULL GROUP BY 1
+    ),
+    ranked AS (
+        SELECT lang, n, t,
+               row_number() OVER (ORDER BY t / CAST(n AS DOUBLE) DESC, lang) AS rn
+        FROM counts
+    ),
+    thresh AS (
+        SELECT r.lang,
+               CAST(floor({float(m)} * ((r.t * b.nb) / (b.tb * CAST(r.n AS DOUBLE))))
+                    AS BIGINT) AS th
+        FROM ranked r,
+             (SELECT t AS tb, CAST(n AS DOUBLE) AS nb FROM ranked WHERE rn = 1) b
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thresh t ON d.lang = t.lang
+    WHERE ({bucket}) % {m} < t.th
+    """
+
+
 # ------------------------------------- per-group feature standardization
 
 #: row-emission sample for the normalization gate (stats are computed over
@@ -3647,6 +3795,7 @@ def dataops_queries():
         "znorm_lineitem": q_znorm_lineitem,
         "calibrate_new_docs": q_calibrate_new_docs,
         "corpus_minhash_sim": q_corpus_minhash_sim,
+        "sample_mixture_langs": q_sample_mixture_langs,
     }
 
 
@@ -3702,4 +3851,5 @@ def dataops_oracles():
         "znorm_lineitem": _znorm_lineitem_sql(),
         "calibrate_new_docs": _calibrate_new_docs_sql(),
         "corpus_minhash_sim": _corpus_minhash_sim_sql(),
+        "sample_mixture_langs": _sample_to_mixture_sql(),
     }

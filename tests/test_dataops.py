@@ -1320,3 +1320,59 @@ def test_corpus_minhash_sim_estimates_group_jaccard(spark):
     # J = 21 / (36 + 36 - 21) = 21/51 ~ 0.412; 3 sigma at 64 perms ~ 0.185
     j = est[("s1", "s4")]["jaccard_est"]
     assert abs(j - 21 / 51) <= 0.185, j
+
+
+def test_sample_to_mixture_hits_target_and_keeps_bottleneck(spark):
+    """The rebalanced mixture: the bottleneck group (least data relative to
+    target) survives in FULL, other groups land within sampling noise of
+    their proportional share, and out-of-target groups vanish."""
+    import pyspark.sql.functions as FF
+
+    rows = (
+        [(i, "a") for i in range(4000)]
+        + [(10_000 + i, "b") for i in range(4000)]
+        + [(20_000 + i, "c") for i in range(500)]   # bottleneck at 4:2:1
+        + [(30_000 + i, "x") for i in range(100)]   # not in target
+    )
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = dataops.sample_to_mixture(corpus, "lang", {"a": 4, "b": 2, "c": 1})
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(FF.count("*").alias("n")).collect()}
+    assert "x" not in kept
+    # c is the bottleneck: 500/1 < 4000/2 < 4000/4 -> kept whole
+    assert kept["c"] == 500
+    # expected a = 4*500 = 2000 of 4000 (rate .5), b = 2*500 = 1000 of 4000
+    # (rate .25); 5 sigma of Binomial(4000, r) ~ 5*sqrt(4000*r*(1-r))
+    assert abs(kept["a"] - 2000) <= 5 * (4000 * 0.25) ** 0.5 * 2
+    assert abs(kept["b"] - 1000) <= 5 * (4000 * 0.25 * 0.75) ** 0.5
+    # deterministic: a second run returns the identical set
+    again = dataops.sample_to_mixture(corpus, "lang", {"a": 4, "b": 2, "c": 1})
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_sample_mixture_plan_row_side_never_shuffles(spark):
+    """Scale claim: thresholds derive from the tiny per-group counts frame
+    and broadcast back — the kept-row side is scan -> broadcast join ->
+    filter with zero hash-partitioning Exchange."""
+    plan = (
+        dataops.q_sample_mixture_langs(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, plan
+    streamed = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in streamed, plan
+
+
+def test_sample_to_mixture_validates_target(spark):
+    corpus = spark.createDataFrame([(1, "a")], "doc_id long, lang string")
+    with pytest.raises(ValueError):
+        dataops.sample_to_mixture(corpus, "lang", {})
+    with pytest.raises(ValueError):
+        dataops.sample_to_mixture(corpus, "lang", {"a": 0})
+    with pytest.raises(ValueError):
+        dataops.sample_to_mixture(corpus, "lang", {"a": -1.0})
+    with pytest.raises(ValueError):
+        dataops.sample_to_mixture(corpus, "lang", {None: 1.0})
