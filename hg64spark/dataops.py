@@ -2033,6 +2033,84 @@ def _text_novelty_sql() -> str:
     """
 
 
+def ref_coverage(docs: DataFrame, ref: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, n_grams, n_seen, seen_frac): for every incoming document,
+    the fraction of its DISTINCT word k-grams already present ANYWHERE in a
+    reference corpus — the corpus-scale contamination / memorization-risk
+    score.  seen_frac ~ 1: the doc is assembled from grams the reference
+    already contains (a copy, a template, or eval-set leakage); ~ 0: fresh
+    content.  The RELATIONAL complement of `decontaminate_overlap`: that
+    family broadcasts a small probe set over the corpus, this one scores a
+    full snapshot against a full reference where neither side fits in a
+    broadcast.
+
+    Scale shape: both gram streams travel as 60-bit md5-prefix hashes
+    (8-byte shuffle keys, the `hashed_shingles` discipline); the reference
+    collapses to its DISTINCT gram set (one map-side-combined shuffle,
+    bounded by distinct grams); the probe side left-joins on the hashed
+    key and re-counts per doc.  No self-join anywhere, so no DF cap is
+    needed: a stop-gram hits exactly ONE reference set row — join fan-out
+    equals the natural probe stream, never a pair blow-up.  Docs shorter
+    than k tokens emit no row."""
+    probe = (
+        raw_shingles(docs, k)
+        .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
+        .distinct()
+    )
+    refset = (
+        raw_shingles(ref, k)
+        .select(_tokhash_spark(F.col("sh")).alias("hh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
+    )
+    per_doc = (
+        probe.join(refset, "hh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_seen"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_seen",
+        (F.col("n_seen").cast("double") / F.col("n_grams").cast("double")).alias(
+            "seen_frac"
+        ),
+    )
+
+
+def q_text_ref_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-coverage gate: the derived next snapshot
+    (`_diff_new_snapshot`: edits, fresh copies, survivors) scored against
+    the CURRENT documents table — 'removed' docs' grams still count as
+    seen (they are in the reference), edited docs score high-but-<1,
+    copied docs score 1.0.  Oracle = the same hashed-gram set join in
+    SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ref_coverage(_diff_new_snapshot(docs), docs)
+
+
+def _text_ref_coverage_sql() -> str:
+    probe = _keyed_shingles_sql(_diff_new_snapshot_sql(), hashed=True)
+    ref = _keyed_shingles_sql("SELECT doc_id, text FROM documents", hashed=True)
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    p AS ({probe}),
+    r AS (SELECT DISTINCT sh FROM ({ref})),
+    agg AS (
+        SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN r.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_seen
+        FROM p LEFT JOIN r ON p.sh = r.sh GROUP BY 1
+    )
+    SELECT doc_id, n_grams, n_seen,
+           CAST(n_seen AS DOUBLE) / CAST(n_grams AS DOUBLE) AS seen_frac
+    FROM agg
+    """
+
+
 #: curriculum-binning quantile grid: 3 thresholds -> 4 difficulty bins
 CURRICULUM_QS = (0.25, 0.5, 0.75)
 
@@ -3796,6 +3874,7 @@ def dataops_queries():
         "calibrate_new_docs": q_calibrate_new_docs,
         "corpus_minhash_sim": q_corpus_minhash_sim,
         "sample_mixture_langs": q_sample_mixture_langs,
+        "text_ref_coverage": q_text_ref_coverage,
     }
 
 
@@ -3852,4 +3931,5 @@ def dataops_oracles():
         "calibrate_new_docs": _calibrate_new_docs_sql(),
         "corpus_minhash_sim": _corpus_minhash_sim_sql(),
         "sample_mixture_langs": _sample_to_mixture_sql(),
+        "text_ref_coverage": _text_ref_coverage_sql(),
     }

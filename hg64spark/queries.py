@@ -1952,7 +1952,6 @@ _GATE_ACTIVE = [
     "mg_top_tools",
     "tdigest_latency_by_tool",
     "kll_latency_by_tool",
-    "bloom_membership",
     "hg64_ranks_events",
     "hg64_qov_events",
     "session_length_hist",
@@ -2041,6 +2040,8 @@ _GATE_ROTATED_OUT = [
     "hll_distinct_users",
     # displaced by sample_mixture_langs (r6-green _rel twin, byte-equality-tested)
     "cms_top_custkeys",
+    # displaced by text_ref_coverage (r6-green _rel twin, byte-equality-tested)
+    "bloom_membership",
 ]
 
 _GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]

@@ -1376,3 +1376,29 @@ def test_sample_to_mixture_validates_target(spark):
         dataops.sample_to_mixture(corpus, "lang", {"a": -1.0})
     with pytest.raises(ValueError):
         dataops.sample_to_mixture(corpus, "lang", {None: 1.0})
+
+
+def test_ref_coverage_scores_copies_edits_and_fresh(spark):
+    """Coverage semantics on constructed docs: an exact copy of reference
+    content scores 1.0, wholly fresh content 0.0, and a half-borrowed doc
+    strictly between; sub-k-token docs emit no row."""
+    k = dataops.SHINGLE_K
+    ref_text = " ".join(f"r{i}" for i in range(30))
+    ref = spark.createDataFrame([(1, ref_text)], "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [
+            (10, ref_text),                                        # copy
+            (11, " ".join(f"f{i}" for i in range(30))),            # fresh
+            (12, " ".join(f"r{i}" for i in range(15)) + " "        # half
+                 + " ".join(f"g{i}" for i in range(15))),
+            (13, "too short"),                                     # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dataops.ref_coverage(probes, ref, k).collect()}
+    assert out[10]["seen_frac"] == 1.0
+    assert out[11]["seen_frac"] == 0.0
+    assert 0.0 < out[12]["seen_frac"] < 1.0
+    assert 13 not in out
+    # counts are over DISTINCT grams
+    assert out[10]["n_grams"] == 30 - k + 1 and out[10]["n_seen"] == 30 - k + 1
