@@ -318,6 +318,15 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
 
         return dataops.q_dedup_cluster(spark, "/root/testdata/sf0.01").count()
 
+    def q_corpus_minhash_sim():
+        # corpus-level source-similarity signatures: exercises the
+        # duplicate-insensitive 64-perm min-aggregate over the full shingle
+        # stream (the heaviest stage; the pairwise stage is G x 64 frame
+        # algebra)
+        from hg64spark import dataops
+
+        return dataops.q_corpus_minhash_sim(spark, "/root/testdata/sf0.01").count()
+
     def q_dedup_cluster_star():
         # the log-round star-contraction form — the shape you'd run at
         # 100 TB (rounds ~ log diameter, not diameter); benched alongside
@@ -343,6 +352,7 @@ def run_queries(spark, tpath: str) -> tuple[dict, dict]:
         ("sliding_hg64_events", q_sliding_hg64),
         ("hg64_overlap_events", q_hg64_overlap),
         ("curriculum_bins", q_curriculum_bins),
+        ("corpus_minhash_sim", q_corpus_minhash_sim),
         ("asof_join_events", q_asof_join),
         ("range_join_events", q_range_join),
         ("multimodal_decode", q_multimodal_decode),
