@@ -831,6 +831,7 @@ def main() -> None:
     except OSError as exc:
         print(f"WARN: could not write bench detail to {detail_path}: {exc}",
               file=sys.stderr)
+        detail_path = None  # don't advertise a file that was not written
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -858,6 +859,12 @@ def main() -> None:
         # belt-and-braces: drop per-query decimals rather than overflow the
         # consumer's 2000-byte tail window
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact)
+    if len(line) > 1900:
+        # last resort if the query list ever grows past even the 1-decimal
+        # form: an abridged-but-parseable line beats a truncated one (full
+        # per-query detail is in the detail file either way)
+        compact["queries"] = {"omitted_see_detail_file": len(timings)}
         line = json.dumps(compact)
     print(line)
 

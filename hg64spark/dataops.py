@@ -2052,16 +2052,23 @@ def ref_coverage(docs: DataFrame, ref: DataFrame, k: int = SHINGLE_K) -> DataFra
     needed: a stop-gram hits exactly ONE reference set row — join fan-out
     equals the natural probe stream, never a pair blow-up.  Docs shorter
     than k tokens emit no row."""
-    probe = (
-        raw_shingles(docs, k)
-        .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
-        .distinct()
+    probe = raw_shingles(docs, k).select(
+        "doc_id", _tokhash_spark(F.col("sh")).alias("hh")
     )
+    refstream = raw_shingles(ref, k).select(_tokhash_spark(F.col("sh")).alias("hh"))
+    return ref_coverage_from_hashed(probe, refstream)
+
+
+def ref_coverage_from_hashed(probe: DataFrame, refstream: DataFrame) -> DataFrame:
+    """:func:`ref_coverage` over already-hashed gram streams — probe as
+    ``(doc_id, hh)``, reference as ``(hh)``, duplicates allowed on both
+    (each side is reduced to its distinct set here).  The retained-stream
+    entry point `jobs/intake_corpus.py` shares with
+    `corpus_minhash_sim_from_hashed` so both corpora are tokenized and
+    hashed exactly once."""
+    probe = probe.select("doc_id", "hh").distinct()
     refset = (
-        raw_shingles(ref, k)
-        .select(_tokhash_spark(F.col("sh")).alias("hh"))
-        .distinct()
-        .withColumn("__hit", F.lit(1).cast("long"))
+        refstream.select("hh").distinct().withColumn("__hit", F.lit(1).cast("long"))
     )
     per_doc = (
         probe.join(refset, "hh", "left")
@@ -2574,9 +2581,11 @@ MHSIM_P = (1 << 31) - 1
 MHSIM_N = 64
 
 
-def _mhsim_perm_expr(n_perm: int) -> str:
+def _mhsim_perm_expr() -> str:
     """The shared permutation-family expression (Spark SQL == DuckDB SQL on
-    BIGINTs): h_i = (a_i * (hh % P) + b_i) % P with a_i in [1, P-1]."""
+    BIGINTs): h_i = (a_i * (hh % P) + b_i) % P with a_i in [1, P-1].
+    Parameterized only by the permutation index column ``i`` the caller
+    binds (sequence/range up to its own n_perm)."""
     p, p1 = MHSIM_P, MHSIM_P - 1
     return (
         f"((CAST(i AS BIGINT) * 1103515245) % {p1} + 1) * (hh % {p}) "
@@ -2619,12 +2628,24 @@ def corpus_minhash_sim(
             F.col(group_col).alias("doc_id"), "text"
         )
     ).select(F.col("doc_id").alias("g"), _tokhash_spark(F.col("sh")).alias("hh"))
+    return corpus_minhash_sim_from_hashed(shingled, n_perm)
+
+
+def corpus_minhash_sim_from_hashed(
+    shingled: DataFrame, n_perm: int = MHSIM_N
+) -> DataFrame:
+    """:func:`corpus_minhash_sim` over an already-hashed ``(g, hh)`` shingle
+    stream — the retained-stream entry point (the `_from_counts` pattern):
+    a caller that also needs the hashed shingles for another operator (e.g.
+    `jobs/intake_corpus.py`, which feeds the same stream to
+    `ref_coverage_from_hashed`) pays for tokenize+shingle+md5 ONCE.  The
+    stream may contain duplicates (MIN is duplicate-insensitive)."""
     exploded = shingled.select(
         "g",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {n_perm - 1}),"
-                f" i -> ({_mhsim_perm_expr(n_perm)}) % {MHSIM_P})"
+                f" i -> ({_mhsim_perm_expr()}) % {MHSIM_P})"
             )
         ).alias("i", "h"),
     )
@@ -2667,7 +2688,7 @@ def _corpus_minhash_sim_sql() -> str:
     hashed AS (SELECT g, {_TOKHASH_SQL.format(x='sh')} AS hh FROM sh),
     perms AS (SELECT unnest(range(0, {n})) AS i),
     sig AS (
-        SELECT g, i, min(({_mhsim_perm_expr(n)}) % {p}) AS m
+        SELECT g, i, min(({_mhsim_perm_expr()}) % {p}) AS m
         FROM hashed, perms GROUP BY 1, 2
     )
     SELECT a.g AS g_a, b.g AS g_b,
@@ -3493,7 +3514,10 @@ def sample_bucket(id_col):
 def _sample_bucket_sql(key_col: str) -> str:
     """DuckDB mirror of :func:`sample_bucket`, shared by every sampling
     oracle so the bucket definition cannot drift between gates."""
-    salted = f"concat('{SAMPLE_SALT}', CAST({key_col} AS VARCHAR))"
+    # || not concat: DuckDB's concat() SKIPS NULL arguments, so a NULL key
+    # would hash as the bare salt (a real bucket) while Spark's concat
+    # propagates NULL and drops the row — || matches Spark's semantics
+    salted = f"('{SAMPLE_SALT}' || CAST({key_col} AS VARCHAR))"
     return f"({_TOKHASH_SQL.format(x=salted)}) % 100"
 
 

@@ -80,14 +80,16 @@ class HG64:
     def inc(self, value: int, count: int = 1) -> None:
         """Point update (`hg64.c:246-254`); zero increments are no-ops
         (`hg64.c:236-237`)."""
-        if count == 0:
-            return
         if value < 0 or count < 0:
             # same contract as add_values: np.array([-1], dtype=uint64)
-            # silently wraps to 2^64-1 and mis-buckets into the top decade
+            # silently wraps to 2^64-1 and mis-buckets into the top decade.
+            # Validate BEFORE the zero-count no-op so inc(-1, 0) raises
+            # like put(-1, 1, 0) does — one contract, any arguments.
             raise ValueError(
                 f"hg64 ingests unsigned values/counts; got value={value} count={count}"
             )
+        if count == 0:
+            return
         key = int(km.value_to_key(np.array([value], dtype=U64), self.sigbits)[0])
         self.counters[key] += U64(count)
 

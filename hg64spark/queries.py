@@ -1922,7 +1922,7 @@ _GATE_ACTIVE = [
     # full) — never had a driver row; fronts first.
     # decayed_topk_users: r6's one red row (oracle HUGEINT typing, fixed
     # this round) — stays in-window until its driver row is green.
-    # The rest: the 47 veterans whose last driver row is r5 (rotated out
+    # The rest: the 45 veterans whose last driver row is r5 (rotated out
     # for r6, all green on the local oracle replica since) — freshness
     # policy: no exposed query's driver row older than 2 rounds.
     # Displaced to r8 (one seat short): latency_quantiles_by_tool — the

@@ -41,9 +41,13 @@ def parse_target(spec: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for part in spec.split(","):
         k, _, v = part.partition("=")
-        if not k or not v:
+        try:
+            w = float(v)
+        except ValueError:
+            w = None
+        if not k or not v or w is None:
             raise SystemExit(f"bad --target entry {part!r}; want lang=weight,...")
-        out[k.strip()] = float(v)
+        out[k.strip()] = w
     return out
 
 
@@ -80,20 +84,36 @@ def main() -> None:
 
     t0 = time.perf_counter()
 
+    # Tokenize + shingle + md5-hash each corpus exactly ONCE: the hashed
+    # gram streams are the job's dominant cost and feed BOTH the
+    # corpus-level similarity estimate and the per-document coverage join
+    # (the diff_corpus pay-for-the-scan-once discipline, applied to the
+    # most expensive stage instead of re-deriving it per operator).
+    from hg64spark.dataops import _tokhash_spark, raw_shingles
+
+    new_h = (
+        raw_shingles(new.select("doc_id", "text"))
+        .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
+        .localCheckpoint()
+    )
+    ref_h = (
+        raw_shingles(ref.select("doc_id", "text"))
+        .select(_tokhash_spark(F.col("sh")).alias("hh"))
+        .localCheckpoint()
+    )
+
     # 1. corpus-level overlap estimate: how much of the drop is already in
     #    the reference?  Two groups ('ref', 'new') -> ONE pair row.
-    tagged = ref.select(F.lit("ref").alias("side"), "text").unionByName(
-        new.select(F.lit("new").alias("side"), "text")
+    tagged = ref_h.select(F.lit("ref").alias("g"), "hh").unionByName(
+        new_h.select(F.lit("new").alias("g"), "hh")
     )
-    sim = dataops.corpus_minhash_sim(tagged, "side").collect()  # <= 1 row
+    sim = dataops.corpus_minhash_sim_from_hashed(tagged).collect()  # <= 1 row
     jaccard_est = sim[0]["jaccard_est"] if sim else None
 
-    # 2. per-document reference coverage; checkpointed — it feeds the
-    #    parquet write AND the contamination filter (the diff_corpus
-    #    pay-for-the-scan-once discipline)
-    cov = dataops.ref_coverage(
-        new.select("doc_id", "text"), ref.select("doc_id", "text")
-    ).localCheckpoint()
+    # 2. per-document reference coverage over the same hashed streams;
+    #    checkpointed — it feeds the parquet write AND the contamination
+    #    filter
+    cov = dataops.ref_coverage_from_hashed(new_h, ref_h).localCheckpoint()
     cov.write.mode("overwrite").parquet(f"{args.output}/coverage")
 
     # 3. contamination filter: docs at/above --max-coverage are dropped;
