@@ -692,6 +692,112 @@ def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.expr(_SCALE).alias("se"))
 
 
+def embedding_centroid_drift(embs: DataFrame, group_col: str) -> DataFrame:
+    """(g_a, g_b, n_a, n_b, cos_centroid): cosine similarity between every
+    pair of GROUP CENTROIDS in embedding space — domain-shift detection for
+    the representation the models actually see (two sources whose token
+    histograms look alike can still sit in different embedding regions;
+    cos ~ 1: same region, cos ~ 0/negative: different).  The embedding
+    companion of `hg64_overlap` (bucket histograms) and
+    `corpus_minhash_sim` (lexical overlap).
+
+    Exactness: vectors enter in the ANN family's fixed point
+    (floor(x*1e6+0.5) int64), per-group component SUMS are exact int64
+    (safe to ~9e12 rows/group at |x| <= 1), and cosine(sum_a, sum_b) ==
+    cosine(mean_a, mean_b) (scale invariance) so means are never
+    materialized.  Dot products of the big sum vectors use the drift
+    family's decimal(38,0) numerators — exact to ~1e12 rows/group — then
+    ONE pinned-op-order double step: dot / (sqrt(na2) * sqrt(nb2)); a
+    zero-norm centroid yields NULL, not a crash.
+
+    Scale shape: the heavy stage is one map-side-combined groupBy over
+    (group, dim) — shuffle bounded by G x dim rows, independent of N; the
+    pairwise stage is frame algebra on the G x dim sum table (same G
+    caveat as `corpus_minhash_sim`)."""
+    se = embs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.expr(_SCALE).alias("se")
+    )
+    sums = (
+        se.select("g", F.posexplode("se").alias("j", "x"))
+        .groupBy("g", "j")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    a = sums.select(
+        F.col("g").alias("g_a"), "j", F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = sums.select(
+        F.col("g").alias("g_b"), "j", F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "j")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.sum(dec("sa") * dec("sb")).alias("dot"),
+            F.sum(dec("sa") * dec("sa")).alias("na2"),
+            F.sum(dec("sb") * dec("sb")).alias("nb2"),
+        )
+    )
+    return pairs.select(
+        "g_a",
+        "g_b",
+        "n_a",
+        "n_b",
+        (
+            F.col("dot").cast("double")
+            / F.nullif(
+                F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("cos_centroid"),
+    )
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-drift gate over the embeddings table's label groups; the
+    oracle reproduces the fixed-point sums, decimal numerators, and the
+    single double step in SQL."""
+    e = io.read_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(e.select("label", "embedding"), "label")
+
+
+def _embedding_centroid_drift_sql() -> str:
+    return f"""
+    WITH se AS (
+        SELECT label AS g, {_SCALE_SQL} AS se FROM embeddings
+        WHERE label IS NOT NULL
+    ),
+    expl AS (
+        SELECT g, u.j AS j, u.x AS x
+        FROM (SELECT g, unnest([{{'j': i, 'x': se[i + 1]}}
+                                FOR i IN range(len(se))]) AS u
+              FROM se)
+    ),
+    sums AS (
+        SELECT g, j, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+        FROM expl GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.g AS g_a, b.g AS g_b,
+               CAST(any_value(a.n) AS BIGINT) AS n_a,
+               CAST(any_value(b.n) AS BIGINT) AS n_b,
+               sum(CAST(a.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS dot,
+               sum(CAST(a.s AS DECIMAL(19,0)) * CAST(a.s AS DECIMAL(19,0))) AS na2,
+               sum(CAST(b.s AS DECIMAL(19,0)) * CAST(b.s AS DECIMAL(19,0))) AS nb2
+        FROM sums a JOIN sums b ON a.j = b.j AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT g_a, g_b, n_a, n_b,
+           CAST(dot AS DOUBLE)
+           / nullif(sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)), 0.0)
+               AS cos_centroid
+    FROM pairs
+    """
+
+
 # ------------------------------------------------------------- winnowing
 
 WINNOW_W = 4  # window (in k-grams) per Schleimer/Wilkerson/Aiken winnowing
@@ -3899,6 +4005,7 @@ def dataops_queries():
         "corpus_minhash_sim": q_corpus_minhash_sim,
         "sample_mixture_langs": q_sample_mixture_langs,
         "text_ref_coverage": q_text_ref_coverage,
+        "embedding_centroid_drift": q_embedding_centroid_drift,
     }
 
 
@@ -3956,4 +4063,5 @@ def dataops_oracles():
         "corpus_minhash_sim": _corpus_minhash_sim_sql(),
         "sample_mixture_langs": _sample_to_mixture_sql(),
         "text_ref_coverage": _text_ref_coverage_sql(),
+        "embedding_centroid_drift": _embedding_centroid_drift_sql(),
     }

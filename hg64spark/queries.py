@@ -1953,7 +1953,6 @@ _GATE_ACTIVE = [
     "tdigest_latency_by_tool",
     "kll_latency_by_tool",
     "hg64_ranks_events",
-    "hg64_qov_events",
     "session_length_hist",
     "streaming_windowed_hg64",
     "streaming_stateful_hg64",
@@ -2042,6 +2041,10 @@ _GATE_ROTATED_OUT = [
     "cms_top_custkeys",
     # displaced by text_ref_coverage (r6-green _rel twin, byte-equality-tested)
     "bloom_membership",
+    # displaced by embedding_centroid_drift (quantile_of_value math is exercised
+    # by every hg64 gate + exhaustive pytest parity; family stays in-window via
+    # hg64_quantiles_events / hg64_trimmed_events)
+    "hg64_qov_events",
 ]
 
 _GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]

@@ -1402,3 +1402,37 @@ def test_ref_coverage_scores_copies_edits_and_fresh(spark):
     assert 13 not in out
     # counts are over DISTINCT grams
     assert out[10]["n_grams"] == 30 - k + 1 and out[10]["n_seen"] == 30 - k + 1
+
+
+def test_embedding_centroid_drift_semantics(spark):
+    """Planted geometry: a group of copies of another group's vectors has
+    centroid cosine 1.0 against it, a negated group -1.0, an orthogonal
+    group 0.0, and an all-zero group yields NULL (not a crash)."""
+    base = [0.5, 0.25, 0.0, 0.0]
+    orth = [0.0, 0.0, 0.5, 0.25]
+    rows = (
+        [(i, base, 0) for i in range(3)]
+        + [(10 + i, base, 1) for i in range(5)]            # copies
+        + [(20 + i, [-x for x in base], 2) for i in range(2)]  # negated
+        + [(30 + i, orth, 3) for i in range(4)]            # orthogonal
+        + [(40 + i, [0.0, 0.0, 0.0, 0.0], 4) for i in range(2)]  # zero
+    )
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in dataops.embedding_centroid_drift(embs, "label").collect()
+    }
+    import math
+
+    # the final double step (dot / (sqrt*sqrt)) rounds within 1-2 ulp —
+    # cross-ENGINE bit-equality holds (pinned op order, gate-asserted),
+    # but the mathematical value is approximate
+    assert math.isclose(out[(0, 1)]["cos_centroid"], 1.0, rel_tol=1e-12)
+    assert math.isclose(out[(0, 2)]["cos_centroid"], -1.0, rel_tol=1e-12)
+    assert out[(0, 3)]["cos_centroid"] == 0.0  # dot is exactly 0
+    assert out[(0, 4)]["cos_centroid"] is None
+    assert out[(0, 1)]["n_a"] == 3 and out[(0, 1)]["n_b"] == 5
+    # 5 groups -> 10 pairs, zero group present in all its pairs (as NULL)
+    assert len(out) == 10
