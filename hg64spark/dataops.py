@@ -3861,6 +3861,123 @@ SELECT doc_id, tok AS term, tf, df FROM (
 """
 
 
+# ------------------------------------------------- sparse keyword retrieval
+
+#: fixed-point idf quantum: idf_q(term) = (N * 2^20) DIV df(term) — an
+#: integer idf surrogate (monotone in N/df, ~6 significant decimal digits)
+#: so retrieval scores are EXACT int64 sums in both engines, no FP log
+IDF_Q = 1 << 20
+SEARCH_TOPK = 20
+#: gate query set: vocabulary words present in the synthetic corpus
+SEARCH_QUERIES = {
+    "q_sort": ["sort", "merge", "order"],
+    "q_stream": ["stream", "window", "batch"],
+    "q_join": ["join", "hash", "key"],
+}
+
+
+def tfidf_search(
+    corpus: DataFrame, queries: dict[str, list[str]], k: int = SEARCH_TOPK
+) -> DataFrame:
+    """(query_id, doc_id, score, n_matched): top-``k`` documents per keyword
+    query under quantized tf-idf — SPARSE retrieval, the term-based
+    complement to the ANN family's dense retrieval (attribution, "which
+    training docs score highest for this eval query?", retrieval-augmented
+    decontamination).
+
+    Scoring: score(q, d) = Σ_{{terms t in q matched by d}} tf(t, d) ·
+    idf_q(t) with idf_q = (N · 2^20) DIV df — integer floor division, so
+    scores are exact int64 and the (score desc, doc_id) ranking is a total
+    order both engines reproduce bit-for-bit.  Quantization keeps ~6
+    significant digits of N/df; terms absent from the corpus contribute
+    nothing (standard tf-idf behavior).  Overflow bound: tf · idf_q ≤
+    doclen · N · 2^20 must stay under 2^63 — fine to N ~ 10^9 at 10^3-token
+    docs; swap the score to decimal past that (the drift-family pattern).
+
+    Scale shape: tf is one map-side-combined (doc, term) groupBy; df one
+    term groupBy; the query list (a few dozen terms) joins BROADCAST onto
+    tf, so the corpus-sized side shuffles only for its own aggregates; the
+    final top-k per query rides `salted_topk` (no query is ever sorted in
+    one task, however many docs match)."""
+    if not queries or any(not terms for terms in queries.values()):
+        raise ValueError("tfidf_search needs >= 1 query, each with >= 1 term")
+    spark = corpus.sparkSession
+    qdf = spark.createDataFrame(
+        sorted({(q, t) for q, terms in queries.items() for t in terms}),
+        "query_id string, tok string",
+    )
+    toks = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    # idf only for the query terms (left-semi BEFORE the cross with N —
+    # the full vocabulary's df table is NOT broadcastable at scale, the
+    # few-dozen-term slice is), N attached by a one-row cross join
+    n_docs = corpus.select(F.countDistinct("doc_id").alias("__n"))
+    idf = (
+        dfreq.join(F.broadcast(qdf.select("tok").distinct()), "tok", "left_semi")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.expr(f"(__n * CAST({IDF_Q} AS BIGINT)) DIV df").alias("idf_q"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "tok")
+        .join(F.broadcast(idf), "tok")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.col("idf_q")).alias("score"),
+            F.count("*").cast("long").alias("n_matched"),
+        )
+    )
+    return salted_topk(
+        scored, "query_id", [F.desc("score"), F.asc("doc_id")], "doc_id", k
+    )
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-retrieval gate: :data:`SEARCH_QUERIES` over the documents
+    table; oracle = the same integer tf·idf_q scoring and total-order
+    top-k in SQL."""
+    return tfidf_search(_docs(spark, sf_dir).select("doc_id", "text"), SEARCH_QUERIES)
+
+
+def _tfidf_search_sql() -> str:
+    vals = ", ".join(
+        f"('{q}', '{t}')"
+        for q, terms in sorted(SEARCH_QUERIES.items())
+        for t in sorted(set(terms))
+    )
+    return f"""
+    WITH q(query_id, tok) AS (VALUES {vals}),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (
+        SELECT tok, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    idf AS (
+        SELECT tok, (n.n_docs * CAST({IDF_Q} AS BIGINT)) // df AS idf_q
+        FROM dfreq, n
+    ),
+    scored AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(sum(tf.tf * idf.idf_q) AS BIGINT) AS score,
+               CAST(count(*) AS BIGINT) AS n_matched
+        FROM tf JOIN q ON tf.tok = q.tok JOIN idf ON tf.tok = idf.tok
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, n_matched FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rk FROM scored
+    ) WHERE rk <= {SEARCH_TOPK}
+    """
+
+
 # ------------------------------------------------------ composed pipeline
 
 #: corpus-pipeline gate knobs: thresholds sit inside the test data's observed
@@ -4006,6 +4123,7 @@ def dataops_queries():
         "sample_mixture_langs": q_sample_mixture_langs,
         "text_ref_coverage": q_text_ref_coverage,
         "embedding_centroid_drift": q_embedding_centroid_drift,
+        "tfidf_search": q_tfidf_search,
     }
 
 
@@ -4064,4 +4182,5 @@ def dataops_oracles():
         "sample_mixture_langs": _sample_to_mixture_sql(),
         "text_ref_coverage": _text_ref_coverage_sql(),
         "embedding_centroid_drift": _embedding_centroid_drift_sql(),
+        "tfidf_search": _tfidf_search_sql(),
     }

@@ -1436,3 +1436,33 @@ def test_embedding_centroid_drift_semantics(spark):
     assert out[(0, 1)]["n_a"] == 3 and out[(0, 1)]["n_b"] == 5
     # 5 groups -> 10 pairs, zero group present in all its pairs (as NULL)
     assert len(out) == 10
+
+
+def test_tfidf_search_ranking_semantics(spark):
+    """Quantized tf-idf ranking on a constructed corpus: higher tf of a
+    rarer term outranks common-term matches, multi-term matches accumulate,
+    and absent query terms contribute nothing."""
+    rows = [
+        (1, "rare rare rare common filler filler"),
+        (2, "rare common common common filler pad"),
+        (3, "common filler pad pad pad pad"),
+        (4, "nothing relevant here at all ok"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dataops.tfidf_search(corpus, {"q": ["rare", "common", "missing"]}, k=10)
+    ranked = [r["doc_id"] for r in out.orderBy("query_id", F.desc("score"), "doc_id").collect()]
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 4 matches nothing -> absent
+    assert 4 not in got and set(got) == {1, 2, 3}
+    # idf_q: N=4; rare df=2 -> idf 2*2^20; common df=3 -> (4*2^20)//3
+    idf_rare = (4 << 20) // 2
+    idf_common = (4 << 20) // 3
+    assert got[1]["score"] == 3 * idf_rare + 1 * idf_common
+    assert got[2]["score"] == 1 * idf_rare + 3 * idf_common
+    assert got[3]["score"] == 1 * idf_common
+    assert ranked == [1, 2, 3]
+    assert got[1]["n_matched"] == 2 and got[3]["n_matched"] == 1
+    with pytest.raises(ValueError):
+        dataops.tfidf_search(corpus, {})
+    with pytest.raises(ValueError):
+        dataops.tfidf_search(corpus, {"q": []})
