@@ -692,7 +692,9 @@ def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.expr(_SCALE).alias("se"))
 
 
-def embedding_centroid_drift(embs: DataFrame, group_col: str) -> DataFrame:
+def embedding_centroid_drift(
+    embs: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
     """(g_a, g_b, n_a, n_b, cos_centroid): cosine similarity between every
     pair of GROUP CENTROIDS in embedding space — domain-shift detection for
     the representation the models actually see (two sources whose token
@@ -714,8 +716,11 @@ def embedding_centroid_drift(embs: DataFrame, group_col: str) -> DataFrame:
     (group, dim) — shuffle bounded by G x dim rows, independent of N; the
     pairwise stage is frame algebra on the G x dim sum table (same G
     caveat as `corpus_minhash_sim`)."""
+    # vec_col parameterizes the fixed-point expression (the module-level
+    # _SCALE constant is pinned to the embeddings table's column name)
+    scale = _SCALE.replace("embedding", vec_col, 1)
     se = embs.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.expr(_SCALE).alias("se")
+        F.col(group_col).alias("g"), F.expr(scale).alias("se")
     )
     sums = (
         se.select("g", F.posexplode("se").alias("j", "x"))
@@ -3906,20 +3911,22 @@ def tfidf_search(
         sorted({(q, t) for q, terms in queries.items() for t in terms}),
         "query_id string, tok string",
     )
-    toks = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    # left-semi the token stream to the query terms BEFORE any aggregate:
+    # Catalyst cannot push a join below a groupBy, so without this the tf
+    # and df aggregations would shuffle the corpus's FULL (doc, term)
+    # cardinality only to discard all but a few dozen terms afterwards.
+    # tf/df values for the surviving terms are unchanged; N comes from the
+    # unfiltered corpus.
+    qtoks = F.broadcast(qdf.select("tok").distinct())
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).join(qtoks, "tok", "left_semi")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dfreq = toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
-    # idf only for the query terms (left-semi BEFORE the cross with N —
-    # the full vocabulary's df table is NOT broadcastable at scale, the
-    # few-dozen-term slice is), N attached by a one-row cross join
     n_docs = corpus.select(F.countDistinct("doc_id").alias("__n"))
-    idf = (
-        dfreq.join(F.broadcast(qdf.select("tok").distinct()), "tok", "left_semi")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "tok",
-            F.expr(f"(__n * CAST({IDF_Q} AS BIGINT)) DIV df").alias("idf_q"),
-        )
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        F.expr(f"(__n * CAST({IDF_Q} AS BIGINT)) DIV df").alias("idf_q"),
     )
     scored = (
         tf.join(F.broadcast(qdf), "tok")

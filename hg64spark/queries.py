@@ -1979,10 +1979,13 @@ _GATE_ACTIVE = [
     "hg64_retract_events",
 ]
 
-#: rotated out for round 7 — ALL have green r6 driver rows (the r6 window
-#: minus decayed_topk_users, which re-gates), so their driver freshness is
-#: 1 round; they rotate back in for r8.  Plus latency_quantiles_by_tool
-#: (r5-green, displaced one extra round — see the _GATE_ACTIVE note).
+#: rotated out for round 7 — the r6 window minus decayed_topk_users (which
+#: re-gates): all of those have green r6 driver rows (freshness 1 round)
+#: and rotate back in for r8.  EXCEPTIONS appended below with inline notes,
+#: all r5-green and so 2-3 rounds stale by r8 — rotate them in FIRST:
+#: latency_quantiles_by_tool, hll_distinct_users, cms_top_custkeys,
+#: bloom_membership, hg64_qov_events, session_length_hist (each displaced
+#: by a round-7 addition; rationale at its entry).
 _GATE_ROTATED_OUT = [
     "multimodal_image_decode",
     "multimodal_audio_decode",

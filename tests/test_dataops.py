@@ -1466,3 +1466,25 @@ def test_tfidf_search_ranking_semantics(spark):
         dataops.tfidf_search(corpus, {})
     with pytest.raises(ValueError):
         dataops.tfidf_search(corpus, {"q": []})
+
+
+def test_tfidf_search_filters_tokens_before_aggregating(spark):
+    """Scale claim: the query-term semi-join must sit BELOW the tf/df
+    aggregates (Catalyst cannot push a join under a groupBy, so the filter
+    has to be written there) — every hash-partitioning Exchange in the plan
+    then carries only query-matching tokens.  A full-vocabulary aggregate
+    would show a scan feeding an Exchange with no broadcast join below it."""
+    plan = (
+        dataops.q_tfidf_search(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both token streams (tf and df) must show the semi-join with the
+    # token EXPLODE as its streamed child — i.e. the filter sits directly
+    # on the raw token stream, below every aggregate Exchange
+    lines = plan.splitlines()
+    semi_idx = [i for i, ln in enumerate(lines) if "LeftSemi" in ln]
+    assert len(semi_idx) >= 2, plan
+    for i in semi_idx:
+        assert "Generate explode" in lines[i + 1], f"semi-join not on the raw token stream:\n{lines[i]}\n{lines[i + 1]}"
