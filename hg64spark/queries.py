@@ -840,6 +840,89 @@ def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.hg64_buckets(latest, ["event_type"])
 
 
+#: streaming heavy-hitter gate: MG capacity chosen ABOVE the per-group
+#: distinct-user cardinality, where Misra-Gries is provably EXACT (no
+#: decrements ever fire) — the gate is deterministic and the oracle is the
+#: exact count ranking
+_STREAM_MG_K = 1024
+_STREAM_MG_TOP = 5
+
+
+def q_streaming_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy-hitters: per-event-type Misra-Gries sketch kept in
+    the applyInPandasWithState state store (the COMPANION-sketch-as-state
+    form of `streaming_stateful_hg64` — the generic make_sketch/deserialize
+    contract of `sketch_stream_stateful` means the stateful operator needs
+    zero changes to host a different sketch), finalized to the top
+    users per type.  user_id is cast to STRING before the stream: MG keys
+    are strings, and a nullable int64 column becomes float64 in pandas
+    ('102' would silently turn into '102.0' — engine-divergent keys).
+    With k > distinct users the sketch is exact, so the oracle is a plain
+    count ranking under the same (cnt desc, user_id-string asc) total
+    order."""
+    import uuid
+
+    from hg64spark.sketches import MG
+    from hg64spark.streaming import sketch_stream_stateful
+
+    base, src_dir, schema = _stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id").cast("string").alias("uid"))
+    )
+    updated = sketch_stream_stateful(
+        stream,
+        "uid",
+        ["event_type"],
+        make_sketch=lambda: MG(_STREAM_MG_K),
+        deserialize=MG.deserialize,
+    )
+    qname = f"mg_stream_gate_{uuid.uuid4().hex[:10]}"
+    q = (
+        updated.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(qname).select("event_type", "sketch").collect()
+    spark.catalog.dropTempView(qname)
+    groups = [r["event_type"] for r in rows]
+    if len(set(groups)) != len(groups):
+        raise AssertionError(
+            f"single-batch source must emit once per group, got {groups}"
+        )
+    from hg64spark.sketches import MG as _MG
+
+    out = [
+        (r["event_type"], uid, int(cnt))
+        for r in rows
+        for uid, cnt in _MG.deserialize(bytes(r["sketch"])).top(_STREAM_MG_TOP)
+    ]
+    return spark.createDataFrame(
+        out, "event_type string, user_id string, cnt long"
+    )
+
+
+def _streaming_mg_topk_sql() -> str:
+    return f"""
+    SELECT event_type, user_id, cnt FROM (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY count(*) DESC, CAST(user_id AS VARCHAR) ASC
+               ) AS rk
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY event_type, CAST(user_id AS VARCHAR)
+    ) WHERE rk <= {_STREAM_MG_TOP}
+    """
+
+
 #: windowed streaming gate shape: tumbling event-time windows sized so the
 #: 30-day events table yields a meaningful set of windows, with a watermark
 #: that leaves the last (still-open) window unemitted — exactly the append-
@@ -1949,7 +2032,6 @@ _GATE_ACTIVE = [
     "sessionize",
     "sample_temperature",
     "textlen_quantiles_cube",
-    "mg_top_tools",
     "tdigest_latency_by_tool",
     "kll_latency_by_tool",
     "hg64_ranks_events",
@@ -2050,6 +2132,10 @@ _GATE_ROTATED_OUT = [
     # displaced by tfidf_search (it composes sessionize + the hg64 bucket
     # exploder, both separately in-window/pytest-asserted)
     "session_length_hist",
+    # displaced by streaming_mg_topk (r5-green; the MG family stays in-window
+    # through the new streaming gate + mg_top_parts_rel, byte-equal one-batch
+    # fold pytest-asserted)
+    "mg_top_tools",
 ]
 
 _GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]
@@ -2105,6 +2191,7 @@ def _core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hg64_by_type": q_streaming_hg64_by_type,
         "streaming_windowed_hg64": q_streaming_windowed_hg64,
         "streaming_stateful_hg64": q_streaming_stateful_hg64,
+        "streaming_mg_topk": q_streaming_mg_topk,
         "streaming_hll_distinct": q_streaming_hll_distinct,
         "streaming_dedup_exact": q_streaming_dedup_exact,
         "streaming_dedup_watermarked": q_streaming_dedup_watermarked,
@@ -2246,6 +2333,7 @@ def _core_oracles() -> dict[str, str]:
         "streaming_stateful_hg64": sqloracle.buckets_sql(
             _EVENTS_VALUE_SQL, "v", SIGBITS, ["event_type"]
         ),
+        "streaming_mg_topk": _streaming_mg_topk_sql(),
         "streaming_dedup_exact": "SELECT DISTINCT md5(text) AS h FROM documents",
         "streaming_dedup_watermarked": (
             "SELECT DISTINCT md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type)) AS h, "

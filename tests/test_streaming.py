@@ -268,3 +268,71 @@ def test_watermarked_dedup_bounds_state_and_drops_late_duplicates(spark, tmp_pat
         .coalesce(1).write.mode("append").parquet(str(src))
     _, new2 = run(all1)
     assert sorted(new2) == [("k3", 95)], new2
+
+
+def test_stateful_operator_is_sketch_generic_mg_across_batches(spark, tmp_path):
+    """sketch_stream_stateful's make_sketch/deserialize contract hosts a
+    COMPANION sketch unchanged: MG heavy-hitter state accumulated across
+    two micro-batches equals the one-shot batch MG fold (exact here since
+    k exceeds the distinct items)."""
+    import shutil
+
+    from hg64spark.sketches import MG
+    from hg64spark.streaming import sketch_stream_stateful
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("event_type", StringType()), StructField("uid", StringType())]
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("user_id").isNotNull()
+    ).select("event_type", F.col("user_id").cast("string").alias("uid"))
+    src = tmp_path / "mg_src"
+    for i in range(2):
+        ev.filter(F.crc32(F.col("uid")) % 2 == i).coalesce(1).write.parquet(
+            str(src / f"chunk{i}")
+        )
+    stream_dir = tmp_path / "mg_stream"
+    stream_dir.mkdir()
+    for i in range(2):
+        shutil.copy(
+            glob.glob(str(src / f"chunk{i}" / "part-*.parquet"))[0],
+            stream_dir / f"f{i}.parquet",
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir))
+    )
+    updated = sketch_stream_stateful(
+        stream, "uid", ["event_type"],
+        make_sketch=lambda: MG(1024), deserialize=MG.deserialize,
+    )
+    q = (
+        updated.writeStream.format("memory")
+        .queryName("mg_stateful")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql(
+        "SELECT * FROM (SELECT event_type, sketch, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY monotonically_increasing_id() DESC) rn "
+        "FROM mg_stateful) WHERE rn = 1"
+    ).collect()
+    spark.catalog.dropTempView("mg_stateful")
+    got = {r["event_type"]: MG.deserialize(bytes(r["sketch"])) for r in rows}
+
+    want = {}
+    for et, pdf in (
+        spark.read.parquet(str(stream_dir)).toPandas().groupby("event_type")
+    ):
+        mg = MG(1024)
+        mg.add_values(pdf["uid"].to_numpy())
+        want[et] = mg
+    assert set(got) == set(want)
+    for et in want:
+        assert got[et].top() == want[et].top(), et
