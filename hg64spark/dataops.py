@@ -2751,6 +2751,21 @@ def corpus_minhash_sim_from_hashed(
     `jobs/intake_corpus.py`, which feeds the same stream to
     `ref_coverage_from_hashed`) pays for tokenize+shingle+md5 ONCE.  The
     stream may contain duplicates (MIN is duplicate-insensitive)."""
+    return corpus_minhash_sim_from_sigs(
+        corpus_minhash_signatures(shingled, n_perm), n_perm
+    )
+
+
+def corpus_minhash_signatures(
+    shingled: DataFrame, n_perm: int = MHSIM_N
+) -> DataFrame:
+    """(g, i, m): the G x n_perm signature FRAME from a hashed ``(g, hh)``
+    shingle stream — the retainable state of corpus-level similarity.
+    Signatures are MIN-MERGEABLE: the signature of a union of corpora is
+    the per-(g, i) min of their signature frames, so a deployment stores
+    this tiny frame per snapshot and compares new drops against every past
+    snapshot WITHOUT rescanning them (groupBy("g", "i").agg(min("m")) over
+    unioned frames merges; pytest-asserted)."""
     exploded = shingled.select(
         "g",
         F.posexplode(
@@ -2760,7 +2775,13 @@ def corpus_minhash_sim_from_hashed(
             )
         ).alias("i", "h"),
     )
-    sig = exploded.groupBy("g", "i").agg(F.min("h").alias("m"))
+    return exploded.groupBy("g", "i").agg(F.min("h").alias("m"))
+
+
+def corpus_minhash_sim_from_sigs(sig: DataFrame, n_perm: int = MHSIM_N) -> DataFrame:
+    """Pairwise similarity from a ``(g, i, m)`` signature frame (see
+    :func:`corpus_minhash_signatures`) — pure frame algebra, no corpus
+    access; merge retained frames first when comparing across snapshots."""
     a = sig.select(F.col("g").alias("g_a"), "i", F.col("m").alias("ma"))
     b = sig.select(F.col("g").alias("g_b"), "i", F.col("m").alias("mb"))
     return (

@@ -1488,3 +1488,41 @@ def test_tfidf_search_filters_tokens_before_aggregating(spark):
     assert len(semi_idx) >= 2, plan
     for i in semi_idx:
         assert "Generate explode" in lines[i + 1], f"semi-join not on the raw token stream:\n{lines[i]}\n{lines[i + 1]}"
+
+
+def test_minhash_signatures_are_min_mergeable(spark):
+    """The retained-state contract: the signature of a union of corpora
+    equals the per-(g, i) min-merge of the parts' signature frames — so
+    snapshots can be compared without rescanning."""
+    import pyspark.sql.functions as FF
+
+    mk = lambda base, n: " ".join(f"{base}{i}" for i in range(n))  # noqa: E731
+    part1 = spark.createDataFrame(
+        [(1, mk("a", 20), "s1"), (2, mk("b", 20), "s2")],
+        "doc_id long, text string, source string",
+    )
+    part2 = spark.createDataFrame(
+        [(3, mk("c", 20), "s1"), (4, mk("d", 20), "s2")],
+        "doc_id long, text string, source string",
+    )
+    h = lambda df: dataops.raw_shingles(  # noqa: E731
+        df.select(F.col("source").alias("doc_id"), "text")
+    ).select(
+        F.col("doc_id").alias("g"), dataops._tokhash_spark(F.col("sh")).alias("hh")
+    )
+    union_sig = dataops.corpus_minhash_signatures(h(part1.unionByName(part2)))
+    merged = (
+        dataops.corpus_minhash_signatures(h(part1))
+        .unionByName(dataops.corpus_minhash_signatures(h(part2)))
+        .groupBy("g", "i")
+        .agg(FF.min("m").alias("m"))
+    )
+    key = lambda rows: sorted((r["g"], r["i"], r["m"]) for r in rows)  # noqa: E731
+    assert key(union_sig.collect()) == key(merged.collect())
+    # and similarity from merged sigs equals the direct operator
+    direct = dataops.corpus_minhash_sim(part1.unionByName(part2), "source").collect()
+    via_sigs = dataops.corpus_minhash_sim_from_sigs(merged).collect()
+    pair = lambda rows: sorted(  # noqa: E731
+        (r["g_a"], r["g_b"], r["matches"]) for r in rows
+    )
+    assert pair(direct) == pair(via_sigs)
