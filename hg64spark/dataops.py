@@ -2855,6 +2855,7 @@ def sample_to_mixture(
     group_col: str,
     target: dict[str, float],
     id_col: str = "doc_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Rebalance a corpus toward a TARGET group mixture, keeping as much
     data as possible: the group with the least data relative to its target
@@ -2883,7 +2884,15 @@ def sample_to_mixture(
     Semantics: ``target`` DEFINES the output mixture — corpus groups
     absent from it (including NULL) are dropped; target groups absent
     from the corpus contribute nothing.  NULL ids hash to NULL and are
-    dropped in both engines."""
+    dropped in both engines.
+
+    ``weight_col`` (the library's weighted-operator discipline): group
+    mass n_g becomes sum(weight) instead of count(*) — pass a token-count
+    column to target TOKEN shares rather than document shares (mixtures
+    are usually specified over tokens).  Sampling stays per-document, so
+    expected token share matches the target exactly when document length
+    is independent of the id hash (it is — the hash never sees the text);
+    NULL weights contribute 0 mass but their rows still sample."""
     if not target:
         raise ValueError("sample_to_mixture needs a non-empty target mixture")
     for g, t in target.items():
@@ -2895,10 +2904,26 @@ def sample_to_mixture(
     tgt = spark.createDataFrame(
         [(g, float(t)) for g, t in sorted(target.items())], f"{group_col} string, __t double"
     )
+    if weight_col is not None:
+        wtype = dict(corpus.dtypes).get(weight_col)
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            # integral mass keeps __n exact int64 on the identical code
+            # path as the unweighted count (the drift family's contract)
+            raise ValueError(
+                f"sample_to_mixture weight_col must be integral, got {wtype!r}"
+            )
+        mass = F.coalesce(F.sum(weight_col), F.lit(0)).cast("long")
+    else:
+        mass = F.count("*")
     counts = (
         corpus.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
-        .agg(F.count("*").alias("__n"))
+        .agg(mass.alias("__n"))
+        # a zero-mass group (weighted mode: all-NULL/zero weights) would
+        # otherwise divide to an infinite ratio, win the bottleneck seat,
+        # and zero every threshold — no mass means no seat at the mixture
+        # (its rows drop via the inner threshold join)
+        .filter(F.col("__n") > 0)
         .join(tgt, group_col)
     )
     from pyspark.sql import Window

@@ -1526,3 +1526,37 @@ def test_minhash_signatures_are_min_mergeable(spark):
         (r["g_a"], r["g_b"], r["matches"]) for r in rows
     )
     assert pair(direct) == pair(via_sigs)
+
+
+def test_sample_to_mixture_weighted_targets_token_shares(spark):
+    """weight_col: group mass is sum(tokens), so a group with few long
+    docs and one with many short docs can swap bottleneck roles vs the
+    unweighted form; zero-mass and non-integral weights are handled."""
+    import pyspark.sql.functions as FF
+
+    rows = (
+        # group a: 100 docs x 1000 tokens = 100k token mass
+        [(i, "a", 1000) for i in range(100)]
+        # group b: 1000 docs x 10 tokens = 10k token mass
+        + [(1000 + i, "b", 10) for i in range(1000)]
+        # group z: rows with NULL weight only -> zero mass -> dropped
+        + [(5000 + i, "z", None) for i in range(5)]
+    )
+    corpus = spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+    # equal token targets: b is the bottleneck BY TOKENS (10k < 100k),
+    # kept whole; a samples at ~10% of docs
+    out = dataops.sample_to_mixture(
+        corpus, "lang", {"a": 1, "b": 1}, weight_col="n_tok"
+    )
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(FF.count("*").alias("n")).collect()}
+    assert kept["b"] == 1000
+    assert "z" not in kept
+    assert abs(kept.get("a", 0) - 10) <= 10  # Binomial(100, .1), generous band
+    # unweighted flips it: a (100 docs) is the bottleneck by doc count
+    out2 = dataops.sample_to_mixture(corpus.fillna(0), "lang", {"a": 1, "b": 1})
+    kept2 = {r["lang"]: r["n"] for r in out2.groupBy("lang").agg(FF.count("*").alias("n")).collect()}
+    assert kept2["a"] == 100
+    with pytest.raises(ValueError):
+        dataops.sample_to_mixture(
+            corpus.withColumn("w", FF.lit(0.5)), "lang", {"a": 1}, weight_col="w"
+        )
