@@ -2906,13 +2906,23 @@ def sample_to_mixture(
     )
     if weight_col is not None:
         wtype = dict(corpus.dtypes).get(weight_col)
+        if wtype is None:
+            raise ValueError(
+                f"sample_to_mixture weight_col {weight_col!r} is not a column "
+                f"of the corpus (columns: {corpus.columns})"
+            )
         if wtype not in ("tinyint", "smallint", "int", "bigint"):
             # integral mass keeps __n exact int64 on the identical code
             # path as the unweighted count (the drift family's contract)
             raise ValueError(
                 f"sample_to_mixture weight_col must be integral, got {wtype!r}"
             )
-        mass = F.coalesce(F.sum(weight_col), F.lit(0)).cast("long")
+        from hg64spark.relational import _guarded_weight
+
+        # plan-side negative guard (the sketch family's weighted contract):
+        # a negative weight silently understates group mass — or net-drops
+        # the group via the __n > 0 filter — so it fails the job instead
+        mass = F.coalesce(F.sum(_guarded_weight(weight_col)), F.lit(0)).cast("long")
     else:
         mass = F.count("*")
     counts = (

@@ -795,23 +795,16 @@ def q_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_bound_gate(spark, ev, ss.result(spark).collect())
 
 
-def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState streaming build: per-group sketch state in
-    Spark's checkpointed streaming state store, latest emission per group
-    taken after an availableNow run, finalized to the batch bucket export.
-    Completes the streaming surface's gates: all three forms (foreachBatch
-    state dir, stateful operator, watermarked windows) are driver-checked."""
+def _run_stateful_memory_gate(spark: SparkSession, base: str, updated) -> list:
+    """Shared sink scaffold for the applyInPandasWithState gates: memory
+    sink, update mode, availableNow, await, collect (group, sketch) rows.
+    The source is a single file -> exactly one micro-batch -> exactly one
+    emission per group; assert that instead of guessing "latest" from
+    memory-table scan order (which is not a guaranteed batch ordering), and
+    drop the memory table so repeated gate runs don't pin rows in driver
+    memory for the session lifetime."""
     import uuid
 
-    from hg64spark.streaming import sketch_stream_stateful
-
-    base, src_dir, schema = _stream_source(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(src_dir)
-        .select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
-    )
-    updated = sketch_stream_stateful(stream, "v", ["event_type"])
     qname = f"stateful_gate_{uuid.uuid4().hex[:10]}"
     q = (
         updated.writeStream.format("memory")
@@ -822,18 +815,32 @@ def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # the source is a single file -> exactly one micro-batch -> exactly one
-    # emission per group; assert that instead of guessing "latest" from
-    # memory-table scan order (which is not a guaranteed batch ordering),
-    # and drop the memory table so repeated gate runs don't pin rows in
-    # driver memory for the session lifetime
-    rows = spark.table(qname).select("event_type", "sketch").collect()
+    rows = spark.table(qname).select(updated.columns[0], "sketch").collect()
     spark.catalog.dropTempView(qname)
-    groups = [r["event_type"] for r in rows]
+    groups = [r[0] for r in rows]
     if len(set(groups)) != len(groups):
         raise AssertionError(
             f"stateful gate expected one emission per group (single-batch source), got {groups}"
         )
+    return rows
+
+
+def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState streaming build: per-group sketch state in
+    Spark's checkpointed streaming state store, latest emission per group
+    taken after an availableNow run, finalized to the batch bucket export.
+    Completes the streaming surface's gates: all three forms (foreachBatch
+    state dir, stateful operator, watermarked windows) are driver-checked."""
+    from hg64spark.streaming import sketch_stream_stateful
+
+    base, src_dir, schema = _stream_source(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src_dir)
+        .select("event_type", F.floor(F.col("value") * 1000).cast("long").alias("v"))
+    )
+    updated = sketch_stream_stateful(stream, "v", ["event_type"])
+    rows = _run_stateful_memory_gate(spark, base, updated)
     latest = spark.createDataFrame(
         [(r["event_type"], bytes(r["sketch"])) for r in rows], "event_type string, sketch binary"
     )
@@ -841,10 +848,13 @@ def q_streaming_stateful_hg64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: streaming heavy-hitter gate: MG capacity chosen ABOVE the per-group
-#: distinct-user cardinality, where Misra-Gries is provably EXACT (no
-#: decrements ever fire) — the gate is deterministic and the oracle is the
-#: exact count ranking
-_STREAM_MG_K = 1024
+#: distinct-user cardinality of EVERY standard fixture (15/150/1500 at
+#: sf0.001/0.01/0.1), where Misra-Gries is provably EXACT (no decrements
+#: ever fire) — the gate is deterministic and the oracle is the exact
+#: count ranking.  The premise is data-dependent, so the gate ASSERTS it
+#: per group (exactness <=> sum(counters) == n: a decrement is the only
+#: operation that loses mass) instead of trusting this comment.
+_STREAM_MG_K = 4096
 _STREAM_MG_TOP = 5
 
 
@@ -857,11 +867,9 @@ def q_streaming_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     users per type.  user_id is cast to STRING before the stream: MG keys
     are strings, and a nullable int64 column becomes float64 in pandas
     ('102' would silently turn into '102.0' — engine-divergent keys).
-    With k > distinct users the sketch is exact, so the oracle is a plain
-    count ranking under the same (cnt desc, user_id-string asc) total
-    order."""
-    import uuid
-
+    With k > distinct users the sketch is exact — asserted per group, see
+    _STREAM_MG_K — so the oracle is a plain count ranking under the same
+    (cnt desc, user_id-string asc) total order."""
     from hg64spark.sketches import MG
     from hg64spark.streaming import sketch_stream_stateful
 
@@ -879,30 +887,21 @@ def q_streaming_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_sketch=lambda: MG(_STREAM_MG_K),
         deserialize=MG.deserialize,
     )
-    qname = f"mg_stream_gate_{uuid.uuid4().hex[:10]}"
-    q = (
-        updated.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = spark.table(qname).select("event_type", "sketch").collect()
-    spark.catalog.dropTempView(qname)
-    groups = [r["event_type"] for r in rows]
-    if len(set(groups)) != len(groups):
-        raise AssertionError(
-            f"single-batch source must emit once per group, got {groups}"
+    rows = _run_stateful_memory_gate(spark, base, updated)
+    out = []
+    for r in rows:
+        mg = MG.deserialize(bytes(r["sketch"]))
+        tracked = sum(mg.counters.values())
+        if tracked != mg.n:
+            raise AssertionError(
+                f"MG decremented for group {r['event_type']!r} "
+                f"(tracked {tracked} != n {mg.n}): distinct keys exceed "
+                f"k={_STREAM_MG_K}; the exact-count oracle no longer applies "
+                f"— raise _STREAM_MG_K above this dataset's cardinality"
+            )
+        out.extend(
+            (r["event_type"], uid, int(cnt)) for uid, cnt in mg.top(_STREAM_MG_TOP)
         )
-    from hg64spark.sketches import MG as _MG
-
-    out = [
-        (r["event_type"], uid, int(cnt))
-        for r in rows
-        for uid, cnt in _MG.deserialize(bytes(r["sketch"])).top(_STREAM_MG_TOP)
-    ]
     return spark.createDataFrame(
         out, "event_type string, user_id string, cnt long"
     )
