@@ -761,6 +761,101 @@ def embedding_centroid_drift(
     )
 
 
+def embedding_dispersion(
+    embs: DataFrame, group_col: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """(g, n, dispersion): mean squared distance of a group's embeddings
+    from their centroid — the embedding-space SPREAD per source, the
+    single-group companion of :func:`embedding_centroid_drift` (pairwise
+    centroid direction).  Near-zero dispersion flags representation
+    collapse: a source whose documents all embed to the same point is
+    near-duplicate-heavy or template-generated even when its token
+    statistics look diverse.
+
+    Exactness: E|x - mean|^2 = (n * Σ|x|^2 - |Σx|^2) / n^2 — component
+    sums are exact int64 over the fixed-point vectors (safe to ~9e12
+    rows/group); squared-component sums are decimal(19,0)-summed at the
+    ROW level (an int64 sum of x² terms would cap at ~9e6 rows/group —
+    the one place the drift family's decimal discipline must apply on the
+    data-sized aggregate, ~2x the cost of a long sum).  The combined
+    numerator stays exact while n²·dim·10¹² ≤ 10³⁸ (~10¹¹ rows/group;
+    ANSI decimal overflow is loud past it), and the only floating step is
+    ONE division of two exactly-derived doubles in pinned op order.
+    Unit: squared fixed-point counts (components scaled by 1e6, so divide
+    by 1e12 for raw-embedding units); comparisons between groups — the
+    use case — are scale-free.
+
+    Scale shape: identical to centroid drift — one map-side-combined
+    groupBy bounded by G x dim, then per-group frame algebra."""
+    scale = _SCALE.replace("embedding", vec_col, 1)
+    se = embs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.expr(scale).alias("se")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per_dim = (
+        se.select("g", F.posexplode("se").alias("j", "x"))
+        .groupBy("g", "j")
+        .agg(
+            F.sum("x").alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(19,0)")).alias("ss"),
+            F.count("*").alias("n"),
+        )
+    )
+    per_group = per_dim.groupBy("g").agg(
+        F.first("n").alias("n"),
+        F.sum("ss").alias("ss_tot"),
+        F.sum(dec("s") * dec("s")).alias("s2_tot"),
+    )
+    return per_group.select(
+        "g",
+        "n",
+        (
+            (
+                dec("n") * F.col("ss_tot") - F.col("s2_tot")
+            ).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("dispersion"),
+    )
+
+
+def q_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-dispersion gate over the embeddings table; the
+    oracle reproduces the integer/decimal numerator and the single double
+    division in SQL."""
+    e = io.read_table(spark, sf_dir, "embeddings")
+    return embedding_dispersion(e.select("label", "embedding"), "label")
+
+
+def _embedding_dispersion_sql() -> str:
+    return f"""
+    WITH se AS (
+        SELECT label AS g, {_SCALE_SQL} AS se FROM embeddings
+        WHERE label IS NOT NULL
+    ),
+    expl AS (
+        SELECT g, u.j AS j, u.x AS x
+        FROM (SELECT g, unnest([{{'j': i, 'x': se[i + 1]}}
+                                FOR i IN range(len(se))]) AS u
+              FROM se)
+    ),
+    per_dim AS (
+        SELECT g, j, CAST(sum(x) AS BIGINT) AS s,
+               sum(CAST(x * x AS DECIMAL(19,0))) AS ss, count(*) AS n
+        FROM expl GROUP BY 1, 2
+    ),
+    per_group AS (
+        SELECT g, CAST(any_value(n) AS BIGINT) AS n,
+               sum(ss) AS ss_tot,
+               sum(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS s2_tot
+        FROM per_dim GROUP BY 1
+    )
+    SELECT g, n,
+           CAST(CAST(n AS DECIMAL(19,0)) * ss_tot - s2_tot AS DOUBLE)
+           / CAST(n * n AS DOUBLE) AS dispersion
+    FROM per_group
+    """
+
+
 def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centroid-drift gate over the embeddings table's label groups; the
     oracle reproduces the fixed-point sums, decimal numerators, and the
@@ -4187,6 +4282,7 @@ def dataops_queries():
         "text_ref_coverage": q_text_ref_coverage,
         "embedding_centroid_drift": q_embedding_centroid_drift,
         "tfidf_search": q_tfidf_search,
+        "embedding_dispersion": q_embedding_dispersion,
     }
 
 
@@ -4246,4 +4342,5 @@ def dataops_oracles():
         "text_ref_coverage": _text_ref_coverage_sql(),
         "embedding_centroid_drift": _embedding_centroid_drift_sql(),
         "tfidf_search": _tfidf_search_sql(),
+        "embedding_dispersion": _embedding_dispersion_sql(),
     }

@@ -2030,7 +2030,6 @@ _GATE_ACTIVE = [
     "hg64_weighted_buckets",
     "sessionize",
     "sample_temperature",
-    "textlen_quantiles_cube",
     "tdigest_latency_by_tool",
     "kll_latency_by_tool",
     "hg64_ranks_events",
@@ -2135,6 +2134,10 @@ _GATE_ROTATED_OUT = [
     # through the new streaming gate + mg_top_parts_rel, byte-equal one-batch
     # fold pytest-asserted)
     "mg_top_tools",
+    # displaced by embedding_dispersion (the cube composes the quantile
+    # finalizer that three in-window gates exercise; groupingSets single-scan
+    # shape is pytest-asserted)
+    "textlen_quantiles_cube",
 ]
 
 _GATE_ORDER = [*_GATE_ACTIVE, *_GATE_ROTATED_OUT]

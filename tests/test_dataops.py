@@ -1560,3 +1560,22 @@ def test_sample_to_mixture_weighted_targets_token_shares(spark):
         dataops.sample_to_mixture(
             corpus.withColumn("w", FF.lit(0.5)), "lang", {"a": 1}, weight_col="w"
         )
+
+
+def test_embedding_dispersion_semantics(spark):
+    """Planted geometry: a collapsed group (identical vectors) has
+    dispersion 0; a two-point group at distance d has mean squared distance
+    from the centroid of (d/2)^2; scale in fixed-point units (1e6/component)."""
+    import math
+
+    a = [1.0, 0.0]
+    b = [0.0, 0.0]
+    rows = (
+        [(i, a, 0) for i in range(4)]           # collapsed
+        + [(10, a, 1), (11, b, 1)]              # two points, |a-b| = 1.0
+    )
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["g"]: r for r in dataops.embedding_dispersion(embs, "label").collect()}
+    assert out[0]["dispersion"] == 0.0 and out[0]["n"] == 4
+    # fixed point: components scaled 1e6 -> d = 1e6, (d/2)^2 = 2.5e11
+    assert math.isclose(out[1]["dispersion"], 2.5e11, rel_tol=1e-12)
