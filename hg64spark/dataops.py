@@ -692,6 +692,58 @@ def _scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", F.expr(_SCALE).alias("se"))
 
 
+_DEC19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+
+
+def _per_dim_sums(
+    embs: DataFrame, group_col: str, vec_col: str, with_squares: bool = False
+) -> DataFrame:
+    """(g, j, s[, ss], n): per-(group, dimension) sums of the fixed-point
+    vectors — the shared explode/aggregate stage of the embedding
+    analytics operators, one map-side-combined groupBy bounded by G x dim.
+
+    Integrity guard (plan-side): every dimension of a group must carry the
+    IDENTICAL row count, and no component may be NULL — ragged vector
+    lengths or NULL components would make per-dimension counts diverge and
+    the single-n formulas downstream silently wrong (and order-dependent
+    through first()).  Checked on the tiny G x dim frame, raise_error on
+    violation.
+
+    ``with_squares``: also emit ss = Σx², decimal-multiplied BEFORE the
+    sum — dec(x)*dec(x) never overflows where an int64 x*x would abort at
+    |component| > ~3034 raw units under ANSI."""
+    # vec_col parameterizes the fixed-point expression (the module-level
+    # _SCALE constant is pinned to the embeddings table's column name)
+    scale = _SCALE.replace("embedding", vec_col, 1)
+    se = embs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("g"), F.expr(scale).alias("se")
+    )
+    aggs = [
+        F.sum("x").alias("s"),
+        F.count("*").alias("__n_rows"),
+        F.count("x").alias("__n_vals"),
+    ]
+    if with_squares:
+        aggs.insert(1, F.sum(_DEC19("x") * _DEC19("x")).alias("ss"))
+    per_dim = se.select("g", F.posexplode("se").alias("j", "x")).groupBy("g", "j").agg(*aggs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g")
+    ok = (F.max("__n_rows").over(w) == F.min("__n_rows").over(w)) & (
+        F.col("__n_vals") == F.col("__n_rows")
+    )
+    guarded = per_dim.withColumn(
+        "n",
+        F.when(ok, F.col("__n_rows")).otherwise(
+            F.expr(
+                "CAST(raise_error('embedding groups must have uniform vector "
+                "length and no NULL components') AS LONG)"
+            )
+        ),
+    ).drop("__n_rows", "__n_vals")
+    return guarded
+
+
 def embedding_centroid_drift(
     embs: DataFrame, group_col: str, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -716,18 +768,8 @@ def embedding_centroid_drift(
     (group, dim) — shuffle bounded by G x dim rows, independent of N; the
     pairwise stage is frame algebra on the G x dim sum table (same G
     caveat as `corpus_minhash_sim`)."""
-    # vec_col parameterizes the fixed-point expression (the module-level
-    # _SCALE constant is pinned to the embeddings table's column name)
-    scale = _SCALE.replace("embedding", vec_col, 1)
-    se = embs.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.expr(scale).alias("se")
-    )
-    sums = (
-        se.select("g", F.posexplode("se").alias("j", "x"))
-        .groupBy("g", "j")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-    )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    sums = _per_dim_sums(embs, group_col, vec_col)
+    dec = _DEC19
     a = sums.select(
         F.col("g").alias("g_a"), "j", F.col("s").alias("sa"), F.col("n").alias("na")
     )
@@ -739,6 +781,8 @@ def embedding_centroid_drift(
         .filter(F.col("g_a") < F.col("g_b"))
         .groupBy("g_a", "g_b")
         .agg(
+            # first() is deterministic here: _per_dim_sums guarantees every
+            # dimension of a group carries the identical n
             F.first("na").alias("n_a"),
             F.first("nb").alias("n_b"),
             F.sum(dec("sa") * dec("sb")).alias("dot"),
@@ -774,34 +818,26 @@ def embedding_dispersion(
 
     Exactness: E|x - mean|^2 = (n * Σ|x|^2 - |Σx|^2) / n^2 — component
     sums are exact int64 over the fixed-point vectors (safe to ~9e12
-    rows/group); squared-component sums are decimal(19,0)-summed at the
-    ROW level (an int64 sum of x² terms would cap at ~9e6 rows/group —
-    the one place the drift family's decimal discipline must apply on the
-    data-sized aggregate, ~2x the cost of a long sum).  The combined
-    numerator stays exact while n²·dim·10¹² ≤ 10³⁸ (~10¹¹ rows/group;
-    ANSI decimal overflow is loud past it), and the only floating step is
-    ONE division of two exactly-derived doubles in pinned op order.
+    rows/group); squared components are decimal-multiplied AND
+    decimal-summed at the ROW level (int64 x·x would abort under ANSI at
+    |component| > ~3034 raw units, and an int64 Σx² would cap at ~9e6
+    rows/group — the one place the drift family's decimal discipline must
+    apply on the data-sized aggregate, ~2x the cost of a long sum).  The
+    combined numerator stays exact while n²·dim·10¹² ≤ 10³⁸ (~10¹¹
+    rows/group; ANSI decimal overflow is loud past it); the denominator
+    n·n and the final division are the only floating steps, each a single
+    correctly-rounded op in pinned order.  Ragged vector lengths and NULL
+    components fail loudly (see :func:`_per_dim_sums`), never skew n.
     Unit: squared fixed-point counts (components scaled by 1e6, so divide
     by 1e12 for raw-embedding units); comparisons between groups — the
     use case — are scale-free.
 
     Scale shape: identical to centroid drift — one map-side-combined
     groupBy bounded by G x dim, then per-group frame algebra."""
-    scale = _SCALE.replace("embedding", vec_col, 1)
-    se = embs.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.expr(scale).alias("se")
-    )
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    per_dim = (
-        se.select("g", F.posexplode("se").alias("j", "x"))
-        .groupBy("g", "j")
-        .agg(
-            F.sum("x").alias("s"),
-            F.sum((F.col("x") * F.col("x")).cast("decimal(19,0)")).alias("ss"),
-            F.count("*").alias("n"),
-        )
-    )
+    dec = _DEC19
+    per_dim = _per_dim_sums(embs, group_col, vec_col, with_squares=True)
     per_group = per_dim.groupBy("g").agg(
+        # deterministic: _per_dim_sums guarantees a uniform n per group
         F.first("n").alias("n"),
         F.sum("ss").alias("ss_tot"),
         F.sum(dec("s") * dec("s")).alias("s2_tot"),
@@ -813,7 +849,10 @@ def embedding_dispersion(
             (
                 dec("n") * F.col("ss_tot") - F.col("s2_tot")
             ).cast("double")
-            / (F.col("n") * F.col("n")).cast("double")
+            # double-multiply the denominator: n*n as int64 would overflow
+            # at ~3e9 rows/group, far below the numerator's documented
+            # bound; one correctly-rounded multiply is engine-identical
+            / (F.col("n").cast("double") * F.col("n").cast("double"))
         ).alias("dispersion"),
     )
 
@@ -840,7 +879,8 @@ def _embedding_dispersion_sql() -> str:
     ),
     per_dim AS (
         SELECT g, j, CAST(sum(x) AS BIGINT) AS s,
-               sum(CAST(x * x AS DECIMAL(19,0))) AS ss, count(*) AS n
+               sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS ss,
+               count(*) AS n
         FROM expl GROUP BY 1, 2
     ),
     per_group AS (
@@ -851,7 +891,7 @@ def _embedding_dispersion_sql() -> str:
     )
     SELECT g, n,
            CAST(CAST(n AS DECIMAL(19,0)) * ss_tot - s2_tot AS DOUBLE)
-           / CAST(n * n AS DOUBLE) AS dispersion
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS dispersion
     FROM per_group
     """
 

@@ -1579,3 +1579,33 @@ def test_embedding_dispersion_semantics(spark):
     assert out[0]["dispersion"] == 0.0 and out[0]["n"] == 4
     # fixed point: components scaled 1e6 -> d = 1e6, (d/2)^2 = 2.5e11
     assert math.isclose(out[1]["dispersion"], 2.5e11, rel_tol=1e-12)
+
+
+def test_embedding_ops_reject_ragged_and_null_vectors(spark):
+    """_per_dim_sums integrity guard: mixed vector lengths or NULL
+    components within a group fail loudly instead of silently computing a
+    wrong, order-dependent dispersion/centroid (per-dimension counts would
+    diverge and first(n) would pick an arbitrary one)."""
+    from py4j.protocol import Py4JJavaError
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [1.0, 2.0, 3.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(Exception) as ei:
+        dataops.embedding_dispersion(ragged, "label").collect()
+    assert "uniform vector length" in str(ei.value)
+    nullcomp = spark.createDataFrame(
+        [(1, [1.0, None], 0), (2, [1.0, 2.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(Exception) as ei:
+        dataops.embedding_centroid_drift(
+            nullcomp.union(
+                spark.createDataFrame(
+                    [(3, [1.0, 1.0], 1)], "vec_id long, embedding array<float>, label int"
+                )
+            ),
+            "label",
+        ).collect()
+    assert "NULL components" in str(ei.value) or "uniform vector length" in str(ei.value)
