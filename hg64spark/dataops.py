@@ -1557,16 +1557,32 @@ def _ivf_train_local(
     import numpy as np
 
     train = e if sample_mod <= 1 else e.filter(F.col("vec_id") % sample_mod == 0)
-    _, T = _collect_vectors(
+    train_ids, T = _collect_vectors(
         train, "training sample", "raise sample_mod or pass distributed=True"
     )
-    # sample_mod does NOT filter the seed set — its remedy is the seed stride
-    seed_ids, C = _collect_vectors(
-        e.filter(F.col("vec_id") % IVF_SEED_MOD == 0),
-        "seed set",
-        "raise IVF_SEED_MOD (sample_mod does not filter seeds) or pass distributed=True",
-        cap=IVF_LOCAL_SEED_CAP,
-    )
+    # sample_mod does NOT filter the seed set — its remedy is the seed stride.
+    # When the seed stride is a multiple of the sample stride the seeds are a
+    # SUBSET of the already-collected training sample (vec_id % 40 == 0 ⟹
+    # vec_id % 4 == 0), so they are sliced locally instead of paying a second
+    # scan+collect job — bit-identical rows either way (both collects sort by
+    # vec_id), cap semantics preserved by the explicit length check
+    if sample_mod <= 1 or IVF_SEED_MOD % sample_mod == 0:
+        mask = train_ids % IVF_SEED_MOD == 0
+        seed_ids = train_ids[mask]
+        if len(seed_ids) > IVF_LOCAL_SEED_CAP:
+            raise ValueError(
+                f"IVF local path: seed set exceeds {IVF_LOCAL_SEED_CAP} vectors; "
+                "raise IVF_SEED_MOD (sample_mod does not filter seeds) or pass "
+                "distributed=True"
+            )
+        C = T[mask].copy()
+    else:
+        seed_ids, C = _collect_vectors(
+            e.filter(F.col("vec_id") % IVF_SEED_MOD == 0),
+            "seed set",
+            "raise IVF_SEED_MOD (sample_mod does not filter seeds) or pass distributed=True",
+            cap=IVF_LOCAL_SEED_CAP,
+        )
     if len(T) * len(seed_ids) > IVF_LOCAL_SCORE_ELEMS:
         raise ValueError(
             f"IVF local trainer: score matrix {len(T)} x {len(seed_ids)} exceeds "
@@ -3519,25 +3535,46 @@ def connected_components_min_label(
         "node", F.col("node").alias("label")
     )
     prev_ckpt = None
+    prev_sum = None
     converged = False
     for _ in range(max_iters):
-        neigh = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-            .withColumnRenamed("src", "node")
+        # min(own, neighbors') as ONE union + groupBy-min instead of the old
+        # propagate-join + apply-join: the neighbor-contribution rows and the
+        # node's own (node, label) row meet in a single min-aggregation —
+        # identical update rule, two fewer shuffles per round at the scale
+        # where the label table no longer broadcasts (guide §2.4)
+        contrib = edges.join(labels.withColumnRenamed("node", "dst"), "dst").select(
+            F.col("src").alias("node"), "label"
         )
-        # one checkpointed frame carries both the new label and the
-        # changed flag, so the convergence check is a count over
-        # materialized rows, not a second join; the checkpoint also keeps
-        # the next round's plan depth constant (lineage would otherwise
-        # grow per iteration)
-        new_labels = labels.join(neigh, "node", "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            (F.coalesce("nlabel", "label") < F.col("label")).alias("changed"),
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("changed")).count()
+        new_labels = (
+            contrib.unionAll(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        # convergence via the EXACT monotone invariant: labels only ever
+        # decrease and the node set is fixed, so sum(label) is strictly
+        # decreasing until the fixpoint and equal exactly AT it — one tiny
+        # aggregate job on the materialized frame replaces the old
+        # changed-flag count (decimal(38): exact for any id domain, no
+        # int64-overflow hazard at 10^12 nodes)
+        stat = new_labels.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        cur_sum = stat["s"]
+        if stat["n"] == 0:
+            # empty pair list: the fixpoint is the empty label table
+            if prev_ckpt is not None:
+                _unpersist_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
+            labels = new_labels
+            converged = True
+            break
+        if cur_sum is None:
+            # decimal overflow yields NULL (non-ANSI); a None==None compare
+            # must never masquerade as convergence
+            raise RuntimeError("connected components: label-sum overflowed decimal(38)")
         # the previous round's checkpointed blocks are dead once this
         # round is materialized — unpersist them instead of leaking
         # executor storage across iterations (and across the bench's
@@ -3545,10 +3582,11 @@ def connected_components_min_label(
         if prev_ckpt is not None:
             _unpersist_checkpoint(prev_ckpt)
         prev_ckpt = new_labels
-        labels = new_labels.drop("changed")
-        if changed == 0:
+        labels = new_labels
+        if prev_sum is not None and cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(f"connected components did not converge in {max_iters} rounds")
     result = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
@@ -3592,16 +3630,17 @@ def connected_components_star(
     # (x, x) — capture those nodes up front and union them back at the end
     # so both library forms compute the same answer on general pair lists
     selfies = src.filter(F.col("u") == F.col("v")).select(F.col("u").alias("node")).distinct()
-    sym = (
-        src.unionAll(src.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
+    # ONE normalized distinct replaces the old symmetrize-distinct-then-
+    # filter chain: distinct over (least, greatest) of the proper pairs is
+    # set-equal to distinct over both directions filtered to u < v, one
+    # shuffle (of |pairs|, not 2|pairs|) and one checkpoint fewer
+    edges = (
+        src.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = sym.filter(F.col("u") < F.col("v")).select(
-        F.col("u").alias("a"), F.col("v").alias("b")
-    ).localCheckpoint(eager=True)
-    _unpersist_checkpoint(sym)
+    edges_count = edges.count()
     converged = False
     for _ in range(max_iters):
         und = edges.select("a", "b").unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -3609,12 +3648,17 @@ def connected_components_star(
         mins = und.groupBy("a").agg(F.min("b").alias("mv")).select(
             "a", F.least("a", "mv").alias("m")
         )
+        # NO distinct here: duplicate (a, b) rows do not change any MIN the
+        # small-star pass computes, and the final distinct below dedupes the
+        # emitted edge set — dropping the exchange removes one of the four
+        # shuffles per round (guide §2.4); the dup factor is bounded by the
+        # large-star fan-in, which the old distinct paid a full shuffle to
+        # remove anyway
         large = (
             und.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.least("b", "m").alias("a"), F.greatest("b", "m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # small-star over the large-star output: center u with its smaller
         # neighbors; m = their min; re-point u and the others at m
@@ -3633,12 +3677,18 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # the previous round's cardinality is carried in Python (both frames
+        # are materialized checkpoints, but re-counting edges every round is
+        # a job the driver does not need); the exact exceptAll set-equality
+        # check still gates convergence
+        out_count = out.count()
         same = (
-            out.count() == edges.count()
+            out_count == edges_count
             and out.exceptAll(edges).limit(1).count() == 0
         )
         _unpersist_checkpoint(edges)
         edges = out
+        edges_count = out_count
         if same:
             converged = True
             break

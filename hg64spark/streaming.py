@@ -176,7 +176,19 @@ class StreamingSketch:
                 f"{self.state_dir} belongs to a different streaming checkpoint lineage"
             )
         partials = agg.sketch_partials(batch_df, self.value_col, self.group_cols, self.make_sketch)
-        partials.write.mode("overwrite").parquet(os.path.join(self.state_dir, f"batch={batch_id}"))
+        # repartition(1) BEFORE the write: the partial frame is tiny by
+        # construction (<= #partitions x #groups sketch blobs), but it
+        # inherits the input's partitioning, so writing it directly emits one
+        # near-empty parquet file + task commit per input split (64 at the
+        # bench; thousands at scale) every micro-batch — the small-files
+        # anti-pattern of guide §6.  The explicit shuffle (NOT coalesce,
+        # which would collapse the upstream partial computation into one
+        # task) moves only the serialized sketches and makes each batch one
+        # well-formed file; partial content and the canonical merge order
+        # downstream are unchanged.
+        partials.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(self.state_dir, f"batch={batch_id}")
+        )
 
     def start(
         self,
