@@ -85,16 +85,24 @@ AUGMENTED_SQL = _augmented_sql()
 def raw_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """Word k-gram shingles per doc WITHOUT the distinct: the input for
     consumers that are duplicate-insensitive (min-hash signatures) — skipping
-    the distinct skips a full shuffle of the shingle stream."""
-    toks = F.split(F.col("text"), " ")
-    return corpus.filter(F.size(toks) >= k).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(split(text,' ')) - {k - 1}),"
-                f" i -> array_join(slice(split(text,' '), i, {k}), ' '))"
-            )
-        ).alias("sh"),
+    the distinct skips a full shuffle of the shingle stream.
+
+    The token array is projected ONCE before the explode: the inline form
+    evaluated split(text, ' ') three times per row (filter + sequence bound +
+    slice source), and Generate subtrees get no codegen subexpression
+    elimination — per-task work, guide §1.2 step 2."""
+    return (
+        corpus.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {k - 1}),"
+                    f" i -> array_join(slice(__toks, i, {k}), ' '))"
+                )
+            ).alias("sh"),
+        )
     )
 
 
@@ -512,17 +520,15 @@ def minhash_neardup_pairs(
     # generates enormous codegen classes that fill the JVM code cache and
     # progressively disable JIT (measured 24s -> 125s over three calls);
     # the long shape partial-aggregates to #docs x 64 rows before the shuffle.
-    # Two deliberate deviations from the verification branch, both exploiting
-    # that MIN is duplicate-insensitive: (a) NO distinct on the signature
-    # shingle stream (skips a full shuffle); (b) the 64 family members rehash
-    # the 8-byte hh instead of re-hashing the ~5-word string 64x.
-    # Correctness is unaffected either way: candidates are verified against
-    # the exact (hashed-space) Jaccard.
-    sig_stream = (
-        raw_shingles(corpus)
-        .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
-        .join(rare, "hh", "left_semi")
-    )
+    # The signature branch reads the SAME df-capped distinct stream `s` as
+    # the verification branch: MIN is duplicate-insensitive, so the distinct
+    # changes no signature, and because the verification branch materializes
+    # the distinct exchange anyway, AQE's stage reuse feeds this branch from
+    # it — the corpus is tokenized+md5-hashed ONCE per run instead of twice
+    # (plan-verified: the round-7 final plan carried two raw-shingle Generate
+    # subtrees, this one carries one).  The 64 family members still rehash
+    # the 8-byte hh instead of the ~5-word string.
+    sig_stream = s
     hashes = sig_stream.select(
         "doc_id",
         F.posexplode(
@@ -955,15 +961,19 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct.  Identical frame semantics in the DuckDB oracle."""
     k = SHINGLE_K
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    sh = d.filter(F.size(toks) >= k).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(split(text,' ')) - {k - 1}),"
-                f" i -> array_join(slice(split(text,' '), i, {k}), ' '))"
-            )
-        ).alias("pos", "sh"),
+    # token array projected once (see raw_shingles): split ran 3x per row
+    sh = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .filter(F.size("__toks") >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {k - 1}),"
+                    f" i -> array_join(slice(__toks, i, {k}), ' '))"
+                )
+            ).alias("pos", "sh"),
+        )
     )
     h = sh.select("doc_id", "pos", _tokhash_spark(F.col("sh")).alias("h"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
@@ -2939,13 +2949,22 @@ def corpus_minhash_signatures(
     this tiny frame per snapshot and compares new drops against every past
     snapshot WITHOUT rescanning them (groupBy("g", "i").agg(min("m")) over
     unioned frames merges; pytest-asserted)."""
+    # the affine coefficients depend only on i — precompute the n_perm
+    # (a_i, b_i) pairs in Python and inline them as an array literal, and
+    # hoist hh % P into one per-row column: the sequence+lambda form
+    # re-derived a_i and b_i (two multiplies + two mods each) and re-took
+    # hh % P for every one of the n_perm elements of every shingle
+    # (guide §1.2 step 2 — per-task work; same values bit-for-bit, the
+    # oracle SQL still derives them inline)
+    p, p1 = MHSIM_P, MHSIM_P - 1
+    ab = [((i * 1103515245) % p1 + 1, (i * 2654435761) % p) for i in range(n_perm)]
+    ab_arr = ",".join(f"array({a}L,{b}L)" for a, b in ab)
     exploded = shingled.select(
+        "g", (F.col("hh") % F.lit(p)).alias("__hm")
+    ).select(
         "g",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {n_perm - 1}),"
-                f" i -> ({_mhsim_perm_expr()}) % {MHSIM_P})"
-            )
+            F.expr(f"transform(array({ab_arr}), s -> (s[0] * __hm + s[1]) % {p})")
         ).alias("i", "h"),
     )
     return exploded.groupBy("g", "i").agg(F.min("h").alias("m"))
@@ -3363,16 +3382,21 @@ def substring_spans(c: DataFrame, l: int = SUBSTR_L) -> DataFrame:
     """Library form of :func:`q_dedup_substring` over any (doc_id, text)
     corpus: maximal repeated->=2x ``l``-token spans as (doc_id, span_start,
     span_end)."""
-    toks = F.split(F.col("text"), " ")
-    occ = c.filter(F.size(toks) >= l).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, size(split(text,' ')) - {l - 1}),"
-                f" i -> array_join(slice(split(text,' '), i, {l}), ' '))"
-            )
-        ).alias("pos0", "sh"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("start"), _tokhash_spark(F.col("sh")).alias("hh"))
+    # token array projected once (see raw_shingles): split ran 3x per row
+    occ = (
+        c.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .filter(F.size("__toks") >= l)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(__toks) - {l - 1}),"
+                    f" i -> array_join(slice(__toks, i, {l}), ' '))"
+                )
+            ).alias("pos0", "sh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("start"), _tokhash_spark(F.col("sh")).alias("hh"))
+    )
     dup_keys = occ.groupBy("hh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2).select("hh")
     starts = occ.join(dup_keys, "hh", "left_semi").select("doc_id", "start")
     w = Window.partitionBy("doc_id").orderBy("start")
@@ -3640,9 +3664,37 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges_count = edges.count()
+
+    def _is_star_forest(e: DataFrame) -> bool:
+        """Fixpoint test, checked DIRECTLY on the current (a < b normalized)
+        edge set instead of contracting once more and comparing sets: the
+        set is a forest of disjoint min-rooted stars iff (1) no node appears
+        both as a root (a) and as a leaf (b) and (2) no leaf has two roots.
+        Both contractions are then the identity — large-star at a root r:
+        m = min(r, leaves) = r (a < b), so every larger neighbor re-points
+        where it already points; large-star at a leaf: no larger neighbors;
+        small-star at a leaf x with its single root r: emits exactly (r, x).
+        Conversely a violating set is changed by the round (a two-root leaf
+        is re-pointed, a root-and-leaf chain is shortened), so the loop
+        keeps contracting — and the max_iters raise below stays the safety
+        net.  One aggregate pass over the tiny edge frame replaces BOTH the
+        old out-vs-edges exceptAll and the whole final confirmation round
+        (a full contraction that by definition changed nothing)."""
+        roles = e.select(F.col("a").alias("n"), F.lit(0).alias("leaf")).unionAll(
+            e.select(F.col("b").alias("n"), F.lit(1).alias("leaf"))
+        )
+        bad = (
+            roles.groupBy("n")
+            .agg(F.min("leaf").alias("lo"), F.max("leaf").alias("hi"), F.sum("leaf").alias("nl"))
+            .filter((F.col("lo") != F.col("hi")) | (F.col("nl") > 1))
+        )
+        return bad.limit(1).count() == 0
+
     converged = False
     for _ in range(max_iters):
+        if _is_star_forest(edges):
+            converged = True
+            break
         und = edges.select("a", "b").unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # large-star: center a, neighbors b; m = min(center, min neighbor)
         mins = und.groupBy("a").agg(F.min("b").alias("mv")).select(
@@ -3677,21 +3729,8 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # the previous round's cardinality is carried in Python (both frames
-        # are materialized checkpoints, but re-counting edges every round is
-        # a job the driver does not need); the exact exceptAll set-equality
-        # check still gates convergence
-        out_count = out.count()
-        same = (
-            out_count == edges_count
-            and out.exceptAll(edges).limit(1).count() == 0
-        )
         _unpersist_checkpoint(edges)
         edges = out
-        edges_count = out_count
-        if same:
-            converged = True
-            break
     if not converged:
         raise RuntimeError(f"star contraction did not converge in {max_iters} rounds")
     labels = (
@@ -4298,14 +4337,16 @@ def curate_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    toks = F.split(F.col("text"), " ")
     stopset = ",".join(f"'{s}'" for s in STOPWORDS)
+    # token array projected once (see raw_shingles): split ran 3x per row
     quality = corpus.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    ).select(
         "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size("__toks").cast("long").alias("n_tokens"),
         (
-            F.expr(f"size(filter(split(text,' '), x -> x IN ({stopset})))").cast("double")
-            / F.size(toks).cast("double")
+            F.expr(f"size(filter(__toks, x -> x IN ({stopset})))").cast("double")
+            / F.size("__toks").cast("double")
         ).alias("stop_ratio"),
     )
     return corpus.join(keep, "doc_id", "left_semi").join(
