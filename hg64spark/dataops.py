@@ -96,12 +96,12 @@ def raw_shingles(corpus: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         .filter(F.size("__toks") >= k)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {k - 1}),"
-                    f" i -> array_join(slice(__toks, i, {k}), ' '))"
-                )
-            ).alias("sh"),
+            "__toks",
+            F.explode(F.expr(f"sequence(1, size(__toks) - {k - 1})")).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(__toks, __i, {k}), ' ')").alias("sh"),
         )
     )
 
@@ -529,12 +529,16 @@ def minhash_neardup_pairs(
     # subtrees, this one carries one).  The 64 family members still rehash
     # the 8-byte hh instead of the ~5-word string.
     sig_stream = s
+    # explode the CONSTANT index array first, hash after: building the
+    # 64-long hash array per row materializes a fresh ArrayData per shingle
+    # before the Generate, while exploding the constant-folded sequence
+    # costs one shared array and moves the xxhash64 into the post-explode
+    # codegen projection — measured 1.25s -> 0.72s to the band frame on the
+    # gate corpus, byte-identical (i stays the INT sequence element, so
+    # xxhash64(hh, i) hashes the same operand types)
     hashes = sig_stream.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(f"transform(sequence(0, {MINHASH_N - 1}), i -> xxhash64(hh, i))")
-        ).alias("i", "h"),
-    )
+        "doc_id", "hh", F.explode(F.expr(f"sequence(0, {MINHASH_N - 1})")).alias("i")
+    ).select("doc_id", "i", F.xxhash64("hh", "i").alias("h"))
     # ONE shuffle builds the band hashes: min over (doc, band, parity-of-i)
     # equals the per-i minhash because band i-range is {2*band, 2*band+1}
     bands = (
@@ -616,14 +620,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # long format (one narrow agg, not 60 wide ones — see the minhash note on
     # codegen/code-cache blowup): explode the bit index, sum the signs per
     # (doc, bit), then assemble the signature with a single conditional sum
+    # explode the constant bit-index sequence and compute the sign AFTER
+    # (same trick as the minhash band build: no 60-element ArrayData
+    # materialized per token hash)
     bits = h.select(
+        "doc_id", "h", F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("b")
+    ).select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_BITS - 1}),"
-                f" b -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)"
-            )
-        ).alias("b", "sign"),
+        "b",
+        F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("sign"),
     )
     bit_sums = bits.groupBy("doc_id", "b").agg(F.sum("sign").alias("s"))
     sigs = bit_sums.groupBy("doc_id").agg(
@@ -967,12 +972,13 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("__toks") >= k)
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {k - 1}),"
-                    f" i -> array_join(slice(__toks, i, {k}), ' '))"
-                )
-            ).alias("pos", "sh"),
+            "__toks",
+            F.posexplode(F.expr(f"sequence(1, size(__toks) - {k - 1})")).alias("pos", "__i"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"array_join(slice(__toks, __i, {k}), ' ')").alias("sh"),
         )
     )
     h = sh.select("doc_id", "pos", _tokhash_spark(F.col("sh")).alias("h"))
@@ -1119,6 +1125,77 @@ def _band_codes_df(e: DataFrame, planes: int, bands: int, dim: int | None = None
     )
 
 
+def _band_codes_blas(e: DataFrame, planes: int, bands: int, dim: int) -> DataFrame:
+    """Bit-identical matmul twin of :func:`_band_codes_df` as ONE mapInPandas
+    stage (the `_ivf_rank_blas` shape): the +-1 hyperplane matrix — the SAME
+    xxhash64-parity family, computed once in the JVM and collected as a
+    (planes x dim) tiny frame — is closure-captured; each Arrow batch of
+    vectors does a single integer matmul against it and assembles the band
+    codes from the sign bits.
+
+    Versus the Catalyst form this removes the per-vector dim-explode, the
+    x{planes} broadcast-join fan-out (N x dim x planes intermediate rows)
+    and two grouped aggregations — at the gate corpus the band-code frame
+    drops ~0.6s -> ~0.15s, and at scale the vectors cross once over Arrow
+    instead of fanning out 128x before a shuffle (guide §4.2).
+
+    Bit-equality (pytest-asserted against the Catalyst twin): dots are
+    exact int64 in both engines; code = sum over the band's planes of
+    1 << (plane mod r) for dot > 0 — integer arithmetic only.  The ragged-
+    vector guard keeps the fail-loudly contract: any vector whose length
+    differs from ``dim`` raises instead of silently zero-padding."""
+    import numpy as np
+
+    spark = e.sparkSession
+    r = planes // bands
+    if planes != bands * r:
+        raise ValueError(f"_band_codes_blas: planes={planes} not divisible by bands={bands}")
+    wrows = (
+        spark.range(planes * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("plane"),
+            F.pmod(F.col("id"), F.lit(dim)).cast("int").alias("j"),
+        )
+        .select(
+            "plane",
+            "j",
+            F.when(F.pmod(F.xxhash64(F.col("plane"), F.col("j")), F.lit(2)) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("w"),
+        )
+        .collect()
+    )
+    W = np.zeros((planes, dim), dtype=np.int64)
+    for row in wrows:
+        W[row["plane"], row["j"]] = row["w"]
+    band_ids = np.arange(bands, dtype=np.int32)
+
+    def code_batches(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            lens = pdf["se"].map(len).to_numpy()
+            if (lens != dim).any():
+                bad = int(lens[lens != dim][0])
+                raise ValueError(f"embedding dim != {dim}: {bad}")
+            V = _batch_matrix(pdf)
+            bits = (V @ W.T) > 0  # (n, planes)
+            vals = bits.astype(np.int64) << (np.arange(planes, dtype=np.int64) % r)[None, :]
+            codes = vals.reshape(n, bands, r).sum(axis=2).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.tile(band_ids, n),
+                    "code": codes.ravel(),
+                }
+            )
+
+    return e.select("vec_id", "se").mapInPandas(
+        code_batches, "vec_id long, band int, code int"
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: pairs with cosine >= 0.9.
 
@@ -1133,7 +1210,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB — so the exhaustive-scan oracle matches bit-for-bit.  No
     theta-join anywhere (plan asserted in tests)."""
     e = _aug_embeddings(spark, sf_dir)
-    bands = _band_codes_df(e, COSDUP_PLANES, COSDUP_BANDS, dim=EMB_DIM)
+    bands = _band_codes_blas(e, COSDUP_PLANES, COSDUP_BANDS, dim=EMB_DIM)
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "code"])
@@ -1147,9 +1224,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dots = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", F.explode(F.arrays_zip("sa", "sb")).alias("z"))
+        # positional explode instead of arrays_zip: zipping materializes a
+        # dim-element struct array per candidate pair before the Generate;
+        # exploding the constant index sequence and subscripting costs one
+        # shared int array (same integer sum, same rows)
+        .select(
+            "vec_a", "vec_b", "sa", "sb",
+            F.explode(F.expr(f"sequence(0, {EMB_DIM - 1})")).alias("__j"),
+        )
         .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("z.sa") * F.col("z.sb")).alias("dot"))
+        .agg(F.sum(F.expr("sa[__j] * sb[__j]")).alias("dot"))
     )
     tau2 = repr(COSDUP_TAU * COSDUP_TAU)
     return (
@@ -1694,9 +1778,13 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     scored = (
         cand.join(ne, "neighbor_id")
         .join(F.broadcast(pv), "probe_id")
-        .select("probe_id", "neighbor_id", F.explode(F.arrays_zip("nv", "pv")).alias("z"))
+        # positional explode instead of arrays_zip (see q_dedup_embedding_cosine)
+        .select(
+            "probe_id", "neighbor_id", "nv", "pv",
+            F.explode(F.expr(f"sequence(0, {EMB_DIM - 1})")).alias("__j"),
+        )
         .groupBy("probe_id", "neighbor_id")
-        .agg(F.sum(F.col("z.nv") * F.col("z.pv")).alias("dot"))
+        .agg(F.sum(F.expr("nv[__j] * pv[__j]")).alias("dot"))
     )
     w_p = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     ivf_top = scored.withColumn("rk", F.row_number().over(w_p)).filter(F.col("rk") <= TOPK)
@@ -2959,13 +3047,14 @@ def corpus_minhash_signatures(
     p, p1 = MHSIM_P, MHSIM_P - 1
     ab = [((i * 1103515245) % p1 + 1, (i * 2654435761) % p) for i in range(n_perm)]
     ab_arr = ",".join(f"array({a}L,{b}L)" for a, b in ab)
-    exploded = shingled.select(
-        "g", (F.col("hh") % F.lit(p)).alias("__hm")
-    ).select(
-        "g",
-        F.posexplode(
-            F.expr(f"transform(array({ab_arr}), s -> (s[0] * __hm + s[1]) % {p})")
-        ).alias("i", "h"),
+    # posexplode the CONSTANT coefficient array and evaluate the affine hash
+    # AFTER the explode (same trick as the minhash band build: no per-row
+    # n_perm-element ArrayData materialization; the permutation index is the
+    # explode position, exactly the old transform's element index)
+    exploded = (
+        shingled.select("g", (F.col("hh") % F.lit(p)).alias("__hm"))
+        .select("g", "__hm", F.posexplode(F.expr(f"array({ab_arr})")).alias("i", "__ab"))
+        .select("g", "i", F.expr(f"(__ab[0] * __hm + __ab[1]) % {p}").alias("h"))
     )
     return exploded.groupBy("g", "i").agg(F.min("h").alias("m"))
 
@@ -3388,14 +3477,14 @@ def substring_spans(c: DataFrame, l: int = SUBSTR_L) -> DataFrame:
         .filter(F.size("__toks") >= l)
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, size(__toks) - {l - 1}),"
-                    f" i -> array_join(slice(__toks, i, {l}), ' '))"
-                )
-            ).alias("pos0", "sh"),
+            "__toks",
+            F.posexplode(F.expr(f"sequence(1, size(__toks) - {l - 1})")).alias("pos0", "__i"),
         )
-        .select("doc_id", (F.col("pos0") + 1).alias("start"), _tokhash_spark(F.col("sh")).alias("hh"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("start"),
+            _tokhash_spark(F.expr(f"array_join(slice(__toks, __i, {l}), ' ')")).alias("hh"),
+        )
     )
     dup_keys = occ.groupBy("hh").agg(F.count("*").alias("cnt")).filter(F.col("cnt") >= 2).select("hh")
     starts = occ.join(dup_keys, "hh", "left_semi").select("doc_id", "start")

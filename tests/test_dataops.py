@@ -392,6 +392,33 @@ def test_ivf_rank_blas_matches_catalyst_bit_for_bit(spark):
         )
 
 
+def test_band_codes_blas_matches_catalyst_bit_for_bit(spark):
+    """The mapInPandas matmul band-code builder must reproduce the Catalyst
+    explode/join/aggregate form exactly — same xxhash64-parity hyperplane
+    family, same integer code assembly — at the cosine-dedup geometry and a
+    smaller odd one."""
+    e = dataops._aug_embeddings(spark, SF_DIR)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], r["band"], r["code"]) for r in df.collect()
+    )
+    for planes, bands in ((dataops.COSDUP_PLANES, dataops.COSDUP_BANDS), (24, 4)):
+        assert rows(
+            dataops._band_codes_blas(e, planes, bands, dim=dataops.EMB_DIM)
+        ) == rows(dataops._band_codes_df(e, planes, bands, dim=dataops.EMB_DIM))
+
+
+def test_band_codes_blas_rejects_ragged_vectors(spark):
+    """A vector whose length differs from the declared dim must fail loudly
+    (the Catalyst twin raises through its plan-side guard; the matmul twin
+    must not silently zero-pad)."""
+    bad = spark.createDataFrame(
+        [(1, [1000000] * dataops.EMB_DIM), (2, [1000000] * 3)],
+        "vec_id long, se array<bigint>",
+    )
+    with pytest.raises(Exception, match="dim"):
+        dataops._band_codes_blas(bad, 8, 2, dim=dataops.EMB_DIM).collect()
+
+
 def test_ivf_local_train_cap_raises(spark):
     """The LIMIT-guarded collect must refuse, not flood the driver."""
     import pytest
