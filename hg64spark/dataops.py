@@ -25,6 +25,7 @@ key (AQE-skew-splittable), and nothing row-wise crosses into Python.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -726,8 +727,18 @@ def _per_dim_sums(
     # vec_col parameterizes the fixed-point expression (the module-level
     # _SCALE constant is pinned to the embeddings table's column name)
     scale = _SCALE.replace("embedding", vec_col, 1)
+    # a NULL or empty vector produces no posexplode rows at all and would
+    # otherwise be silently excluded from n uniformly across dimensions —
+    # contradicting the fail-loudly contract; raise per-row BEFORE the
+    # explode instead (explicit isNull test: under ANSI size(NULL) is NULL,
+    # which would slip through a pure <= 0 comparison)
     se = embs.filter(F.col(group_col).isNotNull()).select(
-        F.col(group_col).alias("g"), F.expr(scale).alias("se")
+        F.col(group_col).alias("g"),
+        F.when(F.col(vec_col).isNull() | (F.size(F.col(vec_col)) <= 0),
+               F.expr(f"CAST(raise_error('NULL or empty {vec_col} vector') AS "
+                      "ARRAY<BIGINT>)"))
+        .otherwise(F.expr(scale))
+        .alias("se"),
     )
     aggs = [
         F.sum("x").alias("s"),
@@ -740,15 +751,23 @@ def _per_dim_sums(
     from pyspark.sql import Window
 
     w = Window.partitionBy("g")
-    ok = (F.max("__n_rows").over(w) == F.min("__n_rows").over(w)) & (
-        F.col("__n_vals") == F.col("__n_rows")
+    wall = Window.partitionBy()  # the guarded frame is tiny (G x dim)
+    # uniform within the group AND one vector length across the WHOLE
+    # frame: the pairwise consumers join on the dimension index alone, and
+    # two internally-uniform groups of different lengths would otherwise
+    # silently restrict their dot/norm sums to the common dimension prefix
+    ok = (
+        (F.max("__n_rows").over(w) == F.min("__n_rows").over(w))
+        & (F.col("__n_vals") == F.col("__n_rows"))
+        & (F.max("j").over(w) == F.max("j").over(wall))
     )
     guarded = per_dim.withColumn(
         "n",
         F.when(ok, F.col("__n_rows")).otherwise(
             F.expr(
                 "CAST(raise_error('embedding groups must have uniform vector "
-                "length and no NULL components') AS LONG)"
+                "length (one length across ALL groups) and no NULL "
+                "components') AS LONG)"
             )
         ),
     ).drop("__n_rows", "__n_vals")
@@ -1505,20 +1524,7 @@ def _ivf_rank_blas(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     squares exact and equal to numpy's int64 sum; score = double division
     of identical operands; argsort(-scores, stable) ties resolve to the
     lowest cid exactly like the window's (desc score, asc cid)."""
-    import numpy as np
-
-    crows = sorted(cents.collect(), key=lambda r: r["cid"])
-    if len(crows) > IVF_LOCAL_SEED_CAP:
-        raise ValueError(
-            f"_ivf_rank_blas: quantizer has {len(crows)} centroids > "
-            f"IVF_LOCAL_SEED_CAP={IVF_LOCAL_SEED_CAP}; too large to "
-            "closure-capture per batch — use the Catalyst _ivf_rank"
-        )
-    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
-    C = np.array([r["ce"] for r in crows], dtype=np.int64)
-    sq = (C * C).sum(axis=1, dtype=np.int64)
-    _require_nonzero_norms(sq, "_ivf_rank_blas")
-    cn = np.sqrt(sq.astype(np.float64))
+    cids, C, cn = _quantizer_arrays(cents, "_ivf_rank_blas")
     k = min(n, len(cids))
 
     def rank_batches(batches):
@@ -1526,8 +1532,7 @@ def _ivf_rank_blas(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
             if not len(pdf):
                 continue
             V = _batch_matrix(pdf)
-            scores = (V @ C.T).astype(np.float64) / cn[None, :]
-            idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+            idx = _topk_centroids(V, C, cn, k)
             yield pd.DataFrame(
                 {
                     "vec_id": np.repeat(pdf["vec_id"].to_numpy(), k),
@@ -1539,6 +1544,33 @@ def _ivf_rank_blas(vectors: DataFrame, cents: DataFrame, n: int) -> DataFrame:
     return vectors.select("vec_id", "se").mapInPandas(
         rank_batches, "vec_id long, cid int, rn int"
     )
+
+
+def _quantizer_arrays(cents: DataFrame, where: str):
+    """Collect + validate the (tiny by contract) quantizer once: ascending
+    cid array, K x dim int64 centroid matrix, double norms.  Shared by the
+    mapInPandas ranker and the driver-side probe ranking so the two paths
+    cannot drift."""
+    crows = sorted(cents.collect(), key=lambda r: r["cid"])
+    if len(crows) > IVF_LOCAL_SEED_CAP:
+        raise ValueError(
+            f"{where}: quantizer has {len(crows)} centroids > "
+            f"IVF_LOCAL_SEED_CAP={IVF_LOCAL_SEED_CAP}; too large to "
+            "closure-capture per batch — use the Catalyst _ivf_rank"
+        )
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    C = np.array([r["ce"] for r in crows], dtype=np.int64)
+    sq = (C * C).sum(axis=1, dtype=np.int64)
+    _require_nonzero_norms(sq, where)
+    return cids, C, np.sqrt(sq.astype(np.float64))
+
+
+def _topk_centroids(V, C, cn, k):
+    """Row-wise top-k centroid indices by double(dot)/|c|, stable argsort so
+    score ties resolve to the lowest cid (cids ascending) — the exact op
+    sequence the bit-equality argument in _ivf_rank_blas relies on."""
+    scores = (V @ C.T).astype(np.float64) / cn[None, :]
+    return np.argsort(-scores, axis=1, kind="stable")[:, :k]
 
 
 #: largest training sample the LOCAL Lloyd trainer will collect (vectors;
@@ -1757,12 +1789,23 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     e = _scaled(spark, sf_dir)
     cents = _ivf_train(spark, e, sample_mod=sample_mod)
     assigned = _ivf_rank_blas(e, cents, 1).select("vec_id", "cid")
-    probes = e.filter(F.col("vec_id") < N_PROBES)
-    # nprobe scales with the list count (see _ivf_nprobe); cents is the
-    # tiny K x dim frame, so the count is a frame action, not a data scan
-    nprobe = _ivf_nprobe(cents.count())
-    plists = _ivf_rank_blas(probes, cents, nprobe).select(
-        F.col("vec_id").alias("probe_id"), "cid"
+    # Probe-side work is driver-local: there are N_PROBES (a small constant)
+    # probe vectors and the quantizer is driver-resident by contract, so
+    # ranking the probes' nprobe nearest lists is N_PROBES x K numpy work —
+    # the old second mapInPandas pass shipped a handful of rows through a
+    # whole Spark stage, and cents.count() was a third action on the local
+    # relation.  Same _collect_vectors ordering, same ranking kernel
+    # (_topk_centroids) as the distributed assignment — bit-identical rows.
+    pids, P = _collect_vectors(
+        e.filter(F.col("vec_id") < N_PROBES), "probe set", "lower N_PROBES"
+    )
+    cids, C, cn = _quantizer_arrays(cents, "q_ann_ivf_recall probe ranking")
+    nprobe = _ivf_nprobe(len(cids))
+    k = min(nprobe, len(cids))
+    idx = _topk_centroids(P, C, cn, k) if len(pids) else np.empty((0, 0), dtype=np.int64)
+    plists = spark.createDataFrame(
+        [(int(p), int(c)) for p, row in zip(pids, idx) for c in cids[row]],
+        "probe_id long, cid int",
     )
     cand = (
         plists.join(assigned, "cid")
@@ -1771,10 +1814,15 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
         .distinct()
     )
     # exact scoring of the CANDIDATES ONLY (the point of the inverted lists):
-    # attach both vectors to each candidate pair, zip-explode, integer sum —
-    # never the full N x P cross like the brute-force baseline
+    # attach both vectors to each candidate pair, positional explode, integer
+    # sum — never the full N x P cross like the brute-force baseline.  The
+    # probe vectors are already on the driver; the broadcast side is built
+    # from them as a local relation instead of a third scan of the table.
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("se").alias("nv"))
-    pv = probes.select(F.col("vec_id").alias("probe_id"), F.col("se").alias("pv"))
+    pv = spark.createDataFrame(
+        [(int(p), [int(x) for x in row]) for p, row in zip(pids, P)],
+        "probe_id long, pv array<bigint>",
+    )
     scored = (
         cand.join(ne, "neighbor_id")
         .join(F.broadcast(pv), "probe_id")
@@ -1792,7 +1840,10 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     overlap = ivf_top.join(true_top, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
         F.count("*").alias("hits")
     )
-    all_probes = e.filter(F.col("vec_id") < N_PROBES).select(F.col("vec_id").alias("probe_id"))
+    # the collected probe ids ARE e.filter(vec_id < N_PROBES)'s id column
+    # (same filter, _collect_vectors sorts ascending) — local relation, no
+    # fourth scan of the table
+    all_probes = spark.createDataFrame([(int(p),) for p in pids], "probe_id long")
     return all_probes.join(overlap, "probe_id", "left").select(
         "probe_id",
         (F.coalesce(F.col("hits"), F.lit(0)) >= int(TOPK * IVF_RECALL_FLOOR)).alias("recall_ok"),
@@ -4207,7 +4258,10 @@ def q_quota_topk_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     kept = salted_topk(
-        d, "lang", [F.desc("n_tokens"), F.asc("doc_id")], "doc_id", QUOTA_PER_LANG
+        # asc_nulls_last: Spark's bare asc is NULLS FIRST while the DuckDB
+        # oracle's ASC is NULLS LAST — a NULL doc_id would rank differently
+        # across engines (current fixtures have none; library hardening)
+        d, "lang", [F.desc("n_tokens"), F.asc_nulls_last("doc_id")], "doc_id", QUOTA_PER_LANG
     )
     return kept.select("lang", "doc_id", "n_tokens")
 
@@ -4329,7 +4383,8 @@ def tfidf_search(
         )
     )
     return salted_topk(
-        scored, "query_id", [F.desc("score"), F.asc("doc_id")], "doc_id", k
+        # asc_nulls_last: match the oracle's NULLS LAST on a NULL doc_id
+        scored, "query_id", [F.desc("score"), F.asc_nulls_last("doc_id")], "doc_id", k
     )
 
 

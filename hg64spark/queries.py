@@ -815,9 +815,13 @@ def _run_stateful_memory_gate(spark: SparkSession, base: str, updated) -> list:
         .start()
     )
     q.awaitTermination()
-    rows = spark.table(qname).select(updated.columns[0], "sketch").collect()
+    gcols = [c for c in updated.columns if c != "sketch"]
+    rows = spark.table(qname).select(*gcols, "sketch").collect()
     spark.catalog.dropTempView(qname)
-    groups = [r[0] for r in rows]
+    # the FULL group-key tuple, not just the first column: distinct
+    # composite keys sharing the first column's value must not trip the
+    # one-emission-per-group assertion
+    groups = [tuple(r[c] for c in gcols) for r in rows]
     if len(set(groups)) != len(groups):
         raise AssertionError(
             f"stateful gate expected one emission per group (single-batch source), got {groups}"

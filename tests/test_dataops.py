@@ -1636,3 +1636,25 @@ def test_embedding_ops_reject_ragged_and_null_vectors(spark):
             "label",
         ).collect()
     assert "NULL components" in str(ei.value) or "uniform vector length" in str(ei.value)
+
+
+def test_embedding_ops_reject_cross_group_dim_mismatch_and_null_vectors(spark):
+    """Two internally-uniform groups with DIFFERENT vector lengths must fail
+    loudly (the pairwise join on the dimension index alone would otherwise
+    silently compute cosine over the common prefix), and a NULL or empty
+    vector must raise instead of being silently excluded from n."""
+    crossdim = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 0), (3, [1.0, 2.0, 3.0], 1), (4, [4.0, 5.0, 6.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(Exception) as ei:
+        dataops.embedding_centroid_drift(crossdim, "label").collect()
+    assert "ALL groups" in str(ei.value) or "uniform vector length" in str(ei.value)
+    for bad_vec in (None, []):
+        bad = spark.createDataFrame(
+            [(1, [1.0, 2.0], 0), (2, bad_vec, 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        with pytest.raises(Exception) as ei:
+            dataops.embedding_dispersion(bad, "label").collect()
+        assert "NULL or empty" in str(ei.value)
