@@ -1309,12 +1309,18 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiebreak (dot desc, neighbor asc) is a total order, so the result
     is partitioning-invariant and bit-equal to the Catalyst explode-join
     twin (_ann_brute_catalyst, pytest-asserted) and to the DuckDB oracle."""
-    import numpy as np
-
     e = _scaled(spark, sf_dir)
     pids, P = _collect_vectors(
         e.filter(F.col("vec_id") < N_PROBES), "probe set", "lower N_PROBES"
     )
+    return _ann_brute_topk_from(e, pids, P)
+
+
+def _ann_brute_topk_from(e: DataFrame, pids, P) -> DataFrame:
+    """Body of :func:`q_ann_brute_topk` over an already-collected probe set
+    — shared with `q_ann_ivf_recall`, whose recall comparison needs the
+    same brute reference and already holds the probes on the driver (one
+    scan+collect job fewer per IVF run)."""
 
     def local_topk(batches):
         for pdf in batches:
@@ -1836,7 +1842,8 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     )
     w_p = Window.partitionBy("probe_id").orderBy(F.desc("dot"), F.asc("neighbor_id"))
     ivf_top = scored.withColumn("rk", F.row_number().over(w_p)).filter(F.col("rk") <= TOPK)
-    true_top = q_ann_brute_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    # brute reference from the SAME collected probe set (one collect fewer)
+    true_top = _ann_brute_topk_from(e, pids, P).select("probe_id", "neighbor_id")
     overlap = ivf_top.join(true_top, ["probe_id", "neighbor_id"]).groupBy("probe_id").agg(
         F.count("*").alias("hits")
     )
@@ -3675,7 +3682,11 @@ CC_MAX_ITERS = 20
 
 
 def connected_components_min_label(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = CC_MAX_ITERS
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = CC_MAX_ITERS,
+    normalized: bool = False,
 ) -> DataFrame:
     """(doc_id, canonical_id): connected components over an undirected pair
     list, canonical = min doc_id reachable.  Iterative min-label
@@ -3683,18 +3694,23 @@ def connected_components_min_label(
     labels) via one edge join + one min-aggregation; the driver checks the
     changed-count (one small action per round — the documented iterative-
     algorithm shape, same as MLlib's Lloyd loop) and stops at the fixpoint.
-    Deterministic: min is order-insensitive."""
+    Deterministic: min is order-insensitive.
+
+    ``normalized``: the caller GUARANTEES the pair rows are distinct with
+    a_col < b_col strictly (true of every verified-pair producer in this
+    module, whose pairs come out of a (doc_a, doc_b) aggregate with a
+    doc_a < doc_b filter) — then both directions of the union are disjoint
+    and already-unique, and the edge-normalization distinct (a full
+    shuffle of the pair list) is skipped."""
     # materialize the edge list ONCE: the pair source is typically a whole
     # dedup pipeline (MinHash-LSH + verify), and without this every
     # propagation round would recompute it twice.  localCheckpoint keeps it
     # executor-resident; the verified pair set is orders of magnitude
     # smaller than the corpus that produced it.
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionAll(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
+    edges = (sym if normalized else sym.distinct()).localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -3765,7 +3781,11 @@ def connected_components_min_label(
 
 
 def connected_components_star(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = CC_MAX_ITERS
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = CC_MAX_ITERS,
+    normalized: bool = False,
 ) -> DataFrame:
     """(doc_id, canonical_id) by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -3784,26 +3804,39 @@ def connected_components_star(
     # materialize the raw pair list ONCE: both the contraction input and the
     # self-pair branch below derive from it, and the pair source is
     # typically a whole un-cached dedup pipeline (MinHash-LSH + verify) that
-    # would otherwise be re-executed per derived branch
-    src = pairs.select(
-        F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).localCheckpoint(eager=True)
-    # the contraction itself only works over proper edges (u != v), but a
-    # node whose ONLY pair is a self-pair (x, x) is still a singleton
-    # component that min-label (and the recursive-CTE oracle) would emit as
-    # (x, x) — capture those nodes up front and union them back at the end
-    # so both library forms compute the same answer on general pair lists
-    selfies = src.filter(F.col("u") == F.col("v")).select(F.col("u").alias("node")).distinct()
-    # ONE normalized distinct replaces the old symmetrize-distinct-then-
-    # filter chain: distinct over (least, greatest) of the proper pairs is
-    # set-equal to distinct over both directions filtered to u < v, one
-    # shuffle (of |pairs|, not 2|pairs|) and one checkpoint fewer
-    edges = (
-        src.filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # would otherwise be re-executed per derived branch.
+    # ``normalized`` (caller-guaranteed distinct rows with a_col < b_col —
+    # see connected_components_min_label): the pair list IS the normalized
+    # edge set, so the self-pair branch and the normalization distinct (a
+    # full shuffle of the pair list) are both skipped.
+    if normalized:
+        selfies = None
+        edges = pairs.select(
+            F.col(a_col).alias("a"), F.col(b_col).alias("b")
+        ).localCheckpoint(eager=True)
+    else:
+        src = pairs.select(
+            F.col(a_col).alias("u"), F.col(b_col).alias("v")
+        ).localCheckpoint(eager=True)
+        # the contraction itself only works over proper edges (u != v), but
+        # a node whose ONLY pair is a self-pair (x, x) is still a singleton
+        # component that min-label (and the recursive-CTE oracle) would emit
+        # as (x, x) — capture those nodes up front and union them back at
+        # the end so both library forms compute the same answer on general
+        # pair lists
+        selfies = src.filter(F.col("u") == F.col("v")).select(
+            F.col("u").alias("node")
+        ).distinct()
+        # ONE normalized distinct replaces the old symmetrize-distinct-then-
+        # filter chain: distinct over (least, greatest) of the proper pairs
+        # is set-equal to distinct over both directions filtered to u < v,
+        # one shuffle (of |pairs|, not 2|pairs|) and one checkpoint fewer
+        edges = (
+            src.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     def _is_star_forest(e: DataFrame) -> bool:
         """Fixpoint test, checked DIRECTLY on the current (a < b normalized)
@@ -3878,15 +3911,19 @@ def connected_components_star(
         .unionAll(edges.select(F.col("a").alias("doc_id"), F.col("a").alias("canonical_id")))
         .distinct()
     )
-    # self-pair-only singletons: in no proper edge, so absent from `labels`
-    # — they are their own canonical id (left_anti keeps a self-paired node
-    # that ALSO has proper edges out of this union; it already has a label)
-    extra = selfies.join(
-        labels, selfies["node"] == labels["doc_id"], "left_anti"
-    ).select(F.col("node").alias("doc_id"), F.col("node").alias("canonical_id"))
-    out = labels.unionAll(extra).localCheckpoint(eager=True)
+    if selfies is not None:
+        # self-pair-only singletons: in no proper edge, so absent from
+        # `labels` — they are their own canonical id (left_anti keeps a
+        # self-paired node that ALSO has proper edges out of this union;
+        # it already has a label)
+        extra = selfies.join(
+            labels, selfies["node"] == labels["doc_id"], "left_anti"
+        ).select(F.col("node").alias("doc_id"), F.col("node").alias("canonical_id"))
+        labels = labels.unionAll(extra)
+    out = labels.localCheckpoint(eager=True)
     _unpersist_checkpoint(edges)
-    _unpersist_checkpoint(src)
+    if selfies is not None:
+        _unpersist_checkpoint(src)
     return out
 
 
@@ -3895,7 +3932,9 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified MinHash pair set — same answer as `dedup_cluster` (one oracle
     serves both), logarithmic rounds instead of diameter-bound."""
     pairs = minhash_neardup_pairs(augmented_corpus(spark, sf_dir))
-    return connected_components_star(pairs)
+    # normalized=True: verified pairs come out of a (doc_a, doc_b) aggregate
+    # with a doc_a < doc_b candidate filter — distinct rows, strict order
+    return connected_components_star(pairs, normalized=True)
 
 
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3906,7 +3945,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     information-rich.  Oracle: DuckDB recursive CTE computing min reachable
     id over the same verified pair set."""
     pairs = minhash_neardup_pairs(augmented_corpus(spark, sf_dir))
-    return connected_components_min_label(pairs)
+    return connected_components_min_label(pairs, normalized=True)
 
 
 def _dedup_cluster_sql() -> str:
@@ -3947,9 +3986,10 @@ def dedup_keep_best(corpus: DataFrame, pairs: DataFrame | None = None) -> DataFr
     (max-metric per cluster, then min-id among the maximal) — a window
     sort per cluster would order members a second time for no reason.
     ``pairs`` overrides the default MinHash-LSH verified pair source."""
+    normalized = pairs is None  # our own verified pairs are distinct, a < b
     if pairs is None:
         pairs = minhash_neardup_pairs(corpus)
-    cc = connected_components_min_label(pairs)
+    cc = connected_components_min_label(pairs, normalized=normalized)
     # the members frame (<= duplicate count rows) feeds THREE consumers
     # (best, surv, the final projection); without a checkpoint each would
     # re-run the corpus scan + broadcast join + tokenization — the same

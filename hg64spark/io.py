@@ -30,6 +30,15 @@ FORMAT_CONF = "hg64spark.io.format"
 NAMESPACE_CONF = "hg64spark.io.namespace"
 SCHEMA_CONF_PREFIX = "hg64spark.io.schema"
 
+#: (applicationId, path) -> StructType for parquet reads.  Schema METADATA
+#: only, never data or results: inferring a parquet schema costs a driver
+#: footer read per DataFrameReader (~80ms measured; a query building 2-3
+#: table reads pays it each time), while passing the already-inferred
+#: StructType costs ~12ms.  Keyed by applicationId so a new session (or a
+#: different cluster) re-infers; the csv/json branch below already pins
+#: reader schemas by configuration for the same reason.
+_PARQUET_SCHEMAS: dict[tuple[str, str], object] = {}
+
 
 def _conf(spark: SparkSession, key: str, env: str, default: str) -> str:
     try:
@@ -52,7 +61,14 @@ def read_table(spark: SparkSession, location: str, name: str) -> DataFrame:
     snapshots."""
     fmt = _conf(spark, FORMAT_CONF, "HG64SPARK_IO_FORMAT", "parquet").lower()
     if fmt == "parquet":
-        return spark.read.parquet(f"{location}/{name}.parquet")
+        path = f"{location}/{name}.parquet"
+        key = (spark.sparkContext.applicationId, path)
+        schema = _PARQUET_SCHEMAS.get(key)
+        if schema is None:
+            df = spark.read.parquet(path)
+            _PARQUET_SCHEMAS[key] = df.schema
+            return df
+        return spark.read.schema(schema).parquet(path)
     if fmt == "iceberg":
         ns = _conf(spark, NAMESPACE_CONF, "HG64SPARK_IO_NAMESPACE", "")
         return spark.table(f"{ns}.{name}" if ns else name)

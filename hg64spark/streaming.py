@@ -176,6 +176,10 @@ class StreamingSketch:
                 f"{self.state_dir} belongs to a different streaming checkpoint lineage"
             )
         partials = agg.sketch_partials(batch_df, self.value_col, self.group_cols, self.make_sketch)
+        # remember the partial schema for result(): same-process readers then
+        # skip a parquet footer-inference pass per call (a fresh process
+        # falls back to inference — the files are self-describing)
+        self._partials_schema = partials.schema
         # repartition(1) BEFORE the write: the partial frame is tiny by
         # construction (<= #partitions x #groups sketch blobs), but it
         # inherits the input's partitioning, so writing it directly emits one
@@ -242,7 +246,11 @@ class StreamingSketch:
         dirs = self._batch_dirs()
         if not dirs:
             raise FileNotFoundError(f"no committed stream batches under {self.state_dir}")
-        partials = spark.read.parquet(*dirs)
+        reader = spark.read
+        schema = getattr(self, "_partials_schema", None)
+        if schema is not None:
+            reader = reader.schema(schema)
+        partials = reader.parquet(*dirs)
         return agg.merge_sketches(partials, self.group_cols, self.deserialize)
 
     def compact(self, spark: SparkSession) -> None:

@@ -212,6 +212,23 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_normalized_flag_equivalence(spark):
+    """normalized=True (caller guarantees distinct a < b pair rows) must
+    compute the identical labels as the general path, for both CC forms —
+    the flag only skips the normalization distinct / self-pair branch."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    rows = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert rows(dataops.connected_components_min_label(pairs, normalized=True)) == rows(
+        dataops.connected_components_min_label(pairs)
+    )
+    assert rows(dataops.connected_components_star(pairs, normalized=True)) == rows(
+        dataops.connected_components_star(pairs)
+    )
+
+
 def test_dedup_keep_best_argmax_and_ties(spark):
     """Survivor selection with an exactly-known answer: in a 3-doc cluster
     the max-distinct-token doc wins regardless of id order; a second
