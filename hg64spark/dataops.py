@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hg64spark import io
+from hg64spark.localrel import local_rows_df
 
 SHINGLE_K = 5
 #: id offset for planted near-duplicates in the augmented test corpora —
@@ -1739,7 +1740,13 @@ def _ivf_train_local(
         nz = counts > 0  # empty clusters keep their old centroid
         avg = sums[nz].astype(np.float64) / counts[nz, None].astype(np.float64)
         C[nz] = np.floor(avg + 0.5).astype(np.int64)
-    return spark.createDataFrame(
+    # VALUES LocalRelation, not createDataFrame: the centroid frame is
+    # collected twice downstream (assignment closure + probe ranking), and a
+    # pickled-RDD-backed frame pays a defaultParallelism-task Python job per
+    # evaluation — LocalTableScan collects driver-side with no job at all
+    # (hg64spark.localrel module docstring)
+    return local_rows_df(
+        spark,
         [(int(c), [int(x) for x in row]) for c, row in zip(cids, C)],
         "cid int, ce array<bigint>",
     )
@@ -1767,8 +1774,8 @@ def _ivf_train_distributed(
             .join(means, "cid", "left")
             .select("cid", F.coalesce("ce", "old").alias("ce"))
         )
-        cents = spark.createDataFrame(
-            [(r["cid"], list(r["ce"])) for r in updated.collect()], "cid int, ce array<bigint>"
+        cents = local_rows_df(
+            spark, [(r["cid"], list(r["ce"])) for r in updated.collect()], "cid int, ce array<bigint>"
         )
     return cents
 
@@ -1809,7 +1816,8 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     nprobe = _ivf_nprobe(len(cids))
     k = min(nprobe, len(cids))
     idx = _topk_centroids(P, C, cn, k) if len(pids) else np.empty((0, 0), dtype=np.int64)
-    plists = spark.createDataFrame(
+    plists = local_rows_df(
+        spark,
         [(int(p), int(c)) for p, row in zip(pids, idx) for c in cids[row]],
         "probe_id long, cid int",
     )
@@ -1825,7 +1833,8 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     # probe vectors are already on the driver; the broadcast side is built
     # from them as a local relation instead of a third scan of the table.
     ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("se").alias("nv"))
-    pv = spark.createDataFrame(
+    pv = local_rows_df(
+        spark,
         [(int(p), [int(x) for x in row]) for p, row in zip(pids, P)],
         "probe_id long, pv array<bigint>",
     )
@@ -1850,7 +1859,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str, sample_mod: int = 4) -> D
     # the collected probe ids ARE e.filter(vec_id < N_PROBES)'s id column
     # (same filter, _collect_vectors sorts ascending) — local relation, no
     # fourth scan of the table
-    all_probes = spark.createDataFrame([(int(p),) for p in pids], "probe_id long")
+    all_probes = local_rows_df(spark, [(int(p),) for p in pids], "probe_id long")
     return all_probes.join(overlap, "probe_id", "left").select(
         "probe_id",
         (F.coalesce(F.col("hits"), F.lit(0)) >= int(TOPK * IVF_RECALL_FLOOR)).alias("recall_ok"),
@@ -3240,8 +3249,8 @@ def sample_to_mixture(
                 f"target shares must be positive for non-NULL groups; got {g!r}: {t!r}"
             )
     spark = corpus.sparkSession
-    tgt = spark.createDataFrame(
-        [(g, float(t)) for g, t in sorted(target.items())], f"{group_col} string, __t double"
+    tgt = local_rows_df(
+        spark, [(g, float(t)) for g, t in sorted(target.items())], f"{group_col} string, __t double"
     )
     if weight_col is not None:
         wtype = dict(corpus.dtypes).get(weight_col)

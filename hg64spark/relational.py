@@ -37,6 +37,7 @@ from pyspark.sql.types import BinaryType, StructField, StructType
 
 from hg64spark import keymath as km
 from hg64spark.hg64 import HG64
+from hg64spark.localrel import local_rows_df
 
 _GLOBAL = "__hg64_g__"
 
@@ -467,9 +468,13 @@ def _rank_hits(
     cum = counts.withColumn(
         "cum_incl", F.sum("count").over(wpart.orderBy("hg64_key"))
     ).withColumn("pop", F.sum("count").over(wpart))
+    # VALUES LocalRelation (localrel module docstring): the q-probe frame is
+    # broadcast inside every quantile/trimmed-stats query, and the
+    # createDataFrame form pays a defaultParallelism-task Python-RDD job to
+    # build that broadcast each time
     qdf = cum.crossJoin(
         F.broadcast(
-            counts.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+            local_rows_df(counts.sparkSession, [(float(q),) for q in qs], "q double")
         )
     )
     rank = F.floor(F.col("q") * F.col("pop").cast("double")).cast("long")
