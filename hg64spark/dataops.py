@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd  # noqa: F401 — pandas_udf type hints resolve against module globals
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hg64spark import io
@@ -3725,8 +3725,17 @@ def connected_components_min_label(
     )
     prev_ckpt = None
     prev_sum = None
-    converged = False
+    # empty pair list handled BEFORE the loop: the fixpoint is the empty
+    # label table, and an all-empty plan is the one input on which AQE's
+    # empty-relation propagation can eliminate the observed CollectMetrics
+    # node below (no metrics row -> Observation.get fails); one cheap
+    # isEmpty on the checkpointed frame, once per query
+    converged = edges.isEmpty()
+    if converged:
+        labels = labels.filter(F.lit(False))
     for _ in range(max_iters):
+        if converged:
+            break
         # min(own, neighbors') as ONE union + groupBy-min instead of the old
         # propagate-join + apply-join: the neighbor-contribution rows and the
         # node's own (node, label) row meet in a single min-aggregation —
@@ -3735,31 +3744,24 @@ def connected_components_min_label(
         contrib = edges.join(labels.withColumnRenamed("node", "dst"), "dst").select(
             F.col("src").alias("node"), "label"
         )
+        # convergence via the EXACT monotone invariant: labels only ever
+        # decrease and the node set is fixed, so sum(label) is strictly
+        # decreasing until the fixpoint and equal exactly AT it (decimal(38):
+        # exact for any id domain, no int64-overflow hazard at 10^12 nodes).
+        # The sum rides an OBSERVE on the round's own materialization —
+        # CollectMetrics aggregates during the checkpoint job, so each round
+        # is ONE job instead of checkpoint-then-aggregate (the metrics fire
+        # on eager localCheckpoint; verified, and obs.get below would block
+        # rather than silently misreport if they ever did not)
+        obs = Observation()
         new_labels = (
             contrib.unionAll(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .localCheckpoint(eager=True)
         )
-        # convergence via the EXACT monotone invariant: labels only ever
-        # decrease and the node set is fixed, so sum(label) is strictly
-        # decreasing until the fixpoint and equal exactly AT it — one tiny
-        # aggregate job on the materialized frame replaces the old
-        # changed-flag count (decimal(38): exact for any id domain, no
-        # int64-overflow hazard at 10^12 nodes)
-        stat = new_labels.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
-        ).collect()[0]
-        cur_sum = stat["s"]
-        if stat["n"] == 0:
-            # empty pair list: the fixpoint is the empty label table
-            if prev_ckpt is not None:
-                _unpersist_checkpoint(prev_ckpt)
-            prev_ckpt = new_labels
-            labels = new_labels
-            converged = True
-            break
+        cur_sum = obs.get["s"]
         if cur_sum is None:
             # decimal overflow yields NULL (non-ANSI); a None==None compare
             # must never masquerade as convergence
@@ -3847,78 +3849,120 @@ def connected_components_star(
             .localCheckpoint(eager=True)
         )
 
-    def _is_star_forest(e: DataFrame) -> bool:
-        """Fixpoint test, checked DIRECTLY on the current (a < b normalized)
-        edge set instead of contracting once more and comparing sets: the
-        set is a forest of disjoint min-rooted stars iff (1) no node appears
-        both as a root (a) and as a leaf (b) and (2) no leaf has two roots.
-        Both contractions are then the identity — large-star at a root r:
-        m = min(r, leaves) = r (a < b), so every larger neighbor re-points
-        where it already points; large-star at a leaf: no larger neighbors;
-        small-star at a leaf x with its single root r: emits exactly (r, x).
-        Conversely a violating set is changed by the round (a two-root leaf
-        is re-pointed, a root-and-leaf chain is shortened), so the loop
-        keeps contracting — and the max_iters raise below stays the safety
-        net.  One aggregate pass over the tiny edge frame replaces BOTH the
-        old out-vs-edges exceptAll and the whole final confirmation round
-        (a full contraction that by definition changed nothing)."""
-        roles = e.select(F.col("a").alias("n"), F.lit(0).alias("leaf")).unionAll(
-            e.select(F.col("b").alias("n"), F.lit(1).alias("leaf"))
-        )
-        bad = (
-            roles.groupBy("n")
-            .agg(F.min("leaf").alias("lo"), F.max("leaf").alias("hi"), F.sum("leaf").alias("nl"))
-            .filter((F.col("lo") != F.col("hi")) | (F.col("nl") > 1))
-        )
-        return bad.limit(1).count() == 0
-
-    converged = False
+    # Fixpoint test, folded INTO each contraction round as an observed
+    # metric: the input edge set (a < b normalized) is a forest of disjoint
+    # min-rooted stars iff (1) no node appears both as a root (a) and as a
+    # leaf (b) and (2) no leaf has two roots.  Both contractions are then
+    # the identity — large-star at a root r: m = min(r, leaves) = r (a < b),
+    # so every larger neighbor re-points where it already points; large-star
+    # at a leaf: no larger neighbors; small-star at a leaf x with its single
+    # root r: emits exactly (r, x) — so the round's OUTPUT equals its input
+    # set and serves as the final edge set.  Conversely a violating set is
+    # changed by the round (a two-root leaf is re-pointed, a root-and-leaf
+    # chain is shortened), so the loop keeps contracting — the max_iters
+    # raise below stays the safety net.  Per node, both-roles / two-roots
+    # reduce over the SAME window partition the contraction's min-neighbor
+    # uses (und carries a role flag; every node is some row's center), and
+    # the global any-violation max rides a CollectMetrics on the round's own
+    # checkpoint job: convergence costs ZERO extra jobs per round, vs the
+    # previous standalone check job per round plus one more to certify the
+    # fixpoint (and the r7 protocol's full exceptAll confirmation round
+    # before that).  A filter cannot leak below CollectMetrics, so the
+    # metric always sees every und row (verified empirically).
+    # empty edge set handled BEFORE the loop: it is the one input on which
+    # AQE's empty-relation propagation can eliminate the CollectMetrics node
+    # (no metrics row -> Observation.get fails), and it can only occur at
+    # entry — a contraction of a non-empty non-forest is never empty (every
+    # >= 2-node component keeps an edge), and a non-empty forest exits the
+    # loop.  One cheap isEmpty on the checkpointed frame, once per query.
+    converged = edges.isEmpty()
     for _ in range(max_iters):
-        if _is_star_forest(edges):
-            converged = True
+        if converged:
             break
-        und = edges.select("a", "b").unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        # large-star: center a, neighbors b; m = min(center, min neighbor)
-        mins = und.groupBy("a").agg(F.min("b").alias("mv")).select(
-            "a", F.least("a", "mv").alias("m")
+        obs = Observation()
+        und = edges.select("a", "b", F.lit(0).alias("__leaf")).unionAll(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"), F.lit(1).alias("__leaf"))
         )
-        # NO distinct here: duplicate (a, b) rows do not change any MIN the
-        # small-star pass computes, and the final distinct below dedupes the
-        # emitted edge set — dropping the exchange removes one of the four
-        # shuffles per round (guide §2.4); the dup factor is bounded by the
-        # large-star fan-in, which the old distinct paid a full shuffle to
-        # remove anyway
+        # large-star: center a, neighbors b; m = min(center, min neighbor).
+        # The per-center min rides a WINDOW over the same partitioning the
+        # old groupBy-then-join pair needed: one exchange of und by a (plus
+        # WindowExec's partition-key sort) replaces the aggregate exchange
+        # AND the join that re-attached the min to every row — per round
+        # that drops an exchange and both tiny broadcast-build jobs, and at
+        # scale (mins past broadcast size) it drops a sort-merge join whose
+        # probe side was this very frame (guide §2.4).  No distinct on und:
+        # duplicate rows change no MIN, and the final distinct dedupes.
+        w_center = Window.partitionBy("a")
         large = (
-            und.join(mins, "a")
+            und.withColumn("m", F.least(F.col("a"), F.min("b").over(w_center)))
+            .withColumn(
+                "__viol",
+                (
+                    (F.min("__leaf").over(w_center) != F.max("__leaf").over(w_center))
+                    | (F.sum("__leaf").over(w_center) > 1)
+                ).cast("int"),
+            )
+            .observe(obs, F.max("__viol").alias("bad"))
             .filter(F.col("b") > F.col("a"))
             .select(F.least("b", "m").alias("a"), F.greatest("b", "m").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
         # small-star over the large-star output: center u with its smaller
-        # neighbors; m = their min; re-point u and the others at m
-        lund = large.select("a", "b").unionAll(
-            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        smaller = lund.filter(F.col("b") < F.col("a"))
-        smins = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        # neighbors; m = their min; re-point u and the others at m.  Both
+        # directions of each large edge come from ONE explode (a union of
+        # two projections would evaluate the window subtree twice), and the
+        # per-row (m, b) / (m, a) emissions likewise: the old form emitted
+        # re-pointed rows from the join and the (m, a) center rows from the
+        # aggregate side — here both fall out of the same windowed row and
+        # the final distinct collapses the duplicate center emissions (the
+        # dup factor is the small-star fan-in, same bound as the und dups)
+        lund = large.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
         out = (
-            smaller.join(smins, "a")
-            .filter(F.col("b") != F.col("m"))
-            .select(F.col("m").alias("a"), F.col("b").alias("b"))
-            .unionAll(smins.select(F.col("m").alias("a"), F.col("a").alias("b")))
-            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            lund.filter(F.col("b") < F.col("a"))
+            .withColumn("m", F.min("b").over(w_center))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("m").alias("x"), F.col("b").alias("y")),
+                        F.struct(F.col("m").alias("x"), F.col("a").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select(F.least("e.x", "e.y").alias("a"), F.greatest("e.x", "e.y").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # metric available once the eager checkpoint's job finished; NULL =
+        # zero und rows (empty edge set) = trivially a forest
+        was_forest = not obs.get["bad"]
         _unpersist_checkpoint(edges)
         edges = out
+        if was_forest:
+            # the input was already a star forest, so this round was the
+            # identity (argument above): `out` is the same edge set,
+            # checkpointed — use it as the fixpoint
+            converged = True
+            break
     if not converged:
         raise RuntimeError(f"star contraction did not converge in {max_iters} rounds")
-    labels = (
-        edges.select(F.col("b").alias("doc_id"), F.col("a").alias("canonical_id"))
-        .unionAll(edges.select(F.col("a").alias("doc_id"), F.col("a").alias("canonical_id")))
-        .distinct()
+    # at convergence the edge set is a forest of disjoint min-rooted stars
+    # (the loop's exit condition): every leaf b carries exactly one root, so
+    # the leaf rows are distinct as-is and ship with NO exchange; only the
+    # root self-labels need deduping (a root appears once per leaf), one
+    # aggregate over |E| rows instead of the old distinct over 2|E|
+    labels = edges.select(
+        F.col("b").alias("doc_id"), F.col("a").alias("canonical_id")
+    ).unionAll(
+        edges.select("a").distinct()
+        .select(F.col("a").alias("doc_id"), F.col("a").alias("canonical_id"))
     )
     if selfies is not None:
         # self-pair-only singletons: in no proper edge, so absent from

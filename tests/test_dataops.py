@@ -212,6 +212,17 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_empty_pairs(spark):
+    """An empty pair list must yield an empty label table from BOTH CC
+    forms and BOTH normalization paths — this is the input where the loops'
+    convergence metrics would be optimized away with the plan (AQE empty
+    propagation), so it is handled by the pre-loop isEmpty guard."""
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    for normalized in (False, True):
+        assert dataops.connected_components_min_label(empty, normalized=normalized).count() == 0
+        assert dataops.connected_components_star(empty, normalized=normalized).count() == 0
+
+
 def test_connected_components_normalized_flag_equivalence(spark):
     """normalized=True (caller guarantees distinct a < b pair rows) must
     compute the identical labels as the general path, for both CC forms —
