@@ -3700,10 +3700,10 @@ def connected_components_min_label(
     """(doc_id, canonical_id): connected components over an undirected pair
     list, canonical = min doc_id reachable.  Iterative min-label
     propagation: each round every node takes min(own label, neighbors'
-    labels) via one edge join + one min-aggregation; the driver checks the
-    changed-count (one small action per round — the documented iterative-
-    algorithm shape, same as MLlib's Lloyd loop) and stops at the fixpoint.
-    Deterministic: min is order-insensitive.
+    labels) via one edge join + one min-aggregation; the driver reads the
+    monotone label-sum invariant from a metric observed on the round's own
+    materialization job (see the loop comment) and stops at the fixpoint —
+    one Spark job per round.  Deterministic: min is order-insensitive.
 
     ``normalized``: the caller GUARANTEES the pair rows are distinct with
     a_col < b_col strictly (true of every verified-pair producer in this
@@ -3809,9 +3809,10 @@ def connected_components_star(
       and its other smaller neighbors at m.  Both preserve connectivity;
       the fixpoint is a forest of stars rooted at component minima.
 
-    Per round: two groupBy-min + join passes over the (localCheckpointed,
-    corpus-≪-sized) edge list; convergence = edge-set equality (cheap —
-    the star edge set is one row per non-root node)."""
+    Per round: two window-min passes over the (localCheckpointed,
+    corpus-≪-sized) edge list; convergence = the star-forest fixpoint
+    test, observed as a metric of the round's own materialization job
+    (see the loop comment) — no standalone check job."""
     # materialize the raw pair list ONCE: both the contraction input and the
     # self-pair branch below derive from it, and the pair source is
     # typically a whole un-cached dedup pipeline (MinHash-LSH + verify) that
