@@ -129,14 +129,10 @@ def cmd_phases(which):
         corpus = dataops.augmented_corpus(spark, SF001)
         from pyspark.sql import functions as F
 
-        hdist, rare = dataops.hashed_shingles(corpus)
+        hdist, hot = dataops.hashed_shingles(corpus)
         best3("hashed_shingles_distinct", lambda: noop(hdist))
-        best3("rare_set", lambda: noop(rare))
-        sig_stream = (
-            dataops.raw_shingles(corpus)
-            .select("doc_id", dataops._tokhash_spark(F.col("sh")).alias("hh"))
-            .join(rare, "hh", "left_semi")
-        )
+        best3("hot_set", lambda: noop(hot))
+        sig_stream = hdist.join(F.broadcast(hot), "hh", "left_anti")
         best3("sig_stream", lambda: noop(sig_stream))
         best3("full_pairs", lambda: dataops.minhash_neardup_pairs(corpus).count())
     elif which == "ivf":

@@ -146,12 +146,23 @@ def rare_shingle_set(corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGL
     return s.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).select("sh")
 
 
+def hot_shingle_set(corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """The OVER-cap shingles — tiny by construction (<= |doc-shingle
+    pairs| / cap, zipfian in practice), which is what makes the anti-join
+    form of the cap broadcastable (see hashed_shingles)."""
+    s = shingles(corpus, k)
+    return s.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap).select("sh")
+
+
 def capped_shingles(corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Shingles minus those appearing in more than ``df_cap`` documents —
     the skew-safe input to every shingle self-join.  One extra groupBy over
-    the shingle stream (partial-aggregated map-side), then a semi-join that
-    Catalyst plans on the same shingle key as the pair join itself."""
-    return shingles(corpus, k).join(rare_shingle_set(corpus, k, df_cap), "sh", "left_semi")
+    the shingle stream (partial-aggregated map-side), then a broadcast
+    ANTI join against the tiny hot set — set-identical to the old semi
+    join against the rare set (complement memberships, sh never NULL) but
+    map-side, so the shingle stream is not re-exchanged by sh and no join
+    partition concentrates a hot shingle (hashed_shingles docstring)."""
+    return shingles(corpus, k).join(F.broadcast(hot_shingle_set(corpus, k, df_cap)), "sh", "left_anti")
 
 
 def _keyed_shingles_sql(base: str, k: int = SHINGLE_K, hashed: bool = False) -> str:
@@ -464,23 +475,35 @@ ORDER BY jaccard DESC, doc_a ASC, doc_b ASC LIMIT 50
 def hashed_shingles(
     corpus: DataFrame, k: int = SHINGLE_K, df_cap: int = SHINGLE_DF_CAP
 ) -> tuple[DataFrame, DataFrame]:
-    """(distinct per-doc 60-bit shingle hashes, df-capped rare-key set).
+    """(distinct per-doc 60-bit shingle hashes, OVER-cap hot-key set).
 
     Every downstream shuffle and self-join then carries an 8-byte BIGINT key
     instead of a ~5-word shingle string — at 100 TB the verification join's
     shuffle volume drops ~5x.  The hash is the md5-prefix ``_tokhash_spark``,
     reproduced exactly by the DuckDB oracle, so similarity is *defined* over
     the hashed shingle space identically in both engines (a 60-bit collision
-    — ~|S|^2/2^61, negligible — merges the same two shingles in both)."""
+    — ~|S|^2/2^61, negligible — merges the same two shingles in both).
+
+    The DF cap is applied by the caller as a broadcast ANTI join against
+    the hot keys (df > cap) — set-identical to a semi join against the
+    rare keys (df <= cap; every stream key is observed, and hh is never
+    NULL, so the two memberships are complements), but strictly cheaper at
+    both scales: the hot set is tiny by construction (<= |distinct
+    doc-shingle pairs| / cap keys, zipfian in practice — stop-phrases),
+    so the anti join is map-side.  That removes the full re-exchange of
+    the distinct shingle stream by hh that the semi join paid, AND the
+    skew it invited — a semi join partitions by hh, concentrating exactly
+    the hot shingles the cap exists to kill; broadcasting just the hot
+    keys is the guide §2.5 skew-kill."""
     hdist = (
         raw_shingles(corpus, k)
         .select("doc_id", _tokhash_spark(F.col("sh")).alias("hh"))
         .distinct()
     )
-    rare = (
-        hdist.groupBy("hh").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap).select("hh")
+    hot = (
+        hdist.groupBy("hh").agg(F.count("*").alias("df")).filter(F.col("df") > df_cap).select("hh")
     )
-    return hdist, rare
+    return hdist, hot
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,14 +530,14 @@ def minhash_neardup_pairs(
     df_cap = SHINGLE_DF_CAP if df_cap is None else df_cap
     # Everything downstream runs over 60-bit HASHED shingles (8-byte join
     # keys; similarity is defined over the hashed space, oracle-mirrored —
-    # see hashed_shingles).  ONE rare-key set feeds both the signature and
-    # verification branches: identical subplans, so Spark's ReuseExchange
-    # dedupes the build inside the single executed plan.  The streams
+    # see hashed_shingles).  ONE hot-key broadcast (the anti-join DF cap)
+    # feeds both the signature and verification branches: identical
+    # subplans, so Spark's ReuseExchange dedupes the build.  The streams
     # themselves are recomputed per branch on purpose — measured faster than
     # .persist() (row-format caching breaks the codegen pipeline and costs
     # more than the re-explosion at this shape).
-    hdist, rare = hashed_shingles(corpus, df_cap=df_cap)
-    s = hdist.join(rare, "hh", "left_semi")
+    hdist, hot = hashed_shingles(corpus, df_cap=df_cap)
+    s = hdist.join(F.broadcast(hot), "hh", "left_anti")
     r = MINHASH_N // LSH_BANDS
     assert r == 2, "band assembly below is written for r=2 rows per band"
     # signatures in LONG format: explode the hash index and run ONE narrow
