@@ -61,6 +61,8 @@ def _lit(v) -> str:
         return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex().upper()}'"
     if isinstance(v, (list, tuple)):
         return "array(" + ", ".join(_lit(x) for x in v) + ")"
     try:  # numpy integer / floating scalars without a hard numpy import

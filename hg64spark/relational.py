@@ -1526,6 +1526,34 @@ def hg64_agg_relational(
     if fold == "auto":
         fold = "arrow" if group_cols else "pandas"
 
+    if fused_group_domain is not None and group_cols:
+        # the fused contract DECLARES the counts frame bounded at
+        # (domain + 1) x nkeys rows, so the final fold is driver-side: one
+        # collect of the reduced counts (the same bounded-reduction class
+        # as a sketch-blob collect — the size is declared, not
+        # data-dependent), the identical numpy accumulation the Arrow fold
+        # runs per task, and a LocalRelation result.  That removes the
+        # fold's repartition exchange, its Python worker stage, and one
+        # collect round trip from the hot ingest path; the blobs are
+        # byte-identical (same uint64 counter accumulation, same
+        # serialize — pytest-asserted against the Arrow fold).
+        from hg64spark.localrel import local_rows_df
+
+        g = group_cols[0]
+        by_group: dict = {}
+        for r in counts.collect():
+            counters = by_group.setdefault(r[g], np.zeros(nk, dtype=np.uint64))
+            counters[r["hg64_key"]] += np.uint64(r["count"])
+        gfield = next(f for f in counts.schema.fields if f.name == g)
+        return local_rows_df(
+            counts.sparkSession,
+            [
+                (k, bytearray(HG64(sigbits, v).serialize()))
+                for k, v in by_group.items()
+            ],
+            f"`{g}` {gfield.dataType.simpleString()}, sketch binary",
+        )
+
     if fold == "arrow" and group_cols:
         import pyarrow as pa
 

@@ -59,7 +59,18 @@ def test_float_bit_exactness(spark):
     assert [v.hex() for v in got] == [v.hex() for v in vals]
 
 
-def test_unrepresentable_falls_back(spark):
-    rows = [(bytearray(b"\x00\x01"),)]
+def test_binary_hex_literals(spark):
+    rows = [(bytearray(b"\x00\x01\xff"),), (b"",), (bytes(range(256)),)]
     df = local_rows_df(spark, rows, "b binary")
-    assert df.collect()[0]["b"] == bytearray(b"\x00\x01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    got = sorted(bytes(r["b"]) for r in df.collect())
+    assert got == sorted(bytes(r[0]) for r in rows)
+
+
+def test_unrepresentable_falls_back(spark):
+    import datetime
+
+    rows = [(datetime.datetime(2020, 1, 1),)]
+    df = local_rows_df(spark, rows, "t timestamp")
+    assert df.collect()[0]["t"] == datetime.datetime(2020, 1, 1)
