@@ -224,8 +224,26 @@ def hll_agg_relational(
     )
     fields = [f for f in regs.schema.fields if f.name in group_cols]
     out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
-    grouped = regs if group_cols else regs.withColumn(_GLOBAL, F.lit(0))
-    keys = group_cols or [_GLOBAL]
+    if not group_cols:
+        # global build: the register frame is <= 2^p rows BY CONSTRUCTION,
+        # so the finalizer folds driver-side (identical numpy register
+        # assignment) and returns a LocalRelation — no _GLOBAL exchange, no
+        # Python worker stage on the query tail.  Zero register rows (empty
+        # input) yields an empty frame, exactly like the zero-group
+        # applyInPandas it replaces.
+        from hg64spark.localrel import local_rows_df
+
+        rows = regs.collect()
+        out_rows = []
+        if rows:
+            sk = HLL(p, hash_family=HASH_XXHASH64)
+            sk.registers[np.array([r["hll_idx"] for r in rows])] = np.array(
+                [r["rho"] for r in rows], dtype=np.uint8
+            )
+            out_rows = [(bytearray(sk.serialize()),)]
+        return local_rows_df(df.sparkSession, out_rows, "sketch binary")
+    grouped = regs
+    keys = group_cols
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = HLL(p, hash_family=HASH_XXHASH64)
@@ -689,8 +707,25 @@ def cms_agg_relational(
     )
     fields = [f for f in cells.schema.fields if f.name in group_cols]
     out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
-    grouped = cells if group_cols else cells.withColumn(_GLOBAL, F.lit(0))
-    keys = group_cols or [_GLOBAL]
+    if not group_cols:
+        # global build: the cell frame is <= width x depth rows BY
+        # CONSTRUCTION — driver-side fold + LocalRelation result, same as
+        # the global HLL finalizer (and the same empty-input semantics:
+        # zero cells -> empty frame)
+        from hg64spark.localrel import local_rows_df
+
+        rows = cells.collect()
+        out_rows = []
+        if rows:
+            sk = CMS(width, depth, hash_family=HASH_XXHASH64)
+            sk.counts[
+                np.array([r["row_j"] for r in rows]),
+                np.array([r["idx"] for r in rows]),
+            ] = np.array([r["cnt"] for r in rows])
+            out_rows = [(bytearray(sk.serialize()),)]
+        return local_rows_df(df.sparkSession, out_rows, "sketch binary")
+    grouped = cells
+    keys = group_cols
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = CMS(width, depth, hash_family=HASH_XXHASH64)

@@ -269,6 +269,17 @@ def test_relational_bloom_no_false_negatives_and_probe(spark):
     assert rate <= 3 * max(bf.fpp_bound(n_items), 0.001), rate
 
 
+def test_relational_global_finalizers_empty_input(spark):
+    """The driver-side global HLL/CMS finalizers must preserve the
+    zero-group applyInPandas semantics: empty input -> EMPTY frame, not a
+    row holding an empty sketch."""
+    from hg64spark import relational
+
+    empty = spark.createDataFrame([], "v long")
+    assert relational.hll_agg_relational(empty, "v", [], 12).count() == 0
+    assert relational.cms_agg_relational(empty, "v", 64, 3).count() == 0
+
+
 def test_relational_cms_estimates(spark):
     from hg64spark import relational
     from hg64spark.sketches import CMS
