@@ -1623,8 +1623,27 @@ def hg64_agg_relational(
 
         return shuffled.mapInArrow(fold_partition, out_schema)
 
-    grouped = counts if group_cols else counts.withColumn(_GLOBAL, F.lit(0))
-    keys = group_cols or [_GLOBAL]
+    if not group_cols:
+        # global build: the counts frame is <= nkeys(sigbits) rows BY
+        # CONSTRUCTION — driver-side fold + LocalRelation result, exactly
+        # like the global HLL/CMS finalizers (empty input -> empty frame,
+        # matching the zero-group applyInPandas this replaces)
+        from hg64spark.localrel import local_rows_df
+
+        rows = counts.collect()
+        out_rows = []
+        if rows:
+            counters = np.zeros(nk, dtype=np.uint64)
+            counters[np.array([r["hg64_key"] for r in rows])] = np.array(
+                [r["count"] for r in rows]
+            ).astype(np.uint64)
+            sk = HG64(sigbits)
+            sk.counters = counters
+            out_rows = [(bytearray(sk.serialize()),)]
+        return local_rows_df(counts.sparkSession, out_rows, "sketch binary")
+
+    grouped = counts
+    keys = group_cols
 
     def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = HG64(sigbits)
