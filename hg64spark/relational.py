@@ -312,8 +312,24 @@ def bloom_agg_relational(
     words = bloom_words_relational(df, value_col, n_bits, n_hashes, group_cols)
     fields = [f for f in words.schema.fields if f.name in group_cols]
     out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
-    grouped = words if group_cols else words.withColumn(_GLOBAL, F.lit(0))
-    keys = group_cols or [_GLOBAL]
+    if not group_cols:
+        # global build: the words frame is <= n_bits/64 rows BY
+        # CONSTRUCTION — driver-side fold + LocalRelation result, same as
+        # the global HLL/CMS finalizers (and the same empty-input
+        # semantics: zero word rows -> empty frame)
+        from hg64spark.localrel import local_rows_df
+
+        rows = words.collect()
+        out_rows = []
+        if rows:
+            sk = Bloom(n_bits, n_hashes, hash_family=HASH_XXHASH64)
+            sk.words[np.array([r["word_idx"] for r in rows])] = np.array(
+                [r["word"] for r in rows], dtype=np.int64
+            ).view(np.uint64)
+            out_rows = [(bytearray(sk.serialize()),)]
+        return local_rows_df(df.sparkSession, out_rows, "sketch binary")
+    grouped = words
+    keys = group_cols
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = Bloom(n_bits, n_hashes, hash_family=HASH_XXHASH64)
@@ -1722,6 +1738,25 @@ def mg_agg_relational(
     rows = totals.join(kept, gcol, "left")
     fields = [f for f in rows.schema.fields if f.name in group_cols]
     out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+    if not group_cols:
+        # global build: the joined frame is <= k+1 rows BY CONSTRUCTION
+        # (the salted top-(k+1) cut), so the finalizer folds driver-side
+        # with the identical counter assembly and returns a LocalRelation
+        # — same shape and empty-input semantics (zero total rows ->
+        # empty frame) as the global HLL/CMS/Bloom/hg64 finalizers.
+        from hg64spark.localrel import local_rows_df
+
+        collected = rows.collect()
+        out_rows = []
+        if collected:
+            counters = {
+                str(r[value_col]): int(r["__adj"])
+                for r in collected
+                if r[value_col] is not None
+            }
+            sk = MG(k, counters, int(collected[0]["__n"]))
+            out_rows = [(bytearray(sk.serialize()),)]
+        return local_rows_df(df.sparkSession, out_rows, "sketch binary")
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         present = pdf[pdf[value_col].notna()]

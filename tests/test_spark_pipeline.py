@@ -278,6 +278,8 @@ def test_relational_global_finalizers_empty_input(spark):
     empty = spark.createDataFrame([], "v long")
     assert relational.hll_agg_relational(empty, "v", [], 12).count() == 0
     assert relational.cms_agg_relational(empty, "v", 64, 3).count() == 0
+    assert relational.bloom_agg_relational(empty, "v", 1 << 10, 3).count() == 0
+    assert relational.mg_agg_relational(empty, "v", k=8).count() == 0
 
 
 def test_relational_cms_estimates(spark):
