@@ -4469,7 +4469,13 @@ def tfidf_search(
     if not queries or any(not terms for terms in queries.values()):
         raise ValueError("tfidf_search needs >= 1 query, each with >= 1 term")
     spark = corpus.sparkSession
-    qdf = spark.createDataFrame(
+    # VALUES LocalRelation, not createDataFrame: the query-term frame is
+    # evaluated twice (distinct-term semi-join build + the scoring join's
+    # broadcast), and a pickled-RDD-backed frame pays a
+    # defaultParallelism-task Python job per evaluation (localrel module
+    # docstring)
+    qdf = local_rows_df(
+        spark,
         sorted({(q, t) for q, terms in queries.items() for t in terms}),
         "query_id string, tok string",
     )
