@@ -44,7 +44,7 @@ class _Unrepresentable(Exception):
     pass
 
 
-def _lit(v) -> str:
+def _lit(v, escaped_literals: bool = False) -> str:
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -60,11 +60,19 @@ def _lit(v) -> str:
             return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
         return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, str):
+        if escaped_literals:
+            # spark.sql.parser.escapedStringLiterals=true gives backslash
+            # no special meaning, so our \\ / \' escapes would mis-parse;
+            # plain strings are identical in both modes, anything needing
+            # an escape falls back to createDataFrame
+            if "\\" in v or "'" in v:
+                raise _Unrepresentable("str under escapedStringLiterals")
+            return "'" + v + "'"
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     if isinstance(v, (bytes, bytearray)):
         return f"X'{bytes(v).hex().upper()}'"
     if isinstance(v, (list, tuple)):
-        return "array(" + ", ".join(_lit(x) for x in v) + ")"
+        return "array(" + ", ".join(_lit(x, escaped_literals) for x in v) + ")"
     try:  # numpy integer / floating scalars without a hard numpy import
         import numpy as np
 
@@ -73,7 +81,7 @@ def _lit(v) -> str:
         if isinstance(v, np.floating):
             return _lit(float(v))
         if isinstance(v, np.ndarray):
-            return _lit(v.tolist())
+            return _lit(v.tolist(), escaped_literals)
     except ImportError:  # pragma: no cover
         pass
     raise _Unrepresentable(type(v).__name__)
@@ -96,9 +104,13 @@ def local_rows_df(spark: SparkSession, rows: Sequence, ddl: str) -> DataFrame:
         return spark.sql(
             f"SELECT {aliases} FROM (VALUES {null_row}) AS __t({cols}) WHERE 1=0"
         )
+    escaped = (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false").lower()
+        == "true"
+    )
     try:
         vals = ", ".join(
-            "(" + ", ".join(_lit(v) for v in row) + ")" for row in rows
+            "(" + ", ".join(_lit(v, escaped) for v in row) + ")" for row in rows
         )
     except _Unrepresentable:
         return spark.createDataFrame(rows, ddl)

@@ -41,6 +41,12 @@ from hg64spark.localrel import local_rows_df
 
 _GLOBAL = "__hg64_g__"
 
+#: largest user-declared Bloom size whose global build folds driver-side:
+#: 2^21 bits = 32k word rows collected, a 256 KB sketch whose hex VALUES
+#: literal stays under localrel's SQL-size cap; bigger filters keep the
+#: executor-side fold
+_BLOOM_DRIVER_FOLD_MAX_BITS = 1 << 21
+
 
 def floor_log2_col(col: Column) -> Column:
     """Exact integer floor(log2(x)) for x >= 1 as a Catalyst expression:
@@ -231,7 +237,6 @@ def hll_agg_relational(
         # Python worker stage on the query tail.  Zero register rows (empty
         # input) yields an empty frame, exactly like the zero-group
         # applyInPandas it replaces.
-        from hg64spark.localrel import local_rows_df
 
         rows = regs.collect()
         out_rows = []
@@ -310,15 +315,14 @@ def bloom_agg_relational(
 
     group_cols = list(group_cols)
     words = bloom_words_relational(df, value_col, n_bits, n_hashes, group_cols)
-    fields = [f for f in words.schema.fields if f.name in group_cols]
-    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
-    if not group_cols:
+    if not group_cols and n_bits <= _BLOOM_DRIVER_FOLD_MAX_BITS:
         # global build: the words frame is <= n_bits/64 rows BY
         # CONSTRUCTION — driver-side fold + LocalRelation result, same as
         # the global HLL/CMS finalizers (and the same empty-input
-        # semantics: zero word rows -> empty frame)
-        from hg64spark.localrel import local_rows_df
-
+        # semantics: zero word rows -> empty frame).  Unlike those, the
+        # bound is user-declared, so filters past the cap keep the
+        # executor-side fold below instead of collecting n_bits/64 rows
+        # to the driver.
         rows = words.collect()
         out_rows = []
         if rows:
@@ -328,8 +332,10 @@ def bloom_agg_relational(
             ).view(np.uint64)
             out_rows = [(bytearray(sk.serialize()),)]
         return local_rows_df(df.sparkSession, out_rows, "sketch binary")
-    grouped = words
-    keys = group_cols
+    fields = [f for f in words.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
+    grouped = words if group_cols else words.withColumn(_GLOBAL, F.lit(0))
+    keys = group_cols or [_GLOBAL]
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = Bloom(n_bits, n_hashes, hash_family=HASH_XXHASH64)
@@ -728,7 +734,6 @@ def cms_agg_relational(
         # CONSTRUCTION — driver-side fold + LocalRelation result, same as
         # the global HLL finalizer (and the same empty-input semantics:
         # zero cells -> empty frame)
-        from hg64spark.localrel import local_rows_df
 
         rows = cells.collect()
         out_rows = []
@@ -1588,7 +1593,6 @@ def hg64_agg_relational(
         # collect round trip from the hot ingest path; the blobs are
         # byte-identical (same uint64 counter accumulation, same
         # serialize — pytest-asserted against the Arrow fold).
-        from hg64spark.localrel import local_rows_df
 
         g = group_cols[0]
         by_group: dict = {}
@@ -1644,7 +1648,6 @@ def hg64_agg_relational(
         # CONSTRUCTION — driver-side fold + LocalRelation result, exactly
         # like the global HLL/CMS finalizers (empty input -> empty frame,
         # matching the zero-group applyInPandas this replaces)
-        from hg64spark.localrel import local_rows_df
 
         rows = counts.collect()
         out_rows = []
@@ -1736,16 +1739,12 @@ def mg_agg_relational(
     # threshold keeps ZERO items but must still emit an (empty-counter,
     # n>0) sketch — the same state the one-batch Python fold reaches
     rows = totals.join(kept, gcol, "left")
-    fields = [f for f in rows.schema.fields if f.name in group_cols]
-    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
     if not group_cols:
         # global build: the joined frame is <= k+1 rows BY CONSTRUCTION
         # (the salted top-(k+1) cut), so the finalizer folds driver-side
         # with the identical counter assembly and returns a LocalRelation
         # — same shape and empty-input semantics (zero total rows ->
         # empty frame) as the global HLL/CMS/Bloom/hg64 finalizers.
-        from hg64spark.localrel import local_rows_df
-
         collected = rows.collect()
         out_rows = []
         if collected:
@@ -1757,6 +1756,8 @@ def mg_agg_relational(
             sk = MG(k, counters, int(collected[0]["__n"]))
             out_rows = [(bytearray(sk.serialize()),)]
         return local_rows_df(df.sparkSession, out_rows, "sketch binary")
+    fields = [f for f in rows.schema.fields if f.name in group_cols]
+    out_schema = StructType(fields + [StructField("sketch", BinaryType(), False)])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         present = pdf[pdf[value_col].notna()]

@@ -74,3 +74,22 @@ def test_unrepresentable_falls_back(spark):
     rows = [(datetime.datetime(2020, 1, 1),)]
     df = local_rows_df(spark, rows, "t timestamp")
     assert df.collect()[0]["t"] == datetime.datetime(2020, 1, 1)
+
+
+def test_escaped_string_literals_mode(spark):
+    """Under spark.sql.parser.escapedStringLiterals=true backslash escapes
+    mis-parse, so strings needing an escape must fall back to
+    createDataFrame while clean strings keep the VALUES form."""
+    rows = [("o'brien", 1), ("back\\slash", 2), ("clean", 3)]
+    ddl = "term string, n int"
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        a = local_rows_df(spark, rows, ddl)
+        assert _norm(a.collect()) == _norm(spark.createDataFrame(rows, ddl).collect())
+        clean = local_rows_df(spark, [("clean", 1)], ddl)
+        plan = clean._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+    b = local_rows_df(spark, rows, ddl)
+    assert _norm(b.collect()) == _norm(spark.createDataFrame(rows, ddl).collect())

@@ -282,6 +282,30 @@ def test_relational_global_finalizers_empty_input(spark):
     assert relational.mg_agg_relational(empty, "v", k=8).count() == 0
 
 
+def test_bloom_global_over_driver_cap_stays_executor_side(spark, monkeypatch):
+    """A global Bloom declared past _BLOOM_DRIVER_FOLD_MAX_BITS must keep
+    the executor-side fold (no n_bits/64-row driver collect), and that
+    fold must stay byte-identical to the driver fold at the same
+    geometry."""
+    from hg64spark import relational
+
+    vals = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+    big = relational._BLOOM_DRIVER_FOLD_MAX_BITS * 2
+    executor_df = relational.bloom_agg_relational(vals, "v", big, 3)
+    plan = executor_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # over the cap: no driver collect
+    executor_blob = bytes(executor_df.collect()[0]["sketch"])
+    monkeypatch.setattr(relational, "_BLOOM_DRIVER_FOLD_MAX_BITS", big)
+    driver_df = relational.bloom_agg_relational(vals, "v", big, 3)
+    # (at this size the hex literal overflows localrel's SQL cap, so the
+    # result frame itself falls back to createDataFrame — the fold is
+    # still the driver one, and byte-equality is the contract)
+    assert "FlatMapGroupsInPandas" not in (
+        driver_df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert bytes(driver_df.collect()[0]["sketch"]) == executor_blob
+
+
 def test_relational_cms_estimates(spark):
     from hg64spark import relational
     from hg64spark.sketches import CMS
